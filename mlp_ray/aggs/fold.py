@@ -1,0 +1,271 @@
+"""Generic two-phase grouped metric fold.
+
+The reference folds every event into shared in-memory
+``HashMap<Key, Entry>`` accumulators guarded by ``synchronized``
+(``Accumulator.java:90-154``, ``LogParserTask.java:163-199``) — a
+single-process design whose lock contention is the scaling ceiling
+(SURVEY.md §4).  Here the same count/sum/min/max/avg/p95 +
+first/last/arg-max-sample semantics are re-expressed Ray-Data-first:
+
+  phase 1 (``partial``): inside ``map_batches`` each batch is reduced
+    to one row per group — counts, sums, mins, maxes, per-metric
+    presence counts, value arrays for exact percentiles, (doc_id,
+    value) carriers for deterministic first/last/arg-max.  This is the
+    combiner: the all-to-all shuffle then moves only per-(group ×
+    block) partials, never raw rows, so hot keys (one namespace owns
+    ~50% of rows) cost one partial row per block instead of half the
+    dataset — the skew mitigation the north rule asks for.
+
+  phase 2 (``merge``): ``groupby(keys).map_groups`` merges partials —
+    sums of sums, min of mins, concat of value arrays → exact p95
+    (numpy linear interpolation == DuckDB ``quantile_cont``).
+
+Determinism (FIXTURES.md §4): "first"/"last"/sample fields are
+resolved by ``doc_id`` order (min doc_id first-wins; arg-max by
+``(value, doc_id)``), never arrival order — the reference is
+thread-timing-dependent here (``LogLineAccumulator.java:294-331``).
+
+p95 is exact over all group values, not the reference's first-10k
+sample (``LogLineAccumulator.java:75``) — a documented deviation; at
+10^12-row scale swap ``p95_exact=False`` to fold a fixed-width
+histogram sketch instead of raw value arrays.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+@dataclass
+class FoldSpec:
+    keys: list[str]
+    # metric col → subset of {"count","sum","min","max","avg","p95"}
+    metrics: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    # first/last non-null value by doc_id order
+    first_cols: list[str] = field(default_factory=list)
+    last_cols: list[str] = field(default_factory=list)
+    # arg-max sample: doc_id of the row maximizing (sample_by, doc_id)
+    sample_by: str | None = None
+    # boolean cols summed into *_count (e.g. is_error → error_count)
+    bool_count_cols: dict[str, str] = field(default_factory=dict)
+    # categorical cols folded into a JSON {value: count} map
+    # (A3's replanReasons / readPreference nested count-maps,
+    # QueryHashAccumulatorEntry.java:186-207); null → null_label if set
+    countmap_cols: dict[str, str | None] = field(default_factory=dict)
+    # key columns whose nulls are replaced by a label before grouping
+    key_fillna: dict[str, str] = field(default_factory=dict)
+    order_col: str = "doc_id"
+    # pandas nullable dtype per key/first/last column (default "string") —
+    # pinned so every partial/final block has an identical Arrow schema
+    # regardless of which groups a block happens to contain
+    col_dtypes: dict[str, str] = field(default_factory=dict)
+
+    def _dtype(self, col: str) -> str:
+        return self.col_dtypes.get(col, "string")
+
+    # ------------------------------------------------------------------
+    def needed_columns(self) -> list[str]:
+        cols = list(self.keys)
+        cols += list(self.metrics)
+        cols += self.first_cols + self.last_cols
+        cols += list(self.bool_count_cols)
+        cols += list(self.countmap_cols)
+        if self.sample_by:
+            cols.append(self.sample_by)
+        cols.append(self.order_col)
+        seen: dict[str, None] = {}
+        for c in cols:
+            seen.setdefault(c)
+        return list(seen)
+
+    # ------------------------------------------------------------------
+    def partial(self, batch: pa.Table) -> pd.DataFrame:
+        """Reduce one Arrow batch to one partial row per group."""
+        df = batch.select(self.needed_columns()).to_pandas()
+        if df.empty:
+            return self._empty_partial()
+        for k, lbl in self.key_fillna.items():
+            df[k] = df[k].fillna(lbl)
+        df = df.sort_values(self.order_col, kind="mergesort")
+        g = df.groupby(self.keys, dropna=False, sort=False)
+
+        out = g.size().rename("count").to_frame()
+        for m, stats in self.metrics.items():
+            col = g[m]
+            out[f"_cnt_{m}"] = col.count()
+            if {"sum", "avg"} & set(stats):
+                out[f"_sum_{m}"] = col.sum()
+            if "min" in stats:
+                out[f"_min_{m}"] = col.min()
+            if "max" in stats:
+                out[f"_max_{m}"] = col.max()
+            if "p95" in stats:
+                out[f"_vals_{m}"] = col.apply(
+                    lambda s: s.dropna().to_numpy(dtype=np.float64))
+        for c, out_name in self.bool_count_cols.items():
+            out[f"_bsum_{c}"] = g[c].apply(lambda s: int(s.fillna(False).sum()))
+        for c, null_label in self.countmap_cols.items():
+            def cmap(s, _nl=null_label):
+                vc = s.value_counts(dropna=_nl is None)
+                d = {}
+                for k, v in vc.items():
+                    key = _nl if pd.isna(k) else str(k)
+                    d[key] = d.get(key, 0) + int(v)
+                return json.dumps(d, sort_keys=True)
+            out[f"_map_{c}"] = g[c].apply(cmap)
+        for c in self.first_cols:
+            out[f"_first_val_{c}"], out[f"_first_ord_{c}"] = self._edge(g, df, c, True)
+        for c in self.last_cols:
+            out[f"_last_val_{c}"], out[f"_last_ord_{c}"] = self._edge(g, df, c, False)
+        if self.sample_by:
+            def argmax(sub):
+                s = sub[self.sample_by]
+                if s.notna().any():
+                    # max (value, doc_id): stable sort by doc_id, then idxmax
+                    # keeps the last (largest doc_id) among ties
+                    vmax = s.max()
+                    cand = sub.loc[s == vmax, self.order_col]
+                    return pd.Series({"_smp_ord": cand.max(), "_smp_val": vmax})
+                return pd.Series({"_smp_ord": None, "_smp_val": np.nan})
+            smp = g[[self.sample_by, self.order_col]].apply(argmax)
+            out["_smp_ord"] = smp["_smp_ord"]
+            out["_smp_val"] = smp["_smp_val"]
+        return self._cast_partial(out.reset_index())
+
+    def _cast_partial(self, out: pd.DataFrame) -> pd.DataFrame:
+        for k in self.keys:
+            out[k] = out[k].astype(self._dtype(k))
+        out["count"] = out["count"].astype("int64")
+        for m, stats in self.metrics.items():
+            out[f"_cnt_{m}"] = out[f"_cnt_{m}"].astype("int64")
+            for s in ("sum", "min", "max"):
+                c = f"_{s}_{m}"
+                if c in out:
+                    out[c] = out[c].astype("float64")
+        for c in self.bool_count_cols:
+            out[f"_bsum_{c}"] = out[f"_bsum_{c}"].astype("int64")
+        for c in self.countmap_cols:
+            out[f"_map_{c}"] = out[f"_map_{c}"].astype("string")
+        for kind, cols in (("first", self.first_cols), ("last", self.last_cols)):
+            for c in cols:
+                out[f"_{kind}_val_{c}"] = out[f"_{kind}_val_{c}"].astype(self._dtype(c))
+                out[f"_{kind}_ord_{c}"] = out[f"_{kind}_ord_{c}"].astype("string")
+        if self.sample_by:
+            out["_smp_ord"] = out["_smp_ord"].astype("string")
+            out["_smp_val"] = out["_smp_val"].astype("float64")
+        return out
+
+    def _edge(self, g, df, c, first: bool):
+        ocol = self.order_col
+        def pick(sub, _first=first):
+            s = sub[c].dropna()
+            if s.empty:
+                return pd.Series({"v": None, "o": None})
+            idx = s.index[0] if _first else s.index[-1]
+            return pd.Series({"v": sub[c][idx], "o": sub[ocol][idx]})
+        r = g[[c, ocol]].apply(pick)
+        return r["v"], r["o"]
+
+    def _empty_partial(self) -> pd.DataFrame:
+        cols = {k: pd.Series(dtype=object) for k in self.keys}
+        cols["count"] = pd.Series(dtype=np.int64)
+        return pd.DataFrame(cols)
+
+    # ------------------------------------------------------------------
+    def merge(self, g: pd.DataFrame) -> pd.DataFrame:
+        """Merge all partial rows of one group into one final row."""
+        row: dict[str, object] = {k: g[k].iloc[0] for k in self.keys}
+        row["count"] = int(g["count"].sum())
+        for m, stats in self.metrics.items():
+            cnt = int(g[f"_cnt_{m}"].sum())
+            if "count" in stats:
+                row[f"count_{m}"] = cnt
+            if "sum" in stats:
+                row[f"sum_{m}"] = _num(g[f"_sum_{m}"].sum()) if cnt else None
+            if "min" in stats:
+                row[f"min_{m}"] = _num(g[f"_min_{m}"].min()) if cnt else None
+            if "max" in stats:
+                row[f"max_{m}"] = _num(g[f"_max_{m}"].max()) if cnt else None
+            if "avg" in stats:
+                row[f"avg_{m}"] = float(g[f"_sum_{m}"].sum()) / cnt if cnt else None
+            if "p95" in stats:
+                arrs = [np.asarray(a, dtype=np.float64)
+                        for a in g[f"_vals_{m}"] if a is not None and len(a)]
+                row[f"p95_{m}"] = (
+                    float(np.quantile(np.concatenate(arrs), 0.95)) if arrs else None
+                )
+        for c, out_name in self.bool_count_cols.items():
+            row[out_name] = int(g[f"_bsum_{c}"].sum())
+        for c in self.countmap_cols:
+            acc: dict[str, int] = {}
+            for j in g[f"_map_{c}"].dropna():
+                for k, v in json.loads(j).items():
+                    acc[k] = acc.get(k, 0) + v
+            row[f"map_{c}"] = json.dumps(acc, sort_keys=True)
+        for c in self.first_cols:
+            row[f"first_{c}"] = _pick_edge(g, c, "first")
+        for c in self.last_cols:
+            row[f"last_{c}"] = _pick_edge(g, c, "last")
+        if self.sample_by:
+            sub = g[g["_smp_ord"].notna()]
+            if len(sub):
+                vmax = sub["_smp_val"].max()
+                row["sample_doc_id"] = sub.loc[sub["_smp_val"] == vmax,
+                                               "_smp_ord"].max()
+            else:
+                row["sample_doc_id"] = None
+        return self._cast_final(pd.DataFrame([row]))
+
+    def _cast_final(self, out: pd.DataFrame) -> pd.DataFrame:
+        for k in self.keys:
+            out[k] = out[k].astype(self._dtype(k))
+        out["count"] = out["count"].astype("int64")
+        for m, stats in self.metrics.items():
+            for s in stats:
+                col = f"{s}_{m}" if s != "count" else f"count_{m}"
+                if col in out:
+                    out[col] = out[col].astype(
+                        "int64" if s == "count" else "float64")
+        for _, name in self.bool_count_cols.items():
+            out[name] = out[name].astype("int64")
+        for c in self.countmap_cols:
+            out[f"map_{c}"] = out[f"map_{c}"].astype("string")
+        for kind, cols in (("first", self.first_cols), ("last", self.last_cols)):
+            for c in cols:
+                out[f"{kind}_{c}"] = out[f"{kind}_{c}"].astype(self._dtype(c))
+        if self.sample_by:
+            out["sample_doc_id"] = out["sample_doc_id"].astype("string")
+        return out
+
+
+def _pick_edge(g: pd.DataFrame, c: str, kind: str) -> object:
+    vals = g[g[f"_{kind}_ord_{c}"].notna()]
+    if vals.empty:
+        return None
+    if kind == "first":
+        idx = vals[f"_first_ord_{c}"].idxmin()
+        return vals[f"_first_val_{c}"][idx]
+    idx = vals[f"_last_ord_{c}"].idxmax()
+    return vals[f"_last_val_{c}"][idx]
+
+
+def _num(x):
+    if x is None or (isinstance(x, float) and np.isnan(x)):
+        return None
+    f = float(x)
+    return int(f) if f.is_integer() else f
+
+
+def run_fold(ds, spec: FoldSpec, *, batch_size: int = 32768):
+    """Apply the two-phase fold to a Ray Dataset → Dataset of final rows."""
+    return (
+        ds.map_batches(spec.partial, batch_format="pyarrow",
+                       batch_size=batch_size, zero_copy_batch=True)
+        .groupby(spec.keys)
+        .map_groups(spec.merge, batch_format="pandas")
+    )

@@ -1,0 +1,129 @@
+"""Vectorized op classifier + router — one zero-copy Arrow pass.
+
+Re-expresses the reference's per-line dispatch
+(``LogParserTask.java:155-262`` INDEX/WRITE/COMMAND classify,
+``processCommandOperation`` :802-919, ``processOtherOperations``
+:921-953, change-stream detection :871-890, error detection
+``isError`` :563-579, TTL path ``LogParser.java:938-970``, namespace
+filter ``LogParser.java:435-483``) as a single ``map_batches`` stage
+over ``pyarrow.compute`` kernels.  No Python-level row loop.
+
+Adds columns:
+  op                — closed op label (find/aggregate/update_w/remove/
+                      insert/cmd/ttl_delete/index_build/... or null)
+  nret              — n_returned with the reference's write-metric
+                      coalescing (``processExecutionStats``
+                      LogParserTask.java:983-1013)
+  r_ops/r_txn/r_conn/r_error/r_ignored — routing masks (fan-out sinks)
+  ignored_category  — histogram key for the ignored sink
+                      (LogParser.java:985-999)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import ADMIN_OPS
+
+_ADMIN_SET = pa.array(sorted(ADMIN_OPS), pa.string())
+
+
+def _cw(conds_vals, default):
+    """pc.case_when over (condition, value) pairs with a default."""
+    conds = pc.make_struct(*[c for c, _ in conds_vals])
+    return pc.case_when(conds, *[v for _, v in conds_vals], default)
+
+
+def _b(x):
+    return pc.fill_null(x, False)
+
+
+def classify_batch(batch: pa.Table) -> pa.Table:
+    comp = batch["component"]
+    msg = batch["msg"]
+    opk = batch["op_kind"]
+    ns = batch["ns"]
+
+    is_slow = pc.equal(msg, "Slow query")
+    is_cmd = _b(pc.and_kleene(pc.equal(comp, "COMMAND"), is_slow))
+    is_write = _b(pc.and_kleene(pc.equal(comp, "WRITE"), is_slow))
+    is_ttl = _b(pc.and_kleene(pc.equal(comp, "INDEX"),
+                              pc.equal(msg, "Deleted expired documents")))
+    is_index_other = _b(pc.and_kleene(pc.equal(comp, "INDEX"),
+                                      pc.invert(is_ttl)))
+    is_txn = _b(pc.and_kleene(pc.equal(comp, "TXN"), pc.equal(msg, "transaction")))
+    is_conn = _b(pc.or_(
+        pc.equal(comp, "NETWORK"),
+        pc.equal(comp, "ACCESS"),
+    ))
+    is_control = _b(pc.equal(comp, "CONTROL"))
+
+    # COMMAND sub-classification (processCommandOperation /
+    # processOtherOperations): admin + _shardsvr* → "cmd"; change-stream
+    # getMore gets its own label (Accumulator.java:51-53).
+    is_admin = _b(pc.or_(pc.is_in(opk, value_set=_ADMIN_SET),
+                         pc.starts_with(pc.fill_null(opk, ""), "_shardsvr")))
+    is_cs = _b(pc.and_kleene(pc.equal(opk, "getMore"),
+                             batch["is_change_stream"]))
+
+    op = _cw(
+        [
+            (_b(pc.and_(is_cmd, is_admin)), pa.scalar("cmd", pa.string())),
+            (_b(pc.and_(is_cmd, is_cs)),
+             pa.scalar("getMore (change stream)", pa.string())),
+            (is_cmd, opk),
+            (_b(pc.and_(is_write, pc.equal(opk, "update"))),
+             pa.scalar("update_w", pa.string())),
+            (_b(pc.and_(is_write, pc.equal(opk, "delete"))),
+             pa.scalar("remove", pa.string())),
+            (_b(pc.and_(is_write, pc.equal(opk, "insert"))),
+             pa.scalar("insert", pa.string())),
+            (is_write, pc.binary_join_element_wise(
+                pa.scalar("write"), pc.fill_null(opk, "unknown"), "_")),
+            (is_ttl, pa.scalar("ttl_delete", pa.string())),
+            (is_index_other, pa.scalar("index_build", pa.string())),
+        ],
+        pa.scalar(None, pa.string()),
+    )
+
+    # Write-metric coalescing (processExecutionStats
+    # LogParserTask.java:991-1009): updates take nModified else
+    # nUpserted; deletes/TTL take nDeleted; inserts take nInserted.
+    is_upd = _b(pc.is_in(op, value_set=pa.array(["update", "update_w"])))
+    is_del = _b(pc.is_in(op, value_set=pa.array(["delete", "remove", "ttl_delete"])))
+    is_ins = _b(pc.equal(op, "insert"))
+    nret = _cw(
+        [
+            (is_upd, pc.coalesce(batch["n_modified"], batch["n_upserted"])),
+            (is_del, batch["n_deleted"]),
+            (is_ins, batch["n_inserted"]),
+        ],
+        batch["n_returned"],
+    )
+
+    # Namespace filter: config.* always excluded from op accumulation
+    # (LogParser.java:443-446).
+    ns_config = _b(pc.starts_with(ns, "config."))
+    has_op = pc.is_valid(op)
+    r_ops = _b(pc.and_(has_op, pc.invert(ns_config)))
+    r_error = _b(batch["is_error"])
+    r_ignored = _b(pc.or_(is_control, pc.and_(has_op, ns_config)))
+    ignored_category = _cw(
+        [
+            (_b(pc.and_(has_op, ns_config)), pa.scalar("filtered_namespace")),
+            (is_control, msg),
+        ],
+        pa.scalar(None, pa.string()),
+    )
+
+    return (
+        batch.append_column("op", op)
+        .append_column("nret", nret)
+        .append_column("r_ops", r_ops)
+        .append_column("r_txn", is_txn)
+        .append_column("r_conn", is_conn)
+        .append_column("r_error", r_error)
+        .append_column("r_ignored", r_ignored)
+        .append_column("ignored_category", ignored_category)
+    )

@@ -1,0 +1,120 @@
+"""Query-shape redaction / hashing — the stateful actor-pool stage.
+
+Re-implements the semantics of the reference's redaction subsystem
+(``LogRedactionUtil.java``: string redaction :963-973, digit→9 number
+redaction with ±1 sort-direction preservation :975-1014, smart regex
+redaction :367-382, ``sanitizeFilter`` :721-736) from scratch.  The
+walk is inherently per-record (arbitrary nested JSON), so it runs as a
+callable-class ``map_batches`` stage: regexes compiled and preserve
+sets built once per actor in ``__init__``, batches processed in
+``__call__`` (``concurrency=N`` actor pool).
+
+Adds columns:
+  sanitized_query — redacted canonical filter JSON (or raw when
+                    redaction is disabled), null where no filter
+  shape_hash      — 8-hex hash of the sanitized shape
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+
+import pyarrow as pa
+
+
+class Redactor:
+    """Actor-pool stage: raw_filter_json → sanitized_query + shape_hash."""
+
+    # Keys whose values are preserved verbatim (reference PRESERVE_FIELDS
+    # spirit, LogRedactionUtil.java:29-63): envelope/temporal markers.
+    PRESERVE_VALUE_KEYS = frozenset({"$date", "$timestamp", "$oid"})
+    REGEX_META = set("^$.*+?()[]{}|\\")
+
+    def __init__(self, enabled: bool = True, source_col: str = "raw_filter_json",
+                 out_col: str = "sanitized_query"):
+        self.enabled = enabled
+        self.source_col = source_col
+        self.out_col = out_col
+        self._alnum_run = re.compile(r"[A-Za-z0-9_]+")
+        self._digits = re.compile(r"\d")
+
+    # -- scalar rules ---------------------------------------------------
+    def redact_string(self, s: str) -> str:
+        # redactString (LogRedactionUtil.java:963-973): "xxx", short
+        # strings keep their length
+        return "xxx" if len(s) > 3 else "xxx"[: len(s)]
+
+    def redact_number(self, v):
+        # redactNumber (:975-1014): every digit → 9, type and sign kept;
+        # sort directions ±1 preserved
+        if isinstance(v, bool):
+            return v
+        if v in (1, -1):
+            return v
+        s = self._digits.sub("9", repr(v))
+        try:
+            return int(s) if isinstance(v, int) else float(s)
+        except ValueError:
+            return 9
+
+    def redact_regex_pattern(self, pat: str) -> str:
+        # redactRegexPatternSmart (:367-382): keep metacharacters,
+        # redact alphanumeric runs; long/space-containing patterns are
+        # fully redacted
+        if len(pat) > 60 or " " in pat:
+            return "xxx"
+        return self._alnum_run.sub("xxx", pat)
+
+    # -- recursive walk (redactLogMessage :180-232) ---------------------
+    def _walk(self, node, parent_key: str | None = None):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k in self.PRESERVE_VALUE_KEYS:
+                    out[k] = v
+                elif k == "$regularExpression" and isinstance(v, dict):
+                    out[k] = {
+                        "pattern": self.redact_regex_pattern(
+                            str(v.get("pattern", ""))),
+                        "options": v.get("options", ""),
+                    }
+                else:
+                    out[k] = self._walk(v, k)
+            return out
+        if isinstance(node, list):
+            return [self._walk(x, parent_key) for x in node]
+        if isinstance(node, str):
+            return self.redact_string(node)
+        if isinstance(node, bool) or node is None:
+            return node
+        if isinstance(node, (int, float)):
+            return self.redact_number(node)
+        return node
+
+    def sanitize(self, raw: str | None) -> str | None:
+        # sanitizeFilter (:721-736): disabled → raw; failure → sentinel
+        if raw is None:
+            return None
+        if not self.enabled:
+            return raw
+        try:
+            doc = json.loads(raw)
+        except (ValueError, TypeError):
+            return '{"sanitization_error": "xxx"}'
+        return json.dumps(self._walk(doc), sort_keys=True, separators=(",", ":"))
+
+    # -- batch entry ----------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raw = batch[self.source_col].to_pylist()
+        sanitized = [self.sanitize(r) for r in raw]
+        hashes = [
+            None if s is None
+            else hashlib.blake2b(s.encode(), digest_size=4).hexdigest()
+            for s in sanitized
+        ]
+        return (
+            batch.append_column(self.out_col, pa.array(sanitized, pa.string()))
+            .append_column("shape_hash", pa.array(hashes, pa.string()))
+        )

@@ -1,0 +1,79 @@
+"""Golden-equality: every Ray sink table vs the single-threaded pandas
+oracle over the same deterministic fixture (SURVEY.md §5 test plan)."""
+
+import pandas as pd
+import pytest
+
+from mlp_ray import oracle
+from mlp_ray.pipelines import analyze
+
+from .util import assert_frames_match
+
+SINK_KEYS = {
+    "main_ops": ["ns", "op", "app_name"],
+    "ttl": ["ns"],
+    "query_hash": ["query_hash", "ns", "op"],
+    "plan_cache": ["ns", "op", "query_hash", "plan_summary"],
+    "index_stats": ["ns", "plan_summary"],
+    "errors": ["err_code_name"],
+    "txn": ["txn_retry_counter", "termination_cause", "commit_type"],
+    "op_stats": ["op"],
+}
+
+
+@pytest.fixture(scope="module")
+def results(fixture_paths):
+    return analyze.run_full_analysis(fixture_paths)
+
+
+@pytest.fixture(scope="module")
+def oracle_cdf(fixture_paths):
+    return oracle.classify_df(oracle.load(fixture_paths))
+
+
+@pytest.mark.parametrize("sink", list(SINK_KEYS))
+def test_sink_golden(results, oracle_cdf, sink):
+    expected = oracle.ORACLE_SINKS[sink](oracle_cdf)
+    assert_frames_match(results[sink], expected, SINK_KEYS[sink])
+
+
+def test_app_conns(results, oracle_cdf):
+    assert_frames_match(results["app_conns"], oracle.app_conns(oracle_cdf),
+                        ["app_name"])
+
+
+def test_slow_planning_topk(results, oracle_cdf):
+    exp = oracle.slow_planning(oracle_cdf)
+    act = results["slow_planning"]
+    assert_frames_match(act, exp, ["doc_id"])
+    # and it really is the global top-50 in order
+    assert (act.sort_values(["planning_time_us", "doc_id"],
+                            ascending=[False, False])["doc_id"].tolist()
+            == exp["doc_id"].tolist())
+
+
+def test_driver_stats(results, oracle_cdf):
+    exp = oracle.driver_stats(oracle_cdf)
+    assert_frames_match(
+        results["driver_stats"], exp,
+        ["driver_name", "driver_version", "username", "compressors"])
+
+
+def test_ignored_histogram(results, oracle_cdf):
+    assert_frames_match(results["ignored"], oracle.ignored(oracle_cdf),
+                        ["ignored_category"])
+
+
+def test_processing_stats(results, oracle_cdf):
+    ps = results["processing_stats"].iloc[0]
+    assert ps["total_lines"] == len(oracle_cdf)
+    assert ps["found_ops"] == int(oracle_cdf["r_ops"].sum())
+    assert ps["error_events"] == int(oracle_cdf["r_error"].sum())
+    assert ps["ignored"] == int(oracle_cdf["r_ignored"].sum())
+
+
+def test_timestamp_range(fixture_paths, oracle_cdf):
+    ds = analyze.load_events(fixture_paths)
+    r = analyze.timestamp_range(ds)
+    assert pd.Timestamp(r["min(ts)"]) == oracle_cdf["ts"].min()
+    assert pd.Timestamp(r["max(ts)"]) == oracle_cdf["ts"].max()
