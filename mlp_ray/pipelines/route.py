@@ -1,0 +1,190 @@
+"""Fan-out routing with per-partition checkpointing + lineage.
+
+The production path of the engine (SURVEY.md §7.0): one streaming pass
+per input partition classifies rows and writes each routed sink's rows
+directly to per-sink / per-partition parquet, emitting a lineage row
+per (partition, sink).  Aggregations then read the routed parquet with
+column pruning instead of recomputing the classify chain per sink.
+
+Resume semantics (north rule "checkpoints completed partitions so a
+killed job resumes without reprocessing"):
+  * partition = one input file (at 100 TB the input is many files, so
+    file granularity is the natural resume unit);
+  * a partition's outputs live under ``<sink>/part=<pid>/``;
+  * completion is recorded as ``_manifest/<pid>.json`` written
+    tmp+rename (atomic) only after the partition's pipeline finished;
+  * on restart, manifested partitions are skipped; an unmanifested
+    partition's stale output dirs are cleared and re-run;
+  * within a run, batch output files are named by a content hash of
+    their doc_id range, so a retried Ray task overwrites rather than
+    duplicates (idempotent under task retries).
+
+The reference has no checkpointing at all — an OOM mid-report deletes
+the partial output file (LogParser.java:344-367); this replaces that
+with resumable partitioned output.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .analyze import classify
+
+# sink → (mask column, carried columns); tokens ride only through the
+# ops sink (the routed-row token-equality target) — other sinks stay
+# narrow so block bytes are dominated by useful columns.
+ROUTES: dict[str, tuple[str, list[str]]] = {
+    "slow_ops": ("r_ops", ["doc_id", "tokens", "n_tok", "source", "ns", "op",
+                           "app_name", "duration_ms", "query_hash",
+                           "plan_summary", "sanitized_query", "tier",
+                           "collection_type"]),
+    "errors": ("r_error", ["doc_id", "ns", "err_code_name", "err_code",
+                           "source"]),
+    "txn": ("r_txn", ["doc_id", "txn_retry_counter", "termination_cause",
+                      "commit_type", "duration_ms", "commit_us"]),
+    "conn": ("r_conn", ["doc_id", "ctx", "msg", "ts", "driver_name",
+                        "username", "remote"]),
+    "ignored_sample": ("r_ignored", ["doc_id", "ignored_category", "msg"]),
+}
+
+
+class RouterWriter:
+    """Actor-pool stage: split a classified batch by route masks and
+    write each sink's slice; return lineage rows."""
+
+    def __init__(self, out_dir: str, pid: str,
+                 routes: dict[str, tuple[str, list[str]]] | None = None,
+                 ignored_sample_mod: int = 100):
+        self.out_dir = out_dir
+        self.pid = pid
+        self.routes = routes or ROUTES
+        self.mod = ignored_sample_mod
+        for sink in self.routes:
+            os.makedirs(os.path.join(out_dir, sink, f"part={pid}"),
+                        exist_ok=True)
+
+    def _sample_ignored(self, t: pa.Table) -> pa.Table:
+        # 1-in-100 deterministic sample of ignored lines
+        # (LogParser.java:980-982, index-based per FIXTURES.md §4)
+        import pyarrow.compute as pc
+        idx = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 3, 99), pa.int64())
+        keep = pc.equal(pc.subtract(
+            idx, pc.multiply(pc.divide(idx, self.mod), self.mod)), 0)
+        return t.filter(keep)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        lineage = []
+        for sink, (mask_col, cols) in self.routes.items():
+            sub = batch.filter(batch[mask_col]).select(
+                [c for c in cols if c in batch.column_names])
+            if sink == "ignored_sample" and sub.num_rows:
+                sub = self._sample_ignored(sub)
+            if not sub.num_rows:
+                continue
+            first = sub["doc_id"][0].as_py()
+            last = sub["doc_id"][-1].as_py()
+            tag = hashlib.blake2b(
+                f"{first}|{last}|{sub.num_rows}".encode(), digest_size=8
+            ).hexdigest()
+            path = os.path.join(self.out_dir, sink, f"part={self.pid}",
+                                f"b-{tag}.parquet")
+            tmp = path + f".tmp-{os.getpid()}"
+            pq.write_table(sub, tmp, compression="zstd")
+            os.replace(tmp, path)
+            lineage.append({
+                "partition_id": self.pid, "sink": sink,
+                "rows_in": batch.num_rows, "rows_out": sub.num_rows,
+                "bytes_out": os.path.getsize(path),
+                "wall_ms": (time.perf_counter() - t0) * 1000.0,
+            })
+        if not lineage:
+            lineage.append({"partition_id": self.pid, "sink": "none",
+                            "rows_in": batch.num_rows, "rows_out": 0,
+                            "bytes_out": 0, "wall_ms": 0.0})
+        return pa.Table.from_pylist(lineage)
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def completed_partitions(out_dir: str) -> dict[str, dict]:
+    mdir = _manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return {}
+    out = {}
+    for f in os.listdir(mdir):
+        if f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                rec = json.load(fh)
+            out[rec["partition_id"]] = rec
+    return out
+
+
+def _partition_id(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def route_partitioned(input_files: list[str], out_dir: str, *,
+                      redact: bool = True, concurrency: int | tuple = (1, 8),
+                      batch_size: int = 8192) -> pd.DataFrame:
+    """Route every not-yet-completed input partition; returns lineage
+    (one row per partition × sink, aggregated over batches)."""
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    done = completed_partitions(out_dir)
+    all_lineage: list[pd.DataFrame] = []
+    for path in input_files:
+        pid = _partition_id(path)
+        if pid in done:
+            continue
+        # clear stale partial output from a previous crashed attempt
+        for sink in ROUTES:
+            pdir = os.path.join(out_dir, sink, f"part={pid}")
+            if os.path.isdir(pdir):
+                shutil.rmtree(pdir)
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(path)
+        cds = classify(ds, redact=redact, redact_concurrency=concurrency)
+        lineage_ds = cds.map_batches(
+            RouterWriter, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"out_dir": out_dir, "pid": pid},
+        )
+        lin = lineage_ds.to_pandas()
+        lin = (lin[lin["sink"] != "none"]
+               .groupby(["partition_id", "sink"], as_index=False)
+               .agg(rows_out=("rows_out", "sum"), bytes_out=("bytes_out", "sum"),
+                    batches=("rows_out", "size")))
+        lin["wall_ms"] = (time.perf_counter() - t0) * 1000.0
+        all_lineage.append(lin)
+        rec = {
+            "partition_id": pid, "status": "complete", "input": path,
+            "sinks": {r["sink"]: int(r["rows_out"])
+                      for _, r in lin.iterrows()},
+            "wall_ms": (time.perf_counter() - t0) * 1000.0,
+        }
+        mpath = os.path.join(_manifest_dir(out_dir), f"{pid}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, mpath)
+    if all_lineage:
+        return pd.concat(all_lineage, ignore_index=True)
+    return pd.DataFrame(columns=["partition_id", "sink", "rows_out",
+                                 "bytes_out", "batches", "wall_ms"])
+
+
+def read_sink(out_dir: str, sink: str, columns: list[str] | None = None):
+    """Read one routed sink back as a Dataset (column-pruned)."""
+    return rd.read_parquet(os.path.join(out_dir, sink), columns=columns)

@@ -22,7 +22,7 @@ import pyarrow.parquet as pq
 
 from . import schema as S
 
-CHUNK = 65536
+CHUNK = 8192
 
 
 def _choice(rng, values, n, p=None):

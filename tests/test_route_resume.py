@@ -1,0 +1,68 @@
+"""Routing fan-out: routed-row equality (incl. per-row token arrays),
+lineage, and kill/resume without reprocessing (north rule)."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from mlp_ray import oracle
+from mlp_ray.pipelines import route
+
+
+def _routed_doc_ids(out_dir, sink):
+    t = pq.read_table(os.path.join(out_dir, sink), columns=["doc_id"])
+    return sorted(t["doc_id"].to_pylist())
+
+
+def test_route_and_resume(fixture_paths, tmp_path):
+    out = str(tmp_path / "routed")
+    lineage = route.route_partitioned(fixture_paths, out)
+    assert set(lineage["partition_id"]) == {
+        os.path.splitext(os.path.basename(p))[0] for p in fixture_paths}
+
+    cdf = oracle.classify_df(oracle.load(fixture_paths))
+
+    # routed-row equality per sink
+    assert _routed_doc_ids(out, "slow_ops") == sorted(
+        cdf.loc[cdf["r_ops"], "doc_id"])
+    assert _routed_doc_ids(out, "errors") == sorted(
+        cdf.loc[cdf["r_error"], "doc_id"])
+    assert _routed_doc_ids(out, "txn") == sorted(cdf.loc[cdf["r_txn"], "doc_id"])
+    assert _routed_doc_ids(out, "conn") == sorted(cdf.loc[cdf["r_conn"], "doc_id"])
+
+    # per-row token-array equality on the ops sink (input_hint invariant)
+    routed = pq.read_table(os.path.join(out, "slow_ops"),
+                           columns=["doc_id", "tokens", "n_tok"])
+    rdf = routed.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    edf = (cdf[cdf["r_ops"]][["doc_id", "tokens", "n_tok"]]
+           .sort_values("doc_id").reset_index(drop=True))
+    assert (rdf["n_tok"].to_numpy() == edf["n_tok"].to_numpy()).all()
+    for a, b in zip(rdf["tokens"], edf["tokens"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # 1-in-100 deterministic ignored sample
+    ign = _routed_doc_ids(out, "ignored_sample")
+    exp_ign = sorted(
+        d for d in cdf.loc[cdf["r_ignored"], "doc_id"]
+        if int(d[3:]) % 100 == 0)
+    assert ign == exp_ign
+
+    # lineage row counts match manifest and data
+    man = route.completed_partitions(out)
+    assert sum(m["sinks"].get("slow_ops", 0) for m in man.values()) == len(rdf)
+
+    # ---- resume: drop one partition's manifest; only it re-runs -------
+    victim = sorted(man)[1]
+    os.remove(os.path.join(out, "_manifest", f"{victim}.json"))
+    mtimes = {
+        s: os.path.getmtime(os.path.join(out, s, f"part={sorted(man)[0]}"))
+        for s in ("slow_ops", "errors")
+    }
+    lineage2 = route.route_partitioned(fixture_paths, out)
+    assert set(lineage2["partition_id"]) == {victim}  # others skipped
+    for s, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, s, f"part={sorted(man)[0]}")) == mt
+    # full equality still holds after resume
+    assert _routed_doc_ids(out, "slow_ops") == sorted(
+        cdf.loc[cdf["r_ops"], "doc_id"])
