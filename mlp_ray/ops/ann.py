@@ -1,0 +1,160 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (queries shipped once via ``ray.put`` / actor
+constructor, never per batch), per-batch partial top-k, then a tiny
+``groupby(query_id).map_groups`` global merge.
+
+Scale path: IVF — coarse centroids (deterministic seed), assign each
+vector to its nearest centroid once, probe only the ``nprobe`` nearest
+centroid buckets per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack([np.asarray(e, dtype=np.float64) for e in col.to_pylist()])
+
+
+class BruteForceScorer:
+    """Actor-pool stage: per-batch cosine scores → local top-k per query."""
+
+    def __init__(self, queries, query_ids, k: int):
+        if isinstance(queries, ray.ObjectRef):
+            queries = ray.get(queries)
+        self.q = _normalize(np.asarray(queries, dtype=np.float64))
+        self.query_ids = np.asarray(query_ids, dtype=np.int64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        x = _normalize(_stack(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        scores = x @ self.q.T  # (batch, nq)
+        out = []
+        k = min(self.k, len(ids))
+        for j, qid in enumerate(self.query_ids):
+            s = scores[:, j]
+            # local top-k with (score desc, vec_id asc) tie-break
+            order = np.lexsort((ids, -s))[:k]
+            for i in order:
+                out.append({"query_id": int(qid), "vec_id": int(ids[i]),
+                            "score": round(float(s[i]), 6)})
+        df = pd.DataFrame(out)
+        df["query_id"] = df["query_id"].astype("int64")
+        df["vec_id"] = df["vec_id"].astype("int64")
+        df["score"] = df["score"].astype("float64")
+        return df
+
+
+def _global_topk(k: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+    return fn
+
+
+def brute_force_topk(ds: rd.Dataset, queries: np.ndarray,
+                     query_ids, k: int = 10) -> rd.Dataset:
+    """Exact cosine top-k: (query_id, vec_id, score, rank)."""
+    partial = ds.map_batches(
+        BruteForceScorer, batch_format="pyarrow", concurrency=(1, 8),
+        fn_constructor_kwargs={"queries": queries, "query_ids": query_ids,
+                               "k": k})
+    return partial.groupby("query_id").map_groups(_global_topk(k),
+                                                  batch_format="pandas")
+
+
+# --- IVF ---------------------------------------------------------------
+def train_centroids(ds: rd.Dataset, n_centroids: int, *, iters: int = 3,
+                    seed: int = 42, sample_limit: int = 4096) -> np.ndarray:
+    """Deterministic mini k-means: init from a hash-sampled subset, then
+    ``iters`` Lloyd rounds where assignment+partial sums run as
+    map_batches and only (centroid, sum, count) partials are collected."""
+    first = ds.limit(n_centroids).take_batch(n_centroids,
+                                             batch_format="pyarrow")
+    cent = _normalize(np.stack([np.asarray(e, dtype=np.float64)
+                                for e in first["embedding"].to_pylist()]))
+    for _ in range(iters):
+        c_ref = ray.put(cent)
+
+        def assign_partial(batch: pa.Table, _c=c_ref) -> pd.DataFrame:
+            c = ray.get(_c)
+            x = _normalize(_stack(batch["embedding"]))
+            a = (x @ c.T).argmax(axis=1)
+            rows = []
+            for ci in np.unique(a):
+                m = a == ci
+                rows.append({"c": int(ci),
+                             "s": x[m].sum(axis=0).tolist(),
+                             "n": int(m.sum())})
+            return pd.DataFrame(rows)
+
+        parts = ds.map_batches(assign_partial,
+                               batch_format="pyarrow").to_pandas()
+        new = cent.copy()
+        for ci, g in parts.groupby("c"):
+            s = np.sum([np.asarray(v) for v in g["s"]], axis=0)
+            n = g["n"].sum()
+            if n:
+                new[ci] = s / n
+        cent = _normalize(new)
+    return cent
+
+
+def ivf_topk(ds: rd.Dataset, queries: np.ndarray, query_ids,
+             centroids: np.ndarray, k: int = 10,
+             nprobe: int = 4) -> rd.Dataset:
+    """Approximate top-k: search only vectors whose centroid is among
+    each query's ``nprobe`` nearest centroids."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    c_ref = ray.put(centroids)
+    probe_sets = [set(map(int, row)) for row in probe]
+
+    class Scorer(BruteForceScorer):
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            c = ray.get(c_ref)
+            x = _normalize(_stack(batch["embedding"]))
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            assign = (x @ c.T).argmax(axis=1)
+            out = []
+            for j, qid in enumerate(self.query_ids):
+                mask = np.isin(assign, list(probe_sets[j]))
+                if not mask.any():
+                    continue
+                s = (x[mask] @ self.q[j])
+                sub_ids = ids[mask]
+                order = np.lexsort((sub_ids, -s))[:self.k]
+                for i in order:
+                    out.append({"query_id": int(qid),
+                                "vec_id": int(sub_ids[i]),
+                                "score": round(float(s[i]), 6)})
+            if not out:
+                return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                     "vec_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            df = pd.DataFrame(out)
+            df["query_id"] = df["query_id"].astype("int64")
+            df["vec_id"] = df["vec_id"].astype("int64")
+            return df
+
+    partial = ds.map_batches(
+        Scorer, batch_format="pyarrow", concurrency=(1, 8),
+        fn_constructor_kwargs={"queries": queries, "query_ids": query_ids,
+                               "k": k})
+    return partial.groupby("query_id").map_groups(_global_topk(k),
+                                                  batch_format="pandas")

@@ -1,0 +1,182 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All hot paths are vectorized (pyarrow.compute kernels + numpy
+segment-reductions over Arrow list offsets); the only per-row Python is
+inside stateful actor-pool stages where the work is inherently
+per-document (fingerprint winnowing).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS = ("the", "a")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES = {
+    "en": {"the", "a", "and", "of", "to"},
+    "es": {"el", "la", "de", "que", "y"},
+    "fr": {"le", "la", "de", "et", "un"},
+    "de": {"der", "die", "und", "das", "ein"},
+    "zh": set(),
+}
+
+
+def _ws_tokens(text: pa.ChunkedArray | pa.Array):
+    return pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
+
+
+def _segment_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Sum `values` per list row given Arrow list offsets."""
+    if len(values) == 0:
+        return np.zeros(len(offsets) - 1, dtype=np.int64)
+    cs = np.concatenate([[0], np.cumsum(values)])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
+def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_ws_tokens, avg_tok_len, stopword_ratio — all vectorized.
+
+    Definitions match the DuckDB oracle exactly:
+      n_ws_tokens   = len(regexp_split_to_array(trim(text), '\\s+'))
+      avg_tok_len   = len(regexp_replace(text,'\\s','','g')) / n_ws_tokens
+      stopword_ratio= |tokens in STOPWORDS| / n_ws_tokens
+    """
+    text = batch[text_col]
+    toks = _ws_tokens(text).combine_chunks() if isinstance(
+        text, pa.ChunkedArray) else _ws_tokens(text)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    compact = pc.utf8_length(
+        pc.replace_substring_regex(text, r"\s", "")).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    stop_counts = _segment_sum(is_stop, offsets)
+    safe_n = np.maximum(n, 1)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_ws_tokens": pa.array(n, pa.int64()),
+        "avg_tok_len": pa.array(np.round(compact / safe_n, 6), pa.float64()),
+        "stopword_ratio": pa.array(np.round(stop_counts / safe_n, 6),
+                                   pa.float64()),
+    })
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality signals: alpha ratio, digit ratio, token stats + a
+    composite quality score in [0,1]."""
+    text = batch[text_col]
+    total = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+    alpha = pc.utf8_length(pc.replace_substring_regex(
+        text, r"[^A-Za-z]", "")).to_numpy(zero_copy_only=False).astype(np.float64)
+    digit = pc.utf8_length(pc.replace_substring_regex(
+        text, r"[^0-9]", "")).to_numpy(zero_copy_only=False).astype(np.float64)
+    ts = token_stats_batch(batch, text_col)
+    n_tok = ts["n_ws_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+    safe_total = np.maximum(total, 1.0)
+    alpha_ratio = alpha / safe_total
+    digit_ratio = digit / safe_total
+    # composite: long enough, mostly alphabetic, not digit-noise
+    score = (np.clip(n_tok / 50.0, 0, 1) * 0.4 + alpha_ratio * 0.5
+             + (1.0 - digit_ratio) * 0.1)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "alpha_ratio": pa.array(np.round(alpha_ratio, 6)),
+        "digit_ratio": pa.array(np.round(digit_ratio, 6)),
+        "n_ws_tokens": ts["n_ws_tokens"],
+        "quality_score": pa.array(np.round(score, 6)),
+    })
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stopword-profile language ID heuristic (deterministic)."""
+    text = batch[text_col]
+    toks = _ws_tokens(text)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    langs = [l for l in LANG_PROFILES if LANG_PROFILES[l]]
+    scores = np.zeros((len(offsets) - 1, len(langs)), dtype=np.float64)
+    for j, lang in enumerate(langs):
+        hit = pc.is_in(flat, value_set=pa.array(
+            sorted(LANG_PROFILES[lang]))).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        scores[:, j] = _segment_sum(hit, offsets)
+    n = np.maximum(_segment_sum(np.ones(len(flat), dtype=np.int64), offsets), 1)
+    ratios = scores / n[:, None]
+    best = ratios.argmax(axis=1)
+    conf = ratios[np.arange(len(best)), best]
+    pred = np.array(langs, dtype=object)[best]
+    pred[conf == 0.0] = "unknown"
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "lang_pred": pa.array(pred, pa.string()),
+        "lang_conf": pa.array(np.round(conf, 6), pa.float64()),
+    })
+
+
+class Fingerprinter:
+    """Actor-pool stage: winnowing document fingerprint.
+
+    Rolling-hash character k-grams, minimum hash per window w
+    (standard winnowing); emits the fingerprint set's xor-fold as a
+    64-bit doc fingerprint plus the number of distinct selected hashes.
+    """
+
+    def __init__(self, k: int = 8, w: int = 16):
+        self.k = k
+        self.w = w
+
+    def _grams(self, s: str) -> np.ndarray:
+        k = self.k
+        if len(s) < k:
+            s = s.ljust(k, "\0")
+        b = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
+        if len(b) < k:
+            b = np.pad(b, (0, k - len(b)))
+        # polynomial rolling hash, vectorized over all k-gram windows
+        n = len(b) - k + 1
+        h = np.zeros(n, dtype=np.uint64)
+        mult = np.uint64(1099511628211)
+        for i in range(k):
+            h = h * mult + b[i:i + n].astype(np.uint64)
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_fp, out_n = [], []
+        for s in batch["text"].to_pylist():
+            h = self._grams(s or "")
+            w = min(self.w, len(h))
+            if w <= 1:
+                sel = h
+            else:
+                idx = np.arange(len(h) - w + 1)[:, None] + np.arange(w)[None, :]
+                sel = h[idx].min(axis=1)
+            uniq = np.unique(sel)
+            fp = np.uint64(0)
+            for v in uniq:
+                fp ^= v
+            out_fp.append(int(fp))
+            out_n.append(len(uniq))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(out_fp, pa.uint64()),
+            "n_hashes": pa.array(out_n, pa.int64()),
+        })
+
+
+def md5_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """md5 content hash (matches DuckDB md5())."""
+    hashes = [hashlib.md5((s or "").encode()).hexdigest()
+              for s in batch[col].to_pylist()]
+    return batch.append_column("text_hash", pa.array(hashes, pa.string()))

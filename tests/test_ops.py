@@ -1,0 +1,161 @@
+"""Training-data ops: text analysis, dedup family, ANN — correctness
+against local numpy/pandas oracles on sf0.001 testdata."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from mlp_ray.ops import ann, dedup, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_df():
+    return pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+
+
+def test_token_stats(docs_ds, docs_df):
+    out = (docs_ds.map_batches(text.token_stats_batch, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    exp_n = docs_df.sort_values("doc_id")["text"].str.split().map(len)
+    assert (out["n_ws_tokens"].to_numpy() == exp_n.to_numpy()).all()
+    t0 = docs_df.sort_values("doc_id")["text"].iloc[0]
+    toks = t0.split()
+    assert out["avg_tok_len"].iloc[0] == pytest.approx(
+        sum(len(w) for w in toks) / len(toks), abs=1e-6)
+    assert out["stopword_ratio"].iloc[0] == pytest.approx(
+        sum(w in ("the", "a") for w in toks) / len(toks), abs=1e-6)
+
+
+def test_quality_and_lang(docs_ds):
+    q = docs_ds.map_batches(text.quality_batch,
+                            batch_format="pyarrow").to_pandas()
+    assert ((q["alpha_ratio"] >= 0) & (q["alpha_ratio"] <= 1)).all()
+    assert ((q["quality_score"] >= 0) & (q["quality_score"] <= 1.0001)).all()
+    l = docs_ds.map_batches(text.lang_id_batch,
+                            batch_format="pyarrow").to_pandas()
+    # synthetic corpus is English-ish word soup: 'the'/'a' present
+    assert (l["lang_pred"] == "en").mean() > 0.5
+
+
+def test_fingerprint_deterministic(docs_ds):
+    a = (docs_ds.map_batches(text.Fingerprinter, batch_format="pyarrow",
+                             concurrency=2)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (docs_ds.map_batches(text.Fingerprinter, batch_format="pyarrow",
+                             concurrency=2)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["fingerprint"].nunique() > len(a) * 0.9
+
+
+def test_exact_dedup(docs_ds, docs_df):
+    out = dedup.exact_dedup(docs_ds).to_pandas()
+    exp = (docs_df.assign(
+        text_hash=docs_df["text"].map(
+            lambda s: hashlib.md5(s.encode()).hexdigest()))
+        .groupby("text_hash")["doc_id"].agg(canonical_doc_id="min",
+                                            dup_count="size").reset_index())
+    m = out.sort_values("text_hash").reset_index(drop=True)
+    e = exp.sort_values("text_hash").reset_index(drop=True)
+    assert (m["canonical_doc_id"].to_numpy()
+            == e["canonical_doc_id"].to_numpy()).all()
+    assert (m["dup_count"].to_numpy() == e["dup_count"].to_numpy()).all()
+    assert m["dup_count"].sum() == len(docs_df)
+
+
+def test_minhash_self_dup(docs_ds, docs_df):
+    """A corpus with injected exact duplicates must pair them."""
+    dup = docs_df.head(10).copy()
+    dup["doc_id"] = dup["doc_id"] + 100_000
+    corpus = rd.from_pandas(pd.concat([docs_df, dup], ignore_index=True))
+    out = dedup.minhash_lsh_candidates(corpus, est_threshold=0.9).to_pandas()
+    found = {(r["doc_id"], r["dup_of"]) for _, r in out.iterrows()}
+    for i in range(10):
+        assert (100_000 + i, i) in found
+    verified = dedup.ngram_jaccard_verify(corpus, out, threshold=0.9)
+    vf = {(r["doc_id"], r["dup_of"]) for _, r in verified.iterrows()}
+    for i in range(10):
+        assert (100_000 + i, i) in vf
+        assert verified.loc[verified["doc_id"] == 100_000 + i,
+                            "jaccard"].iloc[0] == 1.0
+
+
+def test_simhash_self_dup(docs_ds, docs_df):
+    dup = docs_df.head(5).copy()
+    dup["doc_id"] = dup["doc_id"] + 100_000
+    corpus = rd.from_pandas(pd.concat([docs_df, dup], ignore_index=True))
+    out = dedup.simhash_candidates(corpus, max_hamming=0).to_pandas()
+    # every injected duplicate is flagged at hamming 0; its canonical is
+    # the earliest doc with an identical simhash (may precede i when two
+    # originals collide)
+    by_doc = out.set_index("doc_id")
+    for i in range(5):
+        assert 100_000 + i in by_doc.index
+        rec = by_doc.loc[100_000 + i]
+        assert rec["hamming"] == 0
+        assert rec["dup_of"] <= i
+
+
+def test_embedding_near_dup(emb_ds, emb_df):
+    dim = len(emb_df["embedding"].iloc[0])
+    dup = emb_df.head(5).copy()
+    dup["vec_id"] = dup["vec_id"] + 100_000
+    corpus = rd.from_pandas(pd.concat([emb_df, dup], ignore_index=True))
+    out = dedup.embedding_near_dup(corpus, dim=dim,
+                                   cos_threshold=0.999).to_pandas()
+    found = {(r["vec_id"], r["dup_of"]) for _, r in out.iterrows()}
+    for i in range(5):
+        assert (100_000 + i, i) in found
+
+
+def test_brute_force_topk_matches_numpy(emb_ds, emb_df):
+    x = np.stack(emb_df["embedding"].to_numpy())
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qids = [0, 1, 2]
+    q = xn[qids]
+    out = ann.brute_force_topk(emb_ds, q, qids, k=5).to_pandas()
+    for qi, qid in enumerate(qids):
+        s = xn @ q[qi]
+        order = np.lexsort((emb_df["vec_id"].to_numpy(), -s))[:5]
+        exp_ids = emb_df["vec_id"].to_numpy()[order].tolist()
+        got = (out[out["query_id"] == qid].sort_values("rank")["vec_id"]
+               .tolist())
+        assert got == exp_ids
+        assert got[0] == qid  # self is nearest
+
+
+def test_ivf_topk_recall(emb_ds, emb_df):
+    x = np.stack(emb_df["embedding"].to_numpy())
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qids = [0, 1]
+    cent = ann.train_centroids(emb_ds, n_centroids=8, iters=2)
+    out = ann.ivf_topk(emb_ds, xn[qids], qids, cent, k=5, nprobe=4).to_pandas()
+    bf = ann.brute_force_topk(emb_ds, xn[qids], qids, k=5).to_pandas()
+    for qid in qids:
+        got = set(out[out["query_id"] == qid]["vec_id"])
+        exact = set(bf[bf["query_id"] == qid]["vec_id"])
+        # approximate: require decent recall and the self-match
+        assert qid in got
+        assert len(got & exact) >= 3
