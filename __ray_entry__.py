@@ -1,44 +1,177 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship log pipeline over a tokenized event
+table derived from /root/testdata/sf0.001 documents; ``queries()`` maps
+each implemented operator (SURVEY.md §2 + training-data ops) to a
+callable over an sf_dir; ``oracle_sql()`` carries the DuckDB
+equivalents with identical column names and rounding.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported — no
+``ray.init``/``ray.shutdown`` here or in the library.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import partial
 from typing import Any
+
+from mlp_ray.pipelines import queries as Q
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: testdata-derived tokenized log events → classify →
+    redact → enrich → main-ops aggregate (A1)."""
+    return Q.flagship_main_ops("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # reference-operator analogues over testdata tables
+        "events_main_agg": Q.events_main_agg,           # A1 fold + exact p95
+        "events_error_by_user": Q.events_error_by_user,  # A6 error slice
+        "events_routed": Q.events_routed,                # routing fan-out
+        "events_topk": Q.events_topk,                    # T4 top-k
+        "events_distinct_users": Q.events_distinct_users,  # A8 exact distinct
+        "events_ts_range": Q.events_ts_range,            # A11 min/max
+        "events_type_share": Q.events_type_share,        # A9 op mix
+        "events_daily": Q.events_daily,                  # temporal binning
+        "orders_by_nation": Q.orders_by_nation,          # broadcast lookup join
+        "lineitem_pricing": Q.lineitem_pricing,          # generic fold
+        # text analysis
+        "doc_token_stats": Q.doc_token_stats,
+        "doc_quality": Q.doc_quality,
+        "doc_lang_hist": Q.doc_lang_hist,
+        "doc_lang_id": Q.doc_lang_id,                    # rows-only
+        "doc_fingerprint": Q.doc_fingerprint,            # rows-only
+        # dedup
+        "doc_exact_dedup": Q.doc_exact_dedup,
+        "doc_minhash_dedup": Q.doc_minhash_dedup,        # rows-only
+        "doc_simhash_dedup": Q.doc_simhash_dedup,        # rows-only
+        "emb_near_dup": Q.emb_near_dup,                  # rows-only
+        # similarity search
+        "ann_topk": Q.ann_topk,
+        "ann_ivf_topk": Q.ann_ivf_topk,                  # rows-only (approx)
+        # trim tool + flagship
+        "events_trim_props": Q.events_trim_props,        # rows-only
+        "flagship_main_ops": Q.flagship_main_ops,        # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "events_main_agg": """
+            SELECT event_type,
+                   count(*) AS "count",
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value,
+                   round(avg(value), 6) AS avg_value,
+                   round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6)
+                       AS p95_value,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "events_error_by_user": """
+            SELECT user_id, count(*) AS "count",
+                   round(avg(value), 6) AS avg_value
+            FROM events WHERE event_type = 'error' GROUP BY user_id
+        """,
+        "events_routed": """
+            SELECT event_id, event_type, user_id, round(value, 6) AS value
+            FROM events WHERE value > 150.0
+        """,
+        "events_topk": """
+            SELECT event_id, event_type, round(value, 6) AS value
+            FROM events ORDER BY value DESC, event_id DESC LIMIT 50
+        """,
+        "events_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY event_type
+        """,
+        "events_ts_range": """
+            SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM events
+        """,
+        "events_type_share": """
+            SELECT event_type, count(*) AS "count",
+                   round(count(*) * 100.0 / sum(count(*)) OVER (), 6) AS pct
+            FROM events GROUP BY event_type
+        """,
+        "events_daily": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS "count", round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "orders_by_nation": """
+            SELECT c.c_nationkey AS nationkey,
+                   count(*) AS order_count,
+                   round(sum(o.o_totalprice), 2) AS total_revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+'))
+                       AS n_ws_tokens,
+                   round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
+                         / len(regexp_split_to_array(trim(text), '\s+')), 6)
+                       AS avg_tok_len,
+                   round(len(list_filter(
+                             regexp_split_to_array(trim(text), '\s+'),
+                             x -> x IN ('the', 'a'))) * 1.0
+                         / len(regexp_split_to_array(trim(text), '\s+')), 6)
+                       AS stopword_ratio
+            FROM documents
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         * 1.0 / greatest(length(text), 1), 6) AS alpha_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         * 1.0 / greatest(length(text), 1), 6) AS digit_ratio,
+                   len(regexp_split_to_array(trim(text), '\s+'))
+                       AS n_ws_tokens,
+                   round(least(len(regexp_split_to_array(trim(text), '\s+'))
+                               / 50.0, 1.0) * 0.4
+                         + (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                            * 1.0 / greatest(length(text), 1)) * 0.5
+                         + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                            * 1.0 / greatest(length(text), 1)) * 0.1, 6)
+                       AS quality_score
+            FROM documents
+        """,
+        "doc_lang_hist": """
+            SELECT lang, count(*) AS "count" FROM documents GROUP BY lang
+        """,
+        "doc_exact_dedup": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS canonical_doc_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 3)
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(
+                       q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS score,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(
+                           q.qe, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                                e.vec_id) AS BIGINT) AS rnk
+            FROM q CROSS JOIN embeddings e
+            QUALIFY rnk <= 10
+        """,
+    }

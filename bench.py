@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline pipelines and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N}
+
+Headline = flagship log pipeline (classify → redact → enrich → route →
+per-sink aggregates) over a deterministic synthetic tokenized-sequence
+table (seed 42, cached under /tmp), measured as routed sequences/sec,
+plus per-query wall times over $GRAFT_SF_DIR testdata.
+
+--scaling: runs the same flagship job in two FRESH processes at
+  num_cpus=8 and num_cpus=32 on identical input and reports both
+  throughputs + scaling efficiency (the sandbox stand-in for the
+  N vs 4N node criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "1500000"))
+BENCH_INPUT = f"/tmp/mlp_bench_input_r{BENCH_ROWS}_v2"
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def ensure_bench_input() -> list[str]:
+    """Generate (once, cached) the bench tokenized-event table with
+    parallel Ray tasks — deterministic regardless of task order."""
+    import ray
+    from mlp_ray import synth
+
+    os.makedirs(BENCH_INPUT, exist_ok=True)
+    n_chunks = (BENCH_ROWS + synth.CHUNK - 1) // synth.CHUNK
+    cpf = 2  # ~16k rows/file → enough partitions for full parallelism
+    jobs = []
+
+    @ray.remote
+    def gen(f_i: int) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        path = os.path.join(BENCH_INPUT,
+                            f"part-{f_i // cpf:05d}.parquet")
+        if os.path.exists(path):
+            try:
+                pq.ParquetFile(path)
+                return path
+            except Exception:
+                os.remove(path)
+        tbl = pa.concat_tables(
+            synth.generate_chunk(c, BENCH_ROWS, 42, tok_mean=48)
+            for c in range(f_i, min(f_i + cpf, n_chunks)))
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp, compression="zstd",
+                       row_group_size=synth.CHUNK)
+        os.replace(tmp, path)
+        return path
+
+    for f_i in range(0, n_chunks, cpf):
+        jobs.append(gen.remote(f_i))
+    return sorted(ray.get(jobs))
+
+
+def run_flagship(paths: list[str], out_dir: str) -> dict:
+    """Route + aggregate; returns timings and row counts."""
+    from mlp_ray.aggs.fold import run_fold
+    from mlp_ray.aggs import sinks as sink_defs
+    from mlp_ray.pipelines import route
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    lineage = route.route_partitioned(paths, out_dir, concurrency=(1, NUM_CPUS),
+                                      batch_size=16384)
+    t_route = time.perf_counter() - t0
+    total_rows = BENCH_ROWS
+
+    # per-sink aggregates read the routed parquet (column-pruned)
+    t1 = time.perf_counter()
+    filter_fn, spec = sink_defs.make_main_ops()
+    ops_ds = route.read_sink(out_dir, "slow_ops",
+                             columns=["doc_id", "ns", "op", "app_name",
+                                      "duration_ms"])
+    agg_spec = type(spec)(
+        keys=["ns", "op", "app_name"],
+        key_fillna={"app_name": "unknown"},
+        metrics={"duration_ms": ("min", "max", "avg", "p95", "sum")},
+    )
+    main_ops = run_fold(ops_ds, agg_spec).to_pandas()
+    t_agg = time.perf_counter() - t1
+    return {
+        "route_sec": round(t_route, 3),
+        "agg_sec": round(t_agg, 3),
+        "routed_rows": int(lineage["rows_out"].sum()) if len(lineage) else 0,
+        "main_ops_groups": len(main_ops),
+        "seq_per_sec": round(total_rows / (t_route + t_agg), 1),
+    }
+
+
+def run_queries() -> dict[str, float]:
+    from mlp_ray.pipelines import queries as Q
+
+    names = ["events_main_agg", "events_topk", "events_distinct_users",
+             "orders_by_nation", "lineitem_pricing", "doc_token_stats",
+             "doc_exact_dedup", "ann_topk"]
+    out = {}
+    for n in names:
+        t0 = time.perf_counter()
+        getattr(Q, n)(SF_DIR)
+        out[n] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_bench() -> dict:
+    _init_ray(NUM_CPUS)
+    import ray
+    try:
+        paths = ensure_bench_input()
+        flag = run_flagship(paths, f"/tmp/mlp_bench_routed_{NUM_CPUS}")
+        q = run_queries()
+        total = flag["route_sec"] + flag["agg_sec"] + sum(q.values())
+        return {
+            "metric": "flagship routed sequences/sec + per-sink aggregate "
+                      "wall time (seed-42 synthetic tokenized corpus, "
+                      f"{BENCH_ROWS} rows) and per-query wall over testdata",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {**q, "flagship_route": flag["route_sec"],
+                        "flagship_agg": flag["agg_sec"]},
+            "flagship": flag,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+        }
+    finally:
+        ray.shutdown()
+
+
+def scaling_worker(num_cpus: int) -> None:
+    _init_ray(num_cpus)
+    import ray
+    try:
+        paths = ensure_bench_input()
+        flag = run_flagship(paths, f"/tmp/mlp_scaling_routed_{num_cpus}")
+        print(json.dumps({"num_cpus": num_cpus, **flag}))
+    finally:
+        ray.shutdown()
+
+
+def main_scaling() -> dict:
+    results = {}
+    for n in (8, 32):
+        p = subprocess.run(
+            [sys.executable, __file__, "--scaling-worker", str(n)],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)))
+        line = [l for l in p.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    thr8 = results[8]["seq_per_sec"]
+    thr32 = results[32]["seq_per_sec"]
+    eff = thr32 / (4.0 * thr8)
+    return {
+        "metric": "flagship throughput scaling, fresh processes "
+                  "num_cpus=8 vs 32 (N vs 4N stand-in)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {"seq_per_sec_cpus8": thr8, "seq_per_sec_cpus32": thr32},
+        "detail": results,
+        "num_cpus": [8, 32],
+        "rows": BENCH_ROWS,
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-worker", type=int, default=None)
+    args = ap.parse_args()
+    if args.scaling_worker:
+        scaling_worker(args.scaling_worker)
+    elif args.scaling:
+        print(json.dumps(main_scaling()))
+    else:
+        print(json.dumps(main_bench()))

@@ -1,0 +1,125 @@
+"""CLI — the LogParser/LogFilter entry-point analogue.
+
+  python -m mlp_ray analyze <parquet...> --out DIR [--no-redact]
+         [--ns SELECTOR ...] [--config props]      # full report (K3/K5)
+  python -m mlp_ray route <parquet...> --out DIR   # routed sinks + manifest
+  python -m mlp_ray trim <parquet...> --col props --out DIR  # LogFilter tool
+  python -m mlp_ray synth --rows N --out DIR       # fixture generator
+
+Owns the Ray session (the library itself never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_analyze(args):
+    _init_ray(args.cpus)
+    from .pipelines import analyze
+    from .stages.filters import FilterConfig, NamespaceFilter
+
+    fc = (FilterConfig.from_properties_file(args.config)
+          if args.config else None)
+    nf = NamespaceFilter(args.ns) if args.ns else None
+    ds = analyze.load_events(args.inputs)
+    cds = analyze.classify(ds, redact=not args.no_redact,
+                           filter_config=fc, ns_filter=nf).materialize()
+    results = {n: d.to_pandas()
+               for n, d in analyze.sink_aggregates(cds).items()}
+    results["app_conns"] = analyze.app_connection_stats(cds).to_pandas()
+    results["slow_planning"] = analyze.slow_planning_topk(cds).to_pandas()
+    results["driver_stats"] = analyze.driver_stats(cds).to_pandas()
+    os.makedirs(args.out, exist_ok=True)
+    report = {}
+    for name, df in results.items():
+        df.to_csv(os.path.join(args.out, f"{name}.csv"), index=False)
+        report[name] = {"rows": len(df)}
+        print(f"== {name} ({len(df)} groups) ==")
+        srt = df.sort_values("count", ascending=False) \
+            if "count" in df.columns else df
+        print(srt.head(args.top).to_string())
+    with open(os.path.join(args.out, "report.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
+
+
+def cmd_route(args):
+    _init_ray(args.cpus)
+    from .pipelines import route
+    lin = route.route_partitioned(args.inputs, args.out,
+                                  redact=not args.no_redact)
+    print(lin.to_string())
+
+
+def cmd_trim(args):
+    _init_ray(args.cpus)
+    import ray.data as rd
+    from .ops import trim
+    ds = rd.read_parquet(args.inputs)
+    out = ds.map_batches(lambda t: trim.trim_batch(t, col=args.col),
+                         batch_format="pyarrow")
+    out.write_parquet(args.out)
+    print(f"wrote {out.count()} rows to {args.out}")
+
+
+def cmd_synth(args):
+    from .synth import write_events_tok
+    paths = write_events_tok(args.out, args.rows, seed=args.seed)
+    print(f"wrote {len(paths)} files to {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="mlp_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, inputs=True):
+        if inputs:
+            sp.add_argument("inputs", nargs="+")
+        sp.add_argument("--out", required=True)
+        sp.add_argument("--cpus", type=int,
+                        default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
+        sp.add_argument("--no-redact", action="store_true")
+
+    sp = sub.add_parser("analyze")
+    common(sp)
+    sp.add_argument("--ns", action="append", default=[])
+    sp.add_argument("--config")
+    sp.add_argument("--top", type=int, default=10)
+    sp.set_defaults(fn=cmd_analyze)
+
+    sp = sub.add_parser("route")
+    common(sp)
+    sp.set_defaults(fn=cmd_route)
+
+    sp = sub.add_parser("trim")
+    common(sp)
+    sp.add_argument("--col", default="props")
+    sp.set_defaults(fn=cmd_trim)
+
+    sp = sub.add_parser("synth")
+    common(sp, inputs=False)
+    sp.add_argument("--rows", type=int, default=100_000)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

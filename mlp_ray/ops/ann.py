@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..util import round_half_away
+
 
 def _normalize(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
@@ -45,12 +47,14 @@ class BruteForceScorer:
         out = []
         k = min(self.k, len(ids))
         for j, qid in enumerate(self.query_ids):
-            s = scores[:, j]
-            # local top-k with (score desc, vec_id asc) tie-break
+            # select on ROUNDED score with (score desc, vec_id asc)
+            # tie-break so local pruning, global merge, and the SQL
+            # oracle all use the same ordering
+            s = round_half_away(scores[:, j], 6)
             order = np.lexsort((ids, -s))[:k]
             for i in order:
                 out.append({"query_id": int(qid), "vec_id": int(ids[i]),
-                            "score": round(float(s[i]), 6)})
+                            "score": float(s[i])})
         df = pd.DataFrame(out)
         df["query_id"] = df["query_id"].astype("int64")
         df["vec_id"] = df["vec_id"].astype("int64")

@@ -15,6 +15,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import round_half_away
+
 STOPWORDS = ("the", "a")
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -65,8 +67,8 @@ def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return pa.table({
         "doc_id": batch["doc_id"],
         "n_ws_tokens": pa.array(n, pa.int64()),
-        "avg_tok_len": pa.array(np.round(compact / safe_n, 6), pa.float64()),
-        "stopword_ratio": pa.array(np.round(stop_counts / safe_n, 6),
+        "avg_tok_len": pa.array(round_half_away(compact / safe_n, 6), pa.float64()),
+        "stopword_ratio": pa.array(round_half_away(stop_counts / safe_n, 6),
                                    pa.float64()),
     })
 
@@ -90,10 +92,10 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
              + (1.0 - digit_ratio) * 0.1)
     return pa.table({
         "doc_id": batch["doc_id"],
-        "alpha_ratio": pa.array(np.round(alpha_ratio, 6)),
-        "digit_ratio": pa.array(np.round(digit_ratio, 6)),
+        "alpha_ratio": pa.array(round_half_away(alpha_ratio, 6)),
+        "digit_ratio": pa.array(round_half_away(digit_ratio, 6)),
         "n_ws_tokens": ts["n_ws_tokens"],
-        "quality_score": pa.array(np.round(score, 6)),
+        "quality_score": pa.array(round_half_away(score, 6)),
     })
 
 
@@ -121,7 +123,7 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return pa.table({
         "doc_id": batch["doc_id"],
         "lang_pred": pa.array(pred, pa.string()),
-        "lang_conf": pa.array(np.round(conf, 6), pa.float64()),
+        "lang_conf": pa.array(round_half_away(conf, 6), pa.float64()),
     })
 
 

@@ -50,11 +50,33 @@ def load_events(paths, *, columns: list[str] | None = ATTR_COLUMNS,
 
 
 def classify(ds: rd.Dataset, *, redact: bool = True,
-             ns_meta=None, redact_concurrency: int | tuple = (1, 8)) -> rd.Dataset:
-    """classify + COLLSCAN flag (stateless, zero-copy) → redaction
-    (stateful actor pool) → ns enrichment (broadcast dict)."""
+             ns_meta=None, redact_concurrency: int | tuple = (1, 8),
+             filter_config=None, ns_filter=None) -> rd.Dataset:
+    """classify + COLLSCAN flag (stateless, zero-copy) → optional
+    user filters (configurable ignore blacklist F4 / namespace
+    selectors F5) → redaction (stateful actor pool) → ns enrichment
+    (broadcast dict)."""
     ds = ds.map_batches(classify_batch, batch_format="pyarrow",
                         zero_copy_batch=True)
+    if filter_config is not None or ns_filter is not None:
+        def apply_filters(batch: pa.Table) -> pa.Table:
+            r_ops = batch["r_ops"]
+            r_ignored = batch["r_ignored"]
+            cat = batch["ignored_category"]
+            if filter_config is not None:
+                ign = filter_config.should_ignore_mask(batch["msg"])
+                newly = pc.and_(ign, pc.invert(r_ignored))
+                r_ops = pc.and_(r_ops, pc.invert(ign))
+                r_ignored = pc.or_(r_ignored, ign)
+                cat = pc.if_else(newly, batch["msg"], cat)
+            if ns_filter is not None:
+                r_ops = pc.and_(r_ops, ns_filter.keep_mask(batch["ns"]))
+            i = batch.column_names.index
+            return (batch.set_column(i("r_ops"), "r_ops", r_ops)
+                    .set_column(i("r_ignored"), "r_ignored", r_ignored)
+                    .set_column(i("ignored_category"), "ignored_category", cat))
+        ds = ds.map_batches(apply_filters, batch_format="pyarrow",
+                            zero_copy_batch=True)
     ds = ds.map_batches(sink_defs.add_is_collscan, batch_format="pyarrow",
                         zero_copy_batch=True)
     ds = ds.map_batches(Redactor, batch_format="pyarrow",

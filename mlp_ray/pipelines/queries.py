@@ -1,0 +1,286 @@
+"""Driver-contract queries: each function takes ``sf_dir`` (a testdata
+directory of parquet tables) and returns a small result, re-expressing
+a reference operator (SURVEY.md §2) over the corresponding testdata
+table.  Every SQL-expressible query has a DuckDB oracle in
+``__ray_entry__.oracle_sql`` with IDENTICAL column names and
+half-away-from-zero rounding to 6 decimals on float outputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..aggs.fold import FoldSpec, run_fold
+from ..ops import ann, dedup, text, trim
+from ..util import round_cols
+
+
+def _events(sf_dir, columns=None):
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _docs(sf_dir, columns=None):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# --- A1 analogue: grouped multi-stat fold with exact p95 ---------------
+def events_main_agg(sf_dir: str) -> pd.DataFrame:
+    spec = FoldSpec(keys=["event_type"],
+                    metrics={"value": ("min", "max", "avg", "p95", "sum")},
+                    order_col="event_id")
+    out = run_fold(_events(sf_dir, ["event_id", "event_type", "value"]),
+                   spec).to_pandas()
+    return round_cols(out, ["min_value", "max_value", "avg_value",
+                            "p95_value", "sum_value"])
+
+
+# --- A6 analogue: error-slice grouped agg ------------------------------
+def events_error_by_user(sf_dir: str) -> pd.DataFrame:
+    ds = _events(sf_dir, ["event_type", "user_id", "value"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("user_id").aggregate(
+        Count(alias_name="count"),
+        Mean("value", alias_name="avg_value")).to_pandas()
+    return round_cols(out, ["avg_value"])
+
+
+# --- routing analogue: predicate fan-out, row equality -----------------
+def events_routed(sf_dir: str) -> pd.DataFrame:
+    ds = _events(sf_dir, ["event_id", "event_type", "user_id", "value"])
+    out = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["value"], 150.0)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return round_cols(out, ["value"])
+
+
+# --- T4 analogue: global top-k with per-batch pruning ------------------
+def events_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        order = pc.sort_indices(t, sort_keys=[("value", "descending"),
+                                              ("event_id", "descending")])
+        return t.take(order[:k])
+
+    out = (ds.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .sort(["value", "event_id"], descending=[True, True])
+           .limit(k).to_pandas())
+    return round_cols(out, ["value"])
+
+
+# --- A8 analogue: exact distinct count per group -----------------------
+def events_distinct_users(sf_dir: str) -> pd.DataFrame:
+    ds = _events(sf_dir, ["event_type", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    return (ds.map_batches(pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "user_id"]).count()
+            .groupby("event_type").count()
+            .map_batches(lambda t: t.rename_columns(
+                ["event_type", "distinct_users"]), batch_format="pyarrow")
+            .to_pandas())
+
+
+# --- A11 analogue: global min/max --------------------------------------
+def events_ts_range(sf_dir: str) -> pd.DataFrame:
+    r = _events(sf_dir, ["ts"]).aggregate(Min("ts"), Max("ts"))
+    return pd.DataFrame([{"min_ts": r["min(ts)"], "max_ts": r["max(ts)"]}])
+
+
+# --- A9 analogue: type share -------------------------------------------
+def events_type_share(sf_dir: str) -> pd.DataFrame:
+    counts = (_events(sf_dir, ["event_type"]).groupby("event_type")
+              .count().to_pandas())
+    counts = counts.rename(columns={"count()": "count"})
+    counts["pct"] = counts["count"] * 100.0 / counts["count"].sum()
+    return round_cols(counts, ["pct"])
+
+
+# --- temporal binning --------------------------------------------------
+def events_daily(sf_dir: str) -> pd.DataFrame:
+    ds = _events(sf_dir, ["ts", "value"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return t.append_column("day", pc.floor_temporal(t["ts"], unit="day"))
+
+    out = (ds.map_batches(add_day, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("day").aggregate(Count(alias_name="count"),
+                                     Sum("value", alias_name="sum_value"))
+           .to_pandas())
+    return round_cols(out, ["sum_value"])
+
+
+# --- J1-graft: broadcast dictionary lookup-join ------------------------
+def orders_by_nation(sf_dir: str) -> pd.DataFrame:
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    lookup = np.full(int(pc.max(cust["c_custkey"]).as_py()) + 1, -1,
+                     dtype=np.int64)
+    lookup[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+    ref = ray.put(lookup)  # broadcast once, read per task from plasma
+
+    def enrich(t: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        nk = lk[t["o_custkey"].to_numpy()]
+        return t.append_column("nationkey", pa.array(nk, pa.int64()))
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    out = (ds.map_batches(enrich, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("nationkey")
+           .aggregate(Count(alias_name="order_count"),
+                      Sum("o_totalprice", alias_name="total_revenue"))
+           .to_pandas())
+    # money sums round to cents: absorbs float re-association between
+    # the distributed partial sums and the oracle's sequential sum
+    return round_cols(out, ["total_revenue"], ndigits=2)
+
+
+# --- generic fold over lineitem (TPC-H Q1 shape) -----------------------
+def lineitem_pricing(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(
+            t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-01"))))
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Mean("l_quantity", alias_name="avg_qty"),
+                      Count(alias_name="count_order"))
+           .to_pandas())
+    round_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price"], ndigits=2)
+    return round_cols(out, ["avg_qty"])
+
+
+# --- text analysis ------------------------------------------------------
+def doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(text.token_stats_batch, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas())
+
+
+def doc_quality(sf_dir: str) -> pd.DataFrame:
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(text.quality_batch, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas())
+
+
+def doc_lang_hist(sf_dir: str) -> pd.DataFrame:
+    return (_docs(sf_dir, ["lang"]).groupby("lang").count()
+            .map_batches(lambda t: t.rename_columns(["lang", "count"]),
+                         batch_format="pyarrow").to_pandas())
+
+
+def doc_lang_id(sf_dir: str) -> pd.DataFrame:
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(text.lang_id_batch, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas())
+
+
+def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(text.Fingerprinter, batch_format="pyarrow",
+                         concurrency=(1, 4)).to_pandas())
+
+
+# --- dedup -------------------------------------------------------------
+def doc_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    return dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+
+
+def doc_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    return dedup.minhash_lsh_candidates(
+        _docs(sf_dir, ["doc_id", "text"])).to_pandas()
+
+
+def doc_simhash_dedup(sf_dir: str) -> pd.DataFrame:
+    return dedup.simhash_candidates(
+        _docs(sf_dir, ["doc_id", "text"])).to_pandas()
+
+
+def emb_near_dup(sf_dir: str) -> pd.DataFrame:
+    first = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)
+    dim = len(first["embedding"][0])
+    out = dedup.embedding_near_dup(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), dim=dim,
+        cos_threshold=0.95).to_pandas()
+    if out.empty:  # no near-dups found → typed empty frame
+        out = dedup._EMB_EMPTY.copy()
+    return out
+
+
+# --- similarity search -------------------------------------------------
+def _query_matrix(sf_dir: str, n: int = 3):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], n)).sort_by("vec_id")
+    q = np.stack([np.asarray(e, dtype=np.float64)
+                  for e in t["embedding"].to_pylist()])
+    return q, t["vec_id"].to_pylist()
+
+
+def ann_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    q, qids = _query_matrix(sf_dir)
+    out = ann.brute_force_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        q, qids, k=k).to_pandas()
+    return out.rename(columns={"rank": "rnk"})
+
+
+def ann_ivf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    q, qids = _query_matrix(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cent = ann.train_centroids(ds, n_centroids=16, iters=2)
+    return (ann.ivf_topk(ds, q, qids, cent, k=k, nprobe=4)
+            .to_pandas().rename(columns={"rank": "rnk"}))
+
+
+# --- trim tool ---------------------------------------------------------
+def events_trim_props(sf_dir: str) -> pd.DataFrame:
+    return (_events(sf_dir, ["event_id", "props"])
+            .map_batches(trim.trim_batch, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas())
+
+
+# --- flagship over testdata-derived tokenized log events ---------------
+def flagship_main_ops(sf_dir: str) -> pd.DataFrame:
+    from ..sources.tokenized import events_tok_from_documents
+    from .analyze import classify
+    from ..aggs.sinks import make_main_ops
+
+    tbl = events_tok_from_documents(sf_dir)
+    cds = classify(rd.from_arrow(tbl))
+    filter_fn, spec = make_main_ops()
+    filtered = cds.map_batches(filter_fn, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return run_fold(filtered, spec).to_pandas()

@@ -1,10 +1,14 @@
 """Fan-out routing with per-partition checkpointing + lineage.
 
-The production path of the engine (SURVEY.md §7.0): one streaming pass
-per input partition classifies rows and writes each routed sink's rows
-directly to per-sink / per-partition parquet, emitting a lineage row
-per (partition, sink).  Aggregations then read the routed parquet with
+The production path of the engine (SURVEY.md §7.0): ONE streaming
+pass classifies rows and writes each routed sink's rows directly to
+per-sink / per-partition parquet, emitting a lineage row per
+(partition, sink).  Aggregations then read the routed parquet with
 column pruning instead of recomputing the classify chain per sink.
+
+Partition identity rides with the rows (``include_paths=True`` at the
+read), so ALL pending partitions flow through a single Ray pipeline —
+full cluster parallelism — rather than one mini-pipeline per file.
 
 Resume semantics (north rule "checkpoints completed partitions so a
 killed job resumes without reprocessing"):
@@ -12,12 +16,13 @@ killed job resumes without reprocessing"):
     file granularity is the natural resume unit);
   * a partition's outputs live under ``<sink>/part=<pid>/``;
   * completion is recorded as ``_manifest/<pid>.json`` written
-    tmp+rename (atomic) only after the partition's pipeline finished;
+    tmp+rename (atomic) after the routing pipeline for that batch of
+    partitions finished;
   * on restart, manifested partitions are skipped; an unmanifested
     partition's stale output dirs are cleared and re-run;
-  * within a run, batch output files are named by a content hash of
-    their doc_id range, so a retried Ray task overwrites rather than
-    duplicates (idempotent under task retries).
+  * batch output files are named by a content hash of their doc_id
+    range, so a retried Ray task overwrites rather than duplicates
+    (idempotent under task retries).
 
 The reference has no checkpointing at all — an OOM mid-report deletes
 the partial output file (LogParser.java:344-367); this replaces that
@@ -34,11 +39,12 @@ import time
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
 
-from .analyze import classify
+from .analyze import ATTR_COLUMNS, classify
 
 # sink → (mask column, carried columns); tokens ride only through the
 # ops sink (the routed-row token-equality target) — other sinks stay
@@ -58,60 +64,75 @@ ROUTES: dict[str, tuple[str, list[str]]] = {
 }
 
 
+def _partition_id(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
 class RouterWriter:
     """Actor-pool stage: split a classified batch by route masks and
-    write each sink's slice; return lineage rows."""
+    write each sink's slice under its partition dir; return lineage."""
 
-    def __init__(self, out_dir: str, pid: str,
+    def __init__(self, out_dir: str,
                  routes: dict[str, tuple[str, list[str]]] | None = None,
                  ignored_sample_mod: int = 100):
         self.out_dir = out_dir
-        self.pid = pid
         self.routes = routes or ROUTES
         self.mod = ignored_sample_mod
-        for sink in self.routes:
-            os.makedirs(os.path.join(out_dir, sink, f"part={pid}"),
-                        exist_ok=True)
+        self._made: set[str] = set()
+
+    def _pdir(self, sink: str, pid: str) -> str:
+        d = os.path.join(self.out_dir, sink, f"part={pid}")
+        if d not in self._made:
+            os.makedirs(d, exist_ok=True)
+            self._made.add(d)
+        return d
 
     def _sample_ignored(self, t: pa.Table) -> pa.Table:
         # 1-in-100 deterministic sample of ignored lines
         # (LogParser.java:980-982, index-based per FIXTURES.md §4)
-        import pyarrow.compute as pc
         idx = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 3, 99), pa.int64())
         keep = pc.equal(pc.subtract(
             idx, pc.multiply(pc.divide(idx, self.mod), self.mod)), 0)
         return t.filter(keep)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        t0 = time.perf_counter()
-        lineage = []
+    def _write_one(self, pid: str, part: pa.Table, t0: float, lineage: list):
         for sink, (mask_col, cols) in self.routes.items():
-            sub = batch.filter(batch[mask_col]).select(
-                [c for c in cols if c in batch.column_names])
+            sub = part.filter(part[mask_col]).select(
+                [c for c in cols if c in part.column_names])
             if sink == "ignored_sample" and sub.num_rows:
                 sub = self._sample_ignored(sub)
             if not sub.num_rows:
                 continue
-            first = sub["doc_id"][0].as_py()
-            last = sub["doc_id"][-1].as_py()
             tag = hashlib.blake2b(
-                f"{first}|{last}|{sub.num_rows}".encode(), digest_size=8
-            ).hexdigest()
-            path = os.path.join(self.out_dir, sink, f"part={self.pid}",
-                                f"b-{tag}.parquet")
+                f"{sub['doc_id'][0].as_py()}|{sub['doc_id'][-1].as_py()}|"
+                f"{sub.num_rows}".encode(), digest_size=8).hexdigest()
+            path = os.path.join(self._pdir(sink, pid), f"b-{tag}.parquet")
             tmp = path + f".tmp-{os.getpid()}"
             pq.write_table(sub, tmp, compression="zstd")
             os.replace(tmp, path)
             lineage.append({
-                "partition_id": self.pid, "sink": sink,
-                "rows_in": batch.num_rows, "rows_out": sub.num_rows,
+                "partition_id": pid, "sink": sink,
+                "rows_in": part.num_rows, "rows_out": sub.num_rows,
                 "bytes_out": os.path.getsize(path),
                 "wall_ms": (time.perf_counter() - t0) * 1000.0,
             })
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        lineage: list[dict] = []
+        paths = batch["path"]
+        # a batch almost always comes from one input file; handle the
+        # general case by splitting on distinct path values
+        distinct = pc.unique(paths)
+        for p in distinct.to_pylist():
+            part = batch.filter(pc.equal(paths, p)) \
+                if len(distinct) > 1 else batch
+            self._write_one(_partition_id(p), part, t0, lineage)
         if not lineage:
-            lineage.append({"partition_id": self.pid, "sink": "none",
-                            "rows_in": batch.num_rows, "rows_out": 0,
-                            "bytes_out": 0, "wall_ms": 0.0})
+            lineage.append({"partition_id": _partition_id(
+                distinct[0].as_py()), "sink": "none",
+                "rows_in": batch.num_rows, "rows_out": 0,
+                "bytes_out": 0, "wall_ms": 0.0})
         return pa.Table.from_pylist(lineage)
 
 
@@ -132,57 +153,58 @@ def completed_partitions(out_dir: str) -> dict[str, dict]:
     return out
 
 
-def _partition_id(path: str) -> str:
-    return os.path.splitext(os.path.basename(path))[0]
-
-
 def route_partitioned(input_files: list[str], out_dir: str, *,
                       redact: bool = True, concurrency: int | tuple = (1, 8),
-                      batch_size: int = 8192) -> pd.DataFrame:
-    """Route every not-yet-completed input partition; returns lineage
-    (one row per partition × sink, aggregated over batches)."""
+                      batch_size: int = 16384,
+                      override_num_blocks: int | None = None) -> pd.DataFrame:
+    """Route every not-yet-completed input partition in one streaming
+    pipeline; returns lineage (one row per partition × sink)."""
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
     done = completed_partitions(out_dir)
-    all_lineage: list[pd.DataFrame] = []
-    for path in input_files:
+    todo = [p for p in input_files if _partition_id(p) not in done]
+    if not todo:
+        return pd.DataFrame(columns=["partition_id", "sink", "rows_out",
+                                     "bytes_out", "batches", "wall_ms"])
+    # clear stale partial output from a previous crashed attempt
+    for path in todo:
         pid = _partition_id(path)
-        if pid in done:
-            continue
-        # clear stale partial output from a previous crashed attempt
         for sink in ROUTES:
             pdir = os.path.join(out_dir, sink, f"part={pid}")
             if os.path.isdir(pdir):
                 shutil.rmtree(pdir)
-        t0 = time.perf_counter()
-        ds = rd.read_parquet(path)
-        cds = classify(ds, redact=redact, redact_concurrency=concurrency)
-        lineage_ds = cds.map_batches(
-            RouterWriter, batch_format="pyarrow", batch_size=batch_size,
-            concurrency=concurrency,
-            fn_constructor_kwargs={"out_dir": out_dir, "pid": pid},
-        )
-        lin = lineage_ds.to_pandas()
-        lin = (lin[lin["sink"] != "none"]
-               .groupby(["partition_id", "sink"], as_index=False)
-               .agg(rows_out=("rows_out", "sum"), bytes_out=("bytes_out", "sum"),
-                    batches=("rows_out", "size")))
-        lin["wall_ms"] = (time.perf_counter() - t0) * 1000.0
-        all_lineage.append(lin)
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(todo, columns=ATTR_COLUMNS + ["tokens", "n_tok"],
+                         include_paths=True,
+                         override_num_blocks=override_num_blocks)
+    cds = classify(ds, redact=redact, redact_concurrency=concurrency)
+    lineage_ds = cds.map_batches(
+        RouterWriter, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"out_dir": out_dir},
+    )
+    lin = lineage_ds.to_pandas()
+    wall_ms = (time.perf_counter() - t0) * 1000.0
+    lin = (lin[lin["sink"] != "none"]
+           .groupby(["partition_id", "sink"], as_index=False)
+           .agg(rows_out=("rows_out", "sum"), bytes_out=("bytes_out", "sum"),
+                batches=("rows_out", "size")))
+    lin["wall_ms"] = wall_ms
+    by_pid = {pid: g for pid, g in lin.groupby("partition_id")}
+    for path in todo:
+        pid = _partition_id(path)
+        g = by_pid.get(pid)
         rec = {
             "partition_id": pid, "status": "complete", "input": path,
-            "sinks": {r["sink"]: int(r["rows_out"])
-                      for _, r in lin.iterrows()},
-            "wall_ms": (time.perf_counter() - t0) * 1000.0,
+            "sinks": ({r["sink"]: int(r["rows_out"]) for _, r in g.iterrows()}
+                      if g is not None else {}),
+            "wall_ms": wall_ms,
         }
         mpath = os.path.join(_manifest_dir(out_dir), f"{pid}.json")
         tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(rec, fh)
         os.replace(tmp, mpath)
-    if all_lineage:
-        return pd.concat(all_lineage, ignore_index=True)
-    return pd.DataFrame(columns=["partition_id", "sink", "rows_out",
-                                 "bytes_out", "batches", "wall_ms"])
+    return lin
 
 
 def read_sink(out_dir: str, sink: str, columns: list[str] | None = None):
