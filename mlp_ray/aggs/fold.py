@@ -85,14 +85,24 @@ class FoldSpec:
 
     # ------------------------------------------------------------------
     def partial(self, batch: pa.Table) -> pd.DataFrame:
-        """Reduce one Arrow batch to one partial row per group."""
+        """Reduce one Arrow batch to one partial row per group.
+
+        Fully vectorized: group membership is materialized once as an
+        integer code array (``ngroup``); every per-group quantity is
+        then a cython groupby agg, an ``np.bincount``, or a sorted
+        ``drop_duplicates`` pick — no Python-level per-group apply in
+        this per-batch hot path."""
         df = batch.select(self.needed_columns()).to_pandas()
         if df.empty:
             return self._empty_partial()
         for k, lbl in self.key_fillna.items():
             df[k] = df[k].fillna(lbl)
-        df = df.sort_values(self.order_col, kind="mergesort")
+        needs_order = bool(self.first_cols or self.last_cols or self.sample_by)
+        if needs_order:
+            df = df.sort_values(self.order_col, kind="mergesort")
         g = df.groupby(self.keys, dropna=False, sort=False)
+        ng = g.ngroup().to_numpy()  # appearance order == g.size() order
+        n_groups = int(ng.max()) + 1 if len(ng) else 0
 
         out = g.size().rename("count").to_frame()
         for m, stats in self.metrics.items():
@@ -105,36 +115,55 @@ class FoldSpec:
             if "max" in stats:
                 out[f"_max_{m}"] = col.max()
             if "p95" in stats:
-                out[f"_vals_{m}"] = col.apply(
-                    lambda s: s.dropna().to_numpy(dtype=np.float64))
+                v = df[m].to_numpy(dtype=np.float64, na_value=np.nan)
+                valid = ~np.isnan(v)
+                gv, vv = ng[valid], v[valid]
+                order = np.argsort(gv, kind="stable")
+                counts = np.bincount(gv, minlength=n_groups)
+                out[f"_vals_{m}"] = np.split(vv[order],
+                                             np.cumsum(counts)[:-1])
         for c, out_name in self.bool_count_cols.items():
-            out[f"_bsum_{c}"] = g[c].apply(lambda s: int(s.fillna(False).sum()))
+            w = df[c].fillna(False).to_numpy(dtype=np.float64)
+            out[f"_bsum_{c}"] = np.bincount(
+                ng, weights=w, minlength=n_groups).astype(np.int64)
         for c, null_label in self.countmap_cols.items():
-            def cmap(s, _nl=null_label):
-                vc = s.value_counts(dropna=_nl is None)
-                d = {}
-                for k, v in vc.items():
-                    key = _nl if pd.isna(k) else str(k)
-                    d[key] = d.get(key, 0) + int(v)
-                return json.dumps(d, sort_keys=True)
-            out[f"_map_{c}"] = g[c].apply(cmap)
-        for c in self.first_cols:
-            out[f"_first_val_{c}"], out[f"_first_ord_{c}"] = self._edge(g, df, c, True)
-        for c in self.last_cols:
-            out[f"_last_val_{c}"], out[f"_last_ord_{c}"] = self._edge(g, df, c, False)
+            col = df[c]
+            if null_label is not None:
+                col = col.fillna(null_label)
+            sz = (pd.DataFrame({"_g": ng, "_v": col.astype("string")})
+                  .dropna(subset=["_v"]).groupby(["_g", "_v"]).size())
+            maps: list[dict] = [{} for _ in range(n_groups)]
+            for (gi, val), cnt in sz.items():
+                maps[gi][str(val)] = int(cnt)
+            out[f"_map_{c}"] = [json.dumps(m_, sort_keys=True) for m_ in maps]
+        for kind, cols in (("first", self.first_cols),
+                           ("last", self.last_cols)):
+            for c in cols:
+                sub = df.loc[df[c].notna(), [c, self.order_col]]
+                sub = sub.assign(_g=ng[df[c].notna().to_numpy()])
+                pick = sub.drop_duplicates(
+                    "_g", keep="first" if kind == "first" else "last")
+                vals = np.full(n_groups, None, dtype=object)
+                ords = np.full(n_groups, None, dtype=object)
+                gi = pick["_g"].to_numpy()
+                vals[gi] = pick[c].to_numpy(dtype=object)
+                ords[gi] = pick[self.order_col].to_numpy(dtype=object)
+                out[f"_{kind}_val_{c}"] = vals
+                out[f"_{kind}_ord_{c}"] = ords
         if self.sample_by:
-            def argmax(sub):
-                s = sub[self.sample_by]
-                if s.notna().any():
-                    # max (value, doc_id): stable sort by doc_id, then idxmax
-                    # keeps the last (largest doc_id) among ties
-                    vmax = s.max()
-                    cand = sub.loc[s == vmax, self.order_col]
-                    return pd.Series({"_smp_ord": cand.max(), "_smp_val": vmax})
-                return pd.Series({"_smp_ord": None, "_smp_val": np.nan})
-            smp = g[[self.sample_by, self.order_col]].apply(argmax)
-            out["_smp_ord"] = smp["_smp_ord"]
-            out["_smp_val"] = smp["_smp_val"]
+            sb = self.sample_by
+            mask = df[sb].notna().to_numpy()
+            sub = df.loc[mask, [sb, self.order_col]].assign(_g=ng[mask])
+            # max (value, doc_id): ascending sort, keep last per group
+            sub = sub.sort_values([sb, self.order_col], kind="mergesort")
+            pick = sub.drop_duplicates("_g", keep="last")
+            ords = np.full(n_groups, None, dtype=object)
+            vals = np.full(n_groups, np.nan, dtype=np.float64)
+            gi = pick["_g"].to_numpy()
+            ords[gi] = pick[self.order_col].to_numpy(dtype=object)
+            vals[gi] = pick[sb].to_numpy(dtype=np.float64)
+            out["_smp_ord"] = ords
+            out["_smp_val"] = vals
         return self._cast_partial(out.reset_index())
 
     def _cast_partial(self, out: pd.DataFrame) -> pd.DataFrame:
@@ -159,17 +188,6 @@ class FoldSpec:
             out["_smp_ord"] = out["_smp_ord"].astype("string")
             out["_smp_val"] = out["_smp_val"].astype("float64")
         return out
-
-    def _edge(self, g, df, c, first: bool):
-        ocol = self.order_col
-        def pick(sub, _first=first):
-            s = sub[c].dropna()
-            if s.empty:
-                return pd.Series({"v": None, "o": None})
-            idx = s.index[0] if _first else s.index[-1]
-            return pd.Series({"v": sub[c][idx], "o": sub[ocol][idx]})
-        r = g[[c, ocol]].apply(pick)
-        return r["v"], r["o"]
 
     def _empty_partial(self) -> pd.DataFrame:
         cols = {k: pd.Series(dtype=object) for k in self.keys}

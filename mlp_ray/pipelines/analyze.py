@@ -49,6 +49,27 @@ def load_events(paths, *, columns: list[str] | None = ATTR_COLUMNS,
                            override_num_blocks=override_num_blocks)
 
 
+def apply_user_filters(batch: pa.Table, filter_config=None,
+                       ns_filter=None) -> pa.Table:
+    """Configurable ignore blacklist (F4) + namespace selectors (F5)
+    applied to the routing masks of a classified batch."""
+    r_ops = batch["r_ops"]
+    r_ignored = batch["r_ignored"]
+    cat = batch["ignored_category"]
+    if filter_config is not None:
+        ign = filter_config.should_ignore_mask(batch["msg"])
+        newly = pc.and_(ign, pc.invert(r_ignored))
+        r_ops = pc.and_(r_ops, pc.invert(ign))
+        r_ignored = pc.or_(r_ignored, ign)
+        cat = pc.if_else(newly, batch["msg"], cat)
+    if ns_filter is not None:
+        r_ops = pc.and_(r_ops, ns_filter.keep_mask(batch["ns"]))
+    i = batch.column_names.index
+    return (batch.set_column(i("r_ops"), "r_ops", r_ops)
+            .set_column(i("r_ignored"), "r_ignored", r_ignored)
+            .set_column(i("ignored_category"), "ignored_category", cat))
+
+
 def classify(ds: rd.Dataset, *, redact: bool = True,
              ns_meta=None, redact_concurrency: int | tuple = (1, 8),
              filter_config=None, ns_filter=None) -> rd.Dataset:
@@ -59,24 +80,9 @@ def classify(ds: rd.Dataset, *, redact: bool = True,
     ds = ds.map_batches(classify_batch, batch_format="pyarrow",
                         zero_copy_batch=True)
     if filter_config is not None or ns_filter is not None:
-        def apply_filters(batch: pa.Table) -> pa.Table:
-            r_ops = batch["r_ops"]
-            r_ignored = batch["r_ignored"]
-            cat = batch["ignored_category"]
-            if filter_config is not None:
-                ign = filter_config.should_ignore_mask(batch["msg"])
-                newly = pc.and_(ign, pc.invert(r_ignored))
-                r_ops = pc.and_(r_ops, pc.invert(ign))
-                r_ignored = pc.or_(r_ignored, ign)
-                cat = pc.if_else(newly, batch["msg"], cat)
-            if ns_filter is not None:
-                r_ops = pc.and_(r_ops, ns_filter.keep_mask(batch["ns"]))
-            i = batch.column_names.index
-            return (batch.set_column(i("r_ops"), "r_ops", r_ops)
-                    .set_column(i("r_ignored"), "r_ignored", r_ignored)
-                    .set_column(i("ignored_category"), "ignored_category", cat))
-        ds = ds.map_batches(apply_filters, batch_format="pyarrow",
-                            zero_copy_batch=True)
+        ds = ds.map_batches(
+            lambda b: apply_user_filters(b, filter_config, ns_filter),
+            batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(sink_defs.add_is_collscan, batch_format="pyarrow",
                         zero_copy_batch=True)
     ds = ds.map_batches(Redactor, batch_format="pyarrow",

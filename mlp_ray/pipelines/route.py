@@ -44,7 +44,7 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
-from .analyze import ATTR_COLUMNS, classify
+from .analyze import ATTR_COLUMNS
 
 # sink → (mask column, carried columns); tokens ride only through the
 # ops sink (the routed-row token-equality target) — other sinks stay
@@ -74,10 +74,13 @@ class RouterWriter:
 
     def __init__(self, out_dir: str,
                  routes: dict[str, tuple[str, list[str]]] | None = None,
-                 ignored_sample_mod: int = 100):
+                 ignored_sample_mod: int = 100, compression: str = "lz4"):
         self.out_dir = out_dir
         self.routes = routes or ROUTES
         self.mod = ignored_sample_mod
+        # routed sinks are intermediates re-read by the aggregate stage;
+        # lz4 trades a few % size for much lower encode CPU than zstd
+        self.compression = compression
         self._made: set[str] = set()
 
     def _pdir(self, sink: str, pid: str) -> str:
@@ -108,7 +111,7 @@ class RouterWriter:
                 f"{sub.num_rows}".encode(), digest_size=8).hexdigest()
             path = os.path.join(self._pdir(sink, pid), f"b-{tag}.parquet")
             tmp = path + f".tmp-{os.getpid()}"
-            pq.write_table(sub, tmp, compression="zstd")
+            pq.write_table(sub, tmp, compression=self.compression)
             os.replace(tmp, path)
             lineage.append({
                 "partition_id": pid, "sink": sink,
@@ -136,6 +139,70 @@ class RouterWriter:
         return pa.Table.from_pylist(lineage)
 
 
+class FusedRouteStage:
+    """classify → redact → enrich → route-write as ONE actor-pool stage.
+
+    Running these as separate ``map_batches`` stages would ship the
+    heavy ``tokens`` column through the object store between every
+    stage (3 extra copies of the dominant payload) and spin up one
+    actor pool per stage; fusing them keeps the batch in-process from
+    classify to the sink write and needs a single pool.  The stateful
+    pieces (redaction memo, broadcast ns dict, writer dir cache) are
+    built once per actor in ``__init__`` (north rule: actor pools for
+    stateful stages)."""
+
+    def __init__(self, out_dir: str, *, redact: bool = True, ns_meta=None,
+                 filter_config=None, ns_filter=None,
+                 routes: dict[str, tuple[str, list[str]]] | None = None,
+                 compression: str = "lz4"):
+        from ..stages.redact import Redactor
+        from ..stages.enrich import NsEnricher
+        from ..aggs import sinks as sink_defs
+
+        self._collscan = sink_defs.add_is_collscan
+        self._redactor = Redactor(enabled=redact)
+        self._enricher = NsEnricher(meta=ns_meta)
+        self._writer = RouterWriter(out_dir, routes=routes,
+                                    compression=compression)
+        self._filter_config = filter_config
+        self._ns_filter = ns_filter
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .analyze import apply_user_filters
+        from ..stages.classify import classify_batch
+
+        b = classify_batch(batch)
+        if self._filter_config is not None or self._ns_filter is not None:
+            b = apply_user_filters(b, self._filter_config, self._ns_filter)
+        b = self._collscan(b)
+        b = self._redactor(b)
+        b = self._enricher(b)
+        return self._writer(b)
+
+
+# Per-worker-process singleton for the task-pool variant: Ray reuses
+# worker processes across map_batches tasks, so lazy-initialising the
+# fused stage in a module global gives the same once-per-worker setup
+# as an actor pool without paying actor cold-start (fresh process +
+# imports per actor) on short jobs.  State is identical; choose
+# use_actors=True when the stage state is heavy (models, big dicts)
+# or must NOT be rebuilt per worker.
+_FUSED_CACHE: dict[tuple, FusedRouteStage] = {}
+
+
+def _fused_route_task(batch: pa.Table, *, out_dir: str, redact: bool,
+                      filter_config=None, ns_filter=None,
+                      compression: str = "lz4") -> pa.Table:
+    key = (out_dir, redact, id(filter_config), id(ns_filter), compression)
+    st = _FUSED_CACHE.get(key)
+    if st is None:
+        st = FusedRouteStage(out_dir, redact=redact,
+                             filter_config=filter_config,
+                             ns_filter=ns_filter, compression=compression)
+        _FUSED_CACHE[key] = st
+    return st(batch)
+
+
 def _manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest")
 
@@ -156,6 +223,8 @@ def completed_partitions(out_dir: str) -> dict[str, dict]:
 def route_partitioned(input_files: list[str], out_dir: str, *,
                       redact: bool = True, concurrency: int | tuple = (1, 8),
                       batch_size: int = 16384,
+                      filter_config=None, ns_filter=None,
+                      use_actors: bool = True,
                       override_num_blocks: int | None = None) -> pd.DataFrame:
     """Route every not-yet-completed input partition in one streaming
     pipeline; returns lineage (one row per partition × sink)."""
@@ -176,12 +245,21 @@ def route_partitioned(input_files: list[str], out_dir: str, *,
     ds = rd.read_parquet(todo, columns=ATTR_COLUMNS + ["tokens", "n_tok"],
                          include_paths=True,
                          override_num_blocks=override_num_blocks)
-    cds = classify(ds, redact=redact, redact_concurrency=concurrency)
-    lineage_ds = cds.map_batches(
-        RouterWriter, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={"out_dir": out_dir},
-    )
+    if use_actors:
+        lineage_ds = ds.map_batches(
+            FusedRouteStage, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"out_dir": out_dir, "redact": redact,
+                                   "filter_config": filter_config,
+                                   "ns_filter": ns_filter},
+        )
+    else:
+        import functools
+        lineage_ds = ds.map_batches(
+            functools.partial(_fused_route_task, out_dir=out_dir,
+                              redact=redact, filter_config=filter_config,
+                              ns_filter=ns_filter),
+            batch_format="pyarrow", batch_size=batch_size)
     lin = lineage_ds.to_pandas()
     wall_ms = (time.perf_counter() - t0) * 1000.0
     lin = (lin[lin["sink"] != "none"]

@@ -55,9 +55,27 @@ class NsEnricher:
         self.miss = len(self.ns_index)  # sentinel row of nulls
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ns = batch["ns"].to_pylist()
-        idx = np.fromiter((self.ns_index.get(x, self.miss) for x in ns),
-                          dtype=np.int64, count=len(ns))
+        if batch.num_rows == 0:
+            for f in self.fields:
+                batch = batch.append_column(f, pa.nulls(0, pa.string()))
+            return batch
+        # dictionary-encode once: Python dict lookup runs per DISTINCT
+        # ns (≈20), the per-row work is a vectorized numpy take
+        ns = batch["ns"]
+        arr = ns.combine_chunks() if isinstance(ns, pa.ChunkedArray) else ns
+        enc = arr.dictionary_encode()
+        vals = enc.dictionary.to_pylist()
+        lut = np.fromiter(
+            (self.ns_index.get(v, self.miss) for v in vals),
+            dtype=np.int64, count=len(vals))
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(codes) if codes.dtype.kind == "f" else None
+        if valid is None:
+            idx = lut[codes.astype(np.int64)]
+        else:  # null ns → sentinel (null metadata)
+            idx = np.full(len(codes), self.miss, dtype=np.int64)
+            iv = codes[valid].astype(np.int64)
+            idx[valid] = lut[iv]
         for f in self.fields:
             batch = batch.append_column(f, pa.array(self.cols[f][idx], pa.string()))
         return batch

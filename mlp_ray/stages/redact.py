@@ -33,12 +33,17 @@ class Redactor:
     REGEX_META = set("^$.*+?()[]{}|\\")
 
     def __init__(self, enabled: bool = True, source_col: str = "raw_filter_json",
-                 out_col: str = "sanitized_query"):
+                 out_col: str = "sanitized_query", cache_cap: int = 1 << 16):
         self.enabled = enabled
         self.source_col = source_col
         self.out_col = out_col
         self._alnum_run = re.compile(r"[A-Za-z0-9_]+")
         self._digits = re.compile(r"\d")
+        # actor-lifetime memo: query shapes repeat massively, so the
+        # expensive JSON parse+walk runs once per DISTINCT raw filter
+        # (bounded so a pathological all-unique stream can't OOM)
+        self._cache: dict[str, tuple[str, str]] = {}
+        self._cache_cap = cache_cap
 
     # -- scalar rules ---------------------------------------------------
     def redact_string(self, s: str) -> str:
@@ -105,16 +110,30 @@ class Redactor:
             return '{"sanitization_error": "xxx"}'
         return json.dumps(self._walk(doc), sort_keys=True, separators=(",", ":"))
 
+    def _sanitize_cached(self, raw: str) -> tuple[str, str]:
+        hit = self._cache.get(raw)
+        if hit is None:
+            s = self.sanitize(raw)
+            h = hashlib.blake2b(s.encode(), digest_size=4).hexdigest()
+            hit = (s, h)
+            if len(self._cache) < self._cache_cap:
+                self._cache[raw] = hit
+        return hit
+
     # -- batch entry ----------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raw = batch[self.source_col].to_pylist()
-        sanitized = [self.sanitize(r) for r in raw]
-        hashes = [
-            None if s is None
-            else hashlib.blake2b(s.encode(), digest_size=4).hexdigest()
-            for s in sanitized
-        ]
-        return (
-            batch.append_column(self.out_col, pa.array(sanitized, pa.string()))
-            .append_column("shape_hash", pa.array(hashes, pa.string()))
-        )
+        if batch.num_rows == 0:
+            return (batch.append_column(self.out_col, pa.nulls(0, pa.string()))
+                    .append_column("shape_hash", pa.nulls(0, pa.string())))
+        col = batch[self.source_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # dictionary-encode so the recursive walk runs once per distinct
+        # raw filter per batch (plus the actor-lifetime memo above);
+        # null indices propagate nulls through take
+        enc = arr.dictionary_encode()
+        pairs = [self._sanitize_cached(v)
+                 for v in enc.dictionary.to_pylist()]
+        san = pa.array([p[0] for p in pairs], pa.string()).take(enc.indices)
+        hsh = pa.array([p[1] for p in pairs], pa.string()).take(enc.indices)
+        return (batch.append_column(self.out_col, san)
+                .append_column("shape_hash", hsh))
