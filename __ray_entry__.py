@@ -36,6 +36,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ts_range": Q.events_ts_range,            # A11 min/max
         "events_type_share": Q.events_type_share,        # A9 op mix
         "events_daily": Q.events_daily,                  # temporal binning
+        "events_argmax_sample": Q.events_argmax_sample,  # T7 arg-max sample
+        "events_first_last": Q.events_first_last,        # first/last by order
+        "events_user_sessions": Q.events_user_sessions,  # J1 map_groups join
         "orders_by_nation": Q.orders_by_nation,          # broadcast lookup join
         "lineitem_pricing": Q.lineitem_pricing,          # generic fold
         # text analysis
@@ -52,9 +55,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": Q.ann_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,                  # rows-only (approx)
-        # trim tool + flagship
+        # multimodal plumbing (decode stub; rows-only)
+        "media_features": Q.media_features,
+        "media_frame_plan": Q.media_frame_plan,
+        # trim tool + flagship sinks (rows-only; golden-checked in
+        # tests/test_flagship_golden.py against the pure-Python oracle)
         "events_trim_props": Q.events_trim_props,        # rows-only
-        "flagship_main_ops": Q.flagship_main_ops,        # rows-only
+        "flagship_main_ops": Q.flagship_main_ops,        # A1
+        "flagship_ttl": Q.flagship_ttl,                  # A2
+        "flagship_query_hash": Q.flagship_query_hash,    # A3
+        "flagship_plan_cache": Q.flagship_plan_cache,    # A4
+        "flagship_index_stats": Q.flagship_index_stats,  # A5 COLLSCAN
+        "flagship_errors": Q.flagship_errors,            # A6
+        "flagship_txn": Q.flagship_txn,                  # A7
+        "flagship_app_conns": Q.flagship_app_conns,      # A8
+        "flagship_op_stats": Q.flagship_op_stats,        # A9
+        "flagship_processing_stats": Q.flagship_processing_stats,  # A10
+        "flagship_driver_stats": Q.flagship_driver_stats,  # J1/A12
+        "flagship_slow_planning": Q.flagship_slow_planning,  # T4
+        "flagship_ignored_hist": Q.flagship_ignored_hist,  # K6
     }
 
 
@@ -100,6 +119,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                    count(*) AS "count", round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "events_argmax_sample": """
+            SELECT event_type, "count", sample_event_id FROM (
+                SELECT event_type,
+                       count(*) OVER (PARTITION BY event_type) AS "count",
+                       event_id AS sample_event_id,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY value DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "events_first_last": """
+            SELECT user_id, count(*) AS "count",
+                   arg_min(event_type, event_id) AS first_event_type,
+                   arg_max(event_type, event_id) AS last_event_type
+            FROM events GROUP BY user_id
+        """,
+        "events_user_sessions": """
+            SELECT user_id, count(*) AS "count",
+                   min(ts) AS first_ts, max(ts) AS last_ts,
+                   round(date_diff('microsecond', min(ts), max(ts))
+                         / 1000000.0, 6) AS lifetime_s,
+                   count(DISTINCT event_type) AS distinct_types
+            FROM events GROUP BY user_id
         """,
         "orders_by_nation": """
             SELECT c.c_nationkey AS nationkey,

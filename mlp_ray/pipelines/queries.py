@@ -272,15 +272,147 @@ def events_trim_props(sf_dir: str) -> pd.DataFrame:
                          zero_copy_batch=True).to_pandas())
 
 
+# --- T7 analogue: per-group arg-max sample with deterministic ties -----
+def _pad_event_order(t: pa.Table) -> pa.Table:
+    # the fold's order column compares as string; zero-pad the int id
+    padded = pc.utf8_lpad(pc.cast(t["event_id"], pa.string()), 12, "0")
+    return t.append_column("order_key", padded)
+
+
+def events_argmax_sample(sf_dir: str) -> pd.DataFrame:
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+    spec = FoldSpec(keys=["event_type"], sample_by="value",
+                    order_col="order_key")
+    out = run_fold(ds.map_batches(_pad_event_order, batch_format="pyarrow",
+                                  zero_copy_batch=True), spec).to_pandas()
+    out["sample_event_id"] = out.pop("sample_doc_id").astype(
+        "string").str.lstrip("0").astype("int64")
+    return out
+
+
+# --- first/last-by-order fold (A1's first appName / A3's latest
+# planSummary semantics, deterministic by id order) ----------------------
+def events_first_last(sf_dir: str) -> pd.DataFrame:
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type"])
+    spec = FoldSpec(keys=["user_id"], first_cols=["event_type"],
+                    last_cols=["event_type"], order_col="order_key",
+                    col_dtypes={"user_id": "Int64"})
+    out = run_fold(ds.map_batches(_pad_event_order, batch_format="pyarrow",
+                                  zero_copy_batch=True), spec).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out
+
+
+# --- J1 analogue with SQL oracle: per-key session reconstruction via
+# groupby().map_groups (all events of one key land in one group) --------
+def _session_rollup(g: pd.DataFrame) -> pd.DataFrame:
+    first_ts, last_ts = g["ts"].min(), g["ts"].max()
+    return pd.DataFrame([{
+        "user_id": int(g["user_id"].iloc[0]),
+        "count": len(g),
+        "first_ts": first_ts,
+        "last_ts": last_ts,
+        "lifetime_s": (last_ts - first_ts).total_seconds(),
+        "distinct_types": g["event_type"].nunique(),
+    }])
+
+
+def events_user_sessions(sf_dir: str) -> pd.DataFrame:
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+    out = (ds.groupby("user_id")
+           .map_groups(_session_rollup, batch_format="pandas").to_pandas())
+    return round_cols(out, ["lifetime_s"])
+
+
+# --- multimodal plumbing (decode stub + frame sampling; rows-only) -----
+def media_features(sf_dir: str) -> pd.DataFrame:
+    from ..ops.multimodal import MediaDecoder, synth_media_table
+    tbl = synth_media_table(256)
+    return (rd.from_arrow(tbl)
+            .map_batches(MediaDecoder, batch_format="pyarrow",
+                         batch_size=64, concurrency=(1, 4))
+            .to_pandas())
+
+
+def media_frame_plan(sf_dir: str) -> pd.DataFrame:
+    from ..ops.multimodal import FrameSampler, synth_media_table
+    tbl = synth_media_table(256)
+    return (rd.from_arrow(tbl)
+            .map_batches(FrameSampler, batch_format="pyarrow",
+                         batch_size=64, concurrency=(1, 4))
+            .to_pandas())
+
+
 # --- flagship over testdata-derived tokenized log events ---------------
-def flagship_main_ops(sf_dir: str) -> pd.DataFrame:
+def _flagship_cds(sf_dir: str):
     from ..sources.tokenized import events_tok_from_documents
     from .analyze import classify
-    from ..aggs.sinks import make_main_ops
 
     tbl = events_tok_from_documents(sf_dir)
-    cds = classify(rd.from_arrow(tbl))
-    filter_fn, spec = make_main_ops()
-    filtered = cds.map_batches(filter_fn, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    return classify(rd.from_arrow(tbl))
+
+
+def _flagship_sink(sf_dir: str, sink: str) -> pd.DataFrame:
+    from ..aggs import sinks as sink_defs
+
+    filter_fn, spec = sink_defs.ALL_SINKS[sink]()
+    filtered = _flagship_cds(sf_dir).map_batches(
+        filter_fn, batch_format="pyarrow", zero_copy_batch=True)
     return run_fold(filtered, spec).to_pandas()
+
+
+def flagship_main_ops(sf_dir: str) -> pd.DataFrame:
+    return _flagship_sink(sf_dir, "main_ops")
+
+
+def flagship_query_hash(sf_dir: str) -> pd.DataFrame:
+    return _flagship_sink(sf_dir, "query_hash")
+
+
+def flagship_plan_cache(sf_dir: str) -> pd.DataFrame:
+    return _flagship_sink(sf_dir, "plan_cache")
+
+
+def flagship_index_stats(sf_dir: str) -> pd.DataFrame:
+    return _flagship_sink(sf_dir, "index_stats")
+
+
+def flagship_errors(sf_dir: str) -> pd.DataFrame:
+    return _flagship_sink(sf_dir, "errors")
+
+
+def flagship_txn(sf_dir: str) -> pd.DataFrame:
+    return _flagship_sink(sf_dir, "txn")
+
+
+def flagship_ttl(sf_dir: str) -> pd.DataFrame:
+    return _flagship_sink(sf_dir, "ttl")
+
+
+def flagship_op_stats(sf_dir: str) -> pd.DataFrame:
+    return _flagship_sink(sf_dir, "op_stats")
+
+
+def flagship_slow_planning(sf_dir: str) -> pd.DataFrame:
+    from .analyze import slow_planning_topk
+    return slow_planning_topk(_flagship_cds(sf_dir)).to_pandas()
+
+
+def flagship_app_conns(sf_dir: str) -> pd.DataFrame:
+    from .analyze import app_connection_stats
+    return app_connection_stats(_flagship_cds(sf_dir)).to_pandas()
+
+
+def flagship_driver_stats(sf_dir: str) -> pd.DataFrame:
+    from .analyze import driver_stats
+    return driver_stats(_flagship_cds(sf_dir)).to_pandas()
+
+
+def flagship_ignored_hist(sf_dir: str) -> pd.DataFrame:
+    from .analyze import ignored_histogram
+    return ignored_histogram(_flagship_cds(sf_dir)).to_pandas()
+
+
+def flagship_processing_stats(sf_dir: str) -> pd.DataFrame:
+    from .analyze import processing_stats
+    return processing_stats(_flagship_cds(sf_dir))
