@@ -281,7 +281,7 @@ def _union_countmaps(s: pd.Series) -> str:
     return json.dumps(acc, sort_keys=True)
 
 
-def run_fold(ds, spec: FoldSpec, *, batch_size: int = 32768,
+def run_fold(ds, spec: FoldSpec, *, batch_size: int = 131072,
              num_buckets: int = 64):
     """Apply the two-phase fold to a Ray Dataset → Dataset of final rows.
 

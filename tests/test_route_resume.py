@@ -54,7 +54,7 @@ def test_route_and_resume(fixture_paths, tmp_path):
 
     # ---- resume: drop one partition's manifest; only it re-runs -------
     victim = sorted(man)[1]
-    os.remove(os.path.join(out, "_manifest", f"{victim}.json"))
+    route.invalidate_partitions(out, {victim})
     mtimes = {
         s: os.path.getmtime(os.path.join(out, s, f"part={sorted(man)[0]}"))
         for s in ("slow_ops", "errors")
