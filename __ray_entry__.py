@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_driver_stats": Q.flagship_driver_stats,  # J1/A12
         "flagship_slow_planning": Q.flagship_slow_planning,  # T4
         "flagship_ignored_hist": Q.flagship_ignored_hist,  # K6
+        "rawlog_main_ops": Q.rawlog_main_ops,            # S2/S3/P1-P3/J2
     }
 
 

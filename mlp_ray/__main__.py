@@ -26,6 +26,21 @@ def _init_ray(num_cpus):
     DataContext.get_current().enable_progress_bars = False
 
 
+def _load(args):
+    """Input front door: parquet events, or raw JSONL logs (--raw-logs,
+    gzip transparent) parsed into the same schema."""
+    from .pipelines import analyze
+
+    if args.raw_logs:
+        import pyarrow.compute as pc
+        from .sources import rawlog
+        ds = rawlog.read_raw_logs(args.inputs)
+        return ds.map_batches(rawlog.parse_batch, batch_format="pyarrow") \
+            .map_batches(lambda t: t.filter(
+                pc.equal(t["parse_status"], "ok")), batch_format="pyarrow")
+    return analyze.load_events(args.inputs)
+
+
 def cmd_analyze(args):
     _init_ray(args.cpus)
     from .pipelines import analyze
@@ -34,7 +49,7 @@ def cmd_analyze(args):
     fc = (FilterConfig.from_properties_file(args.config)
           if args.config else None)
     nf = NamespaceFilter(args.ns) if args.ns else None
-    ds = analyze.load_events(args.inputs)
+    ds = _load(args)
     cds = analyze.classify(ds, redact=not args.no_redact,
                            filter_config=fc, ns_filter=nf).materialize()
     results = {n: d.to_pandas()
@@ -91,6 +106,9 @@ def main(argv=None):
         sp.add_argument("--cpus", type=int,
                         default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
         sp.add_argument("--no-redact", action="store_true")
+        sp.add_argument("--raw-logs", action="store_true",
+                        help="inputs are JSONL mongod logs (.gz ok), "
+                             "not parquet")
 
     sp = sub.add_parser("analyze")
     common(sp)

@@ -416,3 +416,26 @@ def flagship_ignored_hist(sf_dir: str) -> pd.DataFrame:
 def flagship_processing_stats(sf_dir: str) -> pd.DataFrame:
     from .analyze import processing_stats
     return processing_stats(_flagship_cds(sf_dir))
+
+
+# --- raw JSONL-log ingestion (S2/S3/P1-P3/J2): gzipped mongod logs →
+# parse → classify → main-ops fold, rows-only ---------------------------
+def rawlog_main_ops(sf_dir: str) -> pd.DataFrame:
+    import os
+    from ..sources import rawlog
+    from .analyze import classify
+    from ..aggs.sinks import make_main_ops
+
+    fixture = "/tmp/mlp_rawlog_fixture_v1"
+    if not os.path.isdir(fixture) or not os.listdir(fixture):
+        rawlog.write_raw_log_fixture(fixture, 8000, seed=11, n_shards=2)
+    paths = sorted(os.path.join(fixture, f) for f in os.listdir(fixture))
+    ds = rawlog.read_raw_logs(paths)
+    parsed = ds.map_batches(rawlog.parse_batch, batch_format="pyarrow") \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["parse_status"], "ok")), batch_format="pyarrow")
+    filter_fn, spec = make_main_ops()
+    filtered = classify(parsed).map_batches(filter_fn,
+                                            batch_format="pyarrow",
+                                            zero_copy_batch=True)
+    return run_fold(filtered, spec).to_pandas()

@@ -1,0 +1,441 @@
+"""Raw MongoDB structured-log (JSONL, optionally gzipped) ingestion.
+
+The reference's native input is newline-delimited JSON log files read
+with transparent gzip/zip decompression and a 1 MB line cap
+(``LogParser.java:793-808`` createReader, ``:815-894`` readLineSafe).
+This module provides the same front door for the Ray engine:
+
+  read_raw_logs(paths) → Dataset[text(+path)]
+    → map_batches(parse_batch)  → the classified-event schema
+    → …rest of the pipeline unchanged (classify → route → sinks)
+
+Parse strategy mirrors the reference's two-tier design:
+  * vectorized fast paths over the raw byte column for the envelope —
+    timestamp (``extractTimestampFast`` LogParser.java:1313-1332), ctx
+    (``extractCtxFast`` :1300-1311), component, msg — via
+    ``pc.extract_regex`` (no Python row loop);
+  * full ``json.loads`` only for rows whose msg carries attr payload
+    (Slow query / transaction / metadata / auth / lifecycle / TTL),
+    like ``containsTargetOperation``'s pre-filter (:926-932);
+  * non-JSON lines are kept and tagged ``parse_status="non_json"``
+    (the reference counts, samples and reports them — :972-999);
+    over-long lines are tagged ``too_long`` and their payload dropped
+    (``readLineSafe`` drops, we keep the tag for the stats sink).
+
+Shard lineage (``ShardInfo.java:28-41``): ``shard-XX-YY`` extracted
+from the file path into ``source`` (J2 enrichment).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import json
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import schema as S
+
+MAX_LINE_BYTES = 1 << 20  # 1 MB, LogParser.java:631
+
+_SHARD_RE = re.compile(r"shard-(\d+)-(\d+)")
+
+# msgs whose attr payload feeds a sink → worth a full JSON parse
+_DETAIL_MSGS = frozenset({
+    "Slow query", "transaction", "client metadata",
+    "Successfully authenticated", "Connection accepted",
+    "Connection ended", "Deleted expired documents", "Index build: done",
+})
+
+
+def read_raw_logs(paths, *, override_num_blocks=None):
+    """Dataset of raw lines with their file path; gzip transparent
+    (Arrow detects by extension, like MimeTypes.java:34-41)."""
+    import ray.data as rd
+
+    return rd.read_text(
+        paths, include_paths=True,
+        arrow_open_stream_args={"compression": "detect"},
+        override_num_blocks=override_num_blocks)
+
+
+def shard_from_path(path: str) -> str:
+    m = _SHARD_RE.search(os.path.basename(path))
+    return f"shard-{m.group(1)}-{m.group(2)}" if m else "unknown"
+
+
+# ---------------------------------------------------------------------------
+# parsing: raw text batch → classified-event schema
+# ---------------------------------------------------------------------------
+
+_ENVELOPE_RES = {
+    "ts": r'"t":\{"\$date":"(?P<g>[^"]*)"',
+    "component": r'"c":"(?P<g>[A-Z_]+)"',
+    "ctx": r'"ctx":"(?P<g>[^"]*)"',
+    "msg": r'"msg":"(?P<g>[^"]*)"',
+}
+
+
+def _extract(col: pa.ChunkedArray | pa.Array, pattern: str) -> pa.Array:
+    ext = pc.extract_regex(col, pattern)  # null where no match
+    arr = ext.combine_chunks() if isinstance(ext, pa.ChunkedArray) else ext
+    return pc.struct_field(arr, ["g"])
+
+
+def _get_metric(attr: dict, *keys):
+    for k in keys:
+        v = attr.get(k)
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return int(v)
+    return None
+
+
+def parse_batch(batch: pa.Table) -> pa.Table:
+    """One vectorized pass (envelope) + targeted full parse (attrs).
+
+    Output: the events-tok schema minus tokens/n_tok (null-filled) plus
+    ``parse_status`` ∈ {ok, non_json, too_long, bad_json}."""
+    text = batch["text"]
+    text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    n = len(text)
+    paths = (batch["path"].to_pylist() if "path" in batch.column_names
+             else [""] * n)
+
+    # S3: 1 MB cap — payload dropped, line counted
+    too_long = pc.greater(pc.binary_length(text), MAX_LINE_BYTES)
+    # F1: fast non-JSON prefilter (shouldIgnoreLine LogParser.java:896)
+    is_json = pc.starts_with(text, "{")
+    parse_mask = pc.and_(pc.invert(too_long), is_json)
+
+    safe = pc.if_else(parse_mask, text, pa.scalar("", pa.string()))
+    env = {k: _extract(safe, p) for k, p in _ENVELOPE_RES.items()}
+    msg_py = env["msg"].to_pylist()
+
+    # full parse where the msg carries sink-relevant attrs, plus a
+    # vectorized error sniff over the raw bytes — isError must fire on
+    # ANY line (LogParserTask.java:563-579), including noise msgs the
+    # fast path would otherwise skip
+    err_sniff = pc.or_(pc.match_substring(safe, '"ok":0'),
+                       pc.match_substring(safe, '"error":')).to_pylist()
+    need_full = [m in _DETAIL_MSGS or e
+                 for m, e in zip(msg_py, err_sniff)]
+
+    cols: dict[str, list] = {c: [None] * n for c in (
+        "ns", "op_kind", "app_name", "duration_ms", "plan_summary",
+        "query_hash", "plan_cache_key", "planning_time_us", "keys_examined",
+        "docs_examined", "n_returned", "reslen", "bytes_read",
+        "bytes_written", "write_conflicts", "n_shards", "n_modified",
+        "n_upserted", "n_deleted", "n_inserted", "replanned",
+        "replan_reason", "from_multi_planner", "read_pref_mode",
+        "read_pref_tags", "is_change_stream", "is_error", "err_code_name",
+        "err_code", "txn_retry_counter", "termination_cause", "commit_type",
+        "commit_us", "active_us", "inactive_us", "raw_filter_json",
+        "driver_name", "driver_version", "os_type", "platform",
+        "compressors", "username", "remote")}
+    status = ["ok"] * n
+    tl = too_long.to_pylist()
+    ij = is_json.to_pylist()
+    text_py = text.to_pylist()
+
+    for r in range(n):
+        if tl[r]:
+            status[r] = "too_long"
+            continue
+        if not ij[r]:
+            status[r] = "non_json"
+            continue
+        if not need_full[r]:
+            continue
+        try:
+            doc = json.loads(text_py[r])
+        except ValueError:
+            status[r] = "bad_json"
+            continue
+        attr = doc.get("attr") or {}
+        _fill_row(cols, r, doc, attr, msg_py[r])
+
+    out: dict[str, pa.Array] = {}
+    out["doc_id"] = pa.array(
+        [f"raw{hashlib.blake2b(t.encode(), digest_size=6).hexdigest()}"
+         f"{r:07d}" for r, t in enumerate(text_py)], pa.string())
+    out["tokens"] = pa.nulls(n, pa.list_(pa.int32()))
+    out["n_tok"] = pa.nulls(n, pa.int32())
+    out["source"] = pa.array([shard_from_path(p) for p in paths], pa.string())
+    out["component"] = env["component"]
+    out["msg"] = env["msg"]
+    out["ctx"] = env["ctx"]
+    # Arrow strptime supports neither %z nor %f: parse the 19-char
+    # naive prefix, then add the millisecond digits separately
+    sec = pc.strptime(pc.utf8_slice_codeunits(env["ts"], 0, 19),
+                      format="%Y-%m-%dT%H:%M:%S", unit="ms",
+                      error_is_null=True)
+    frac = pc.utf8_slice_codeunits(env["ts"], 20, 23)
+    frac_ms = pc.cast(pc.if_else(
+        pc.equal(pc.binary_length(frac), 3), frac,
+        pa.scalar("0", pa.string())), pa.int64())
+    out["ts"] = pc.cast(pc.add(pc.cast(sec, pa.int64()), frac_ms),
+                        pa.timestamp("ms"))
+
+    sch = S.events_tok_schema()
+    for name in sch.names:
+        if name in out:
+            continue
+        typ = sch.field(name).type
+        vals = cols.get(name)
+        if vals is None:
+            out[name] = pa.nulls(n, typ)
+        else:
+            out[name] = pa.array(vals, typ)
+    cols_out = {name: out[name] for name in sch.names}
+    cols_out["parse_status"] = pa.array(status, pa.string())
+    return pa.table(cols_out)
+
+
+def _fill_row(cols, r, doc, attr, msg):
+    """Reference attr extraction semantics, one parsed line."""
+    c = doc.get("c")
+    cols["ns"][r] = attr.get("ns") or attr.get("namespace")
+    cols["remote"][r] = attr.get("remote")
+    cols["app_name"][r] = attr.get("appName")
+    cols["duration_ms"][r] = _get_metric(attr, "durationMillis")
+    # isError on any line (LogParserTask.java:563-579)
+    err = attr.get("error")
+    if attr.get("ok") == 0 or err is not None:
+        cols["is_error"][r] = True
+        if isinstance(err, dict):
+            cols["err_code_name"][r] = err.get("codeName")
+            cols["err_code"][r] = _get_metric(err, "code")
+
+    if msg == "Slow query":
+        cmd = attr.get("command") or {}
+        if c == "WRITE":
+            # processWriteOperation (LogParserTask.java:955-981)
+            cols["op_kind"][r] = attr.get("type")
+        else:
+            # processCommandOperation first-match (:802-919)
+            for k in S.COMMAND_OPS:
+                if k in cmd:
+                    cols["op_kind"][r] = k
+                    break
+            else:
+                for k in cmd:
+                    cols["op_kind"][r] = k  # admin/other first key
+                    break
+        cols["query_hash"][r] = attr.get("queryHash")
+        cols["plan_cache_key"][r] = attr.get("planCacheKey")
+        cols["plan_summary"][r] = attr.get("planSummary")
+        cols["planning_time_us"][r] = _get_metric(attr, "planningTimeMicros")
+        cols["keys_examined"][r] = _get_metric(attr, "keysExamined")
+        cols["docs_examined"][r] = _get_metric(attr, "docsExamined")
+        cols["n_returned"][r] = _get_metric(attr, "nreturned", "nReturned")
+        cols["reslen"][r] = _get_metric(attr, "reslen")
+        storage = attr.get("storage") or {}
+        data = storage.get("data") or {}
+        # processStorageMetrics coalesce (LogParserTask.java:1015-1038)
+        cols["bytes_read"][r] = _get_metric(storage, "bytesRead") \
+            if "bytesRead" in storage else _get_metric(data, "bytesRead")
+        cols["bytes_written"][r] = _get_metric(storage, "bytesWritten") \
+            if "bytesWritten" in storage else _get_metric(data, "bytesWritten")
+        cols["write_conflicts"][r] = _get_metric(attr, "writeConflicts")
+        cols["n_shards"][r] = _get_metric(attr, "nShards")
+        cols["n_modified"][r] = _get_metric(attr, "nModified")
+        cols["n_upserted"][r] = _get_metric(attr, "nUpserted")
+        cols["n_deleted"][r] = _get_metric(attr, "ndeleted", "nDeleted")
+        cols["n_inserted"][r] = _get_metric(attr, "ninserted", "nInserted")
+        if "replanned" in attr:
+            cols["replanned"][r] = bool(attr["replanned"])
+        cols["replan_reason"][r] = attr.get("replanReason")
+        if "fromMultiPlanner" in attr:
+            cols["from_multi_planner"][r] = bool(attr["fromMultiPlanner"])
+        rp = cmd.get("$readPreference") or {}
+        cols["read_pref_mode"][r] = rp.get("mode")
+        tags = rp.get("tags")
+        if tags:
+            # tag formatting (LogParserTask.java:585-627)
+            cols["read_pref_tags"][r] = ",".join(
+                f"{k}: {v}" for t in tags for k, v in sorted(t.items()))
+        # change-stream getMore (LogParserTask.java:871-890)
+        orig = attr.get("originatingCommand") or {}
+        stages = orig.get("pipeline") or []
+        cols["is_change_stream"][r] = any(
+            isinstance(s, dict) and "$changeStream" in s for s in stages)
+        flt = cmd.get("filter") or cmd.get("q")
+        if flt is None and isinstance(cmd.get("pipeline"), list):
+            for st in cmd["pipeline"]:
+                if isinstance(st, dict) and "$match" in st:
+                    flt = st["$match"]
+                    break
+        if flt is not None:
+            cols["raw_filter_json"][r] = json.dumps(
+                flt, sort_keys=True, separators=(",", ":"))
+    elif msg == "Deleted expired documents":
+        cols["n_deleted"][r] = _get_metric(attr, "numDeleted")
+    elif msg == "transaction":
+        # processTransaction (LogParserTask.java:1117-1179)
+        params = attr.get("parameters") or {}
+        cols["txn_retry_counter"][r] = _get_metric(params, "txnRetryCounter")
+        cols["termination_cause"][r] = attr.get("terminationCause")
+        cols["commit_type"][r] = attr.get("commitType")
+        cols["commit_us"][r] = _get_metric(attr, "commitDurationMicros")
+        cols["active_us"][r] = _get_metric(attr, "timeActiveMicros")
+        cols["inactive_us"][r] = _get_metric(attr, "timeInactiveMicros")
+    elif msg == "client metadata":
+        # processClientMetadata (LogParserTask.java:1224-1315)
+        d = attr.get("doc") or {}
+        drv = d.get("driver") or {}
+        cols["driver_name"][r] = drv.get("name")
+        cols["driver_version"][r] = drv.get("version")
+        cols["os_type"][r] = (d.get("os") or {}).get("type")
+        cols["platform"][r] = d.get("platform")
+        comps = attr.get("negotiatedCompressors")
+        if comps is not None:
+            cols["compressors"][r] = ",".join(comps)
+    elif msg == "Successfully authenticated":
+        # processAccessMessage (LogParserTask.java:1181-1222)
+        cols["username"][r] = attr.get("user")
+
+
+# ---------------------------------------------------------------------------
+# fixture rendering: events table → JSONL log lines (test/bench only)
+# ---------------------------------------------------------------------------
+
+def render_lines(tbl: pa.Table) -> list[str]:
+    """Deterministic inverse of parse_batch over the synthetic schema —
+    builds one MongoDB-structured-log line per row."""
+    rows = tbl.to_pylist()
+    out = []
+    for row in rows:
+        ts = row["ts"]
+        t_iso = ts.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ts.microsecond//1000:03d}+00:00"
+        comp = row["component"]
+        msg = row["msg"]
+        attr: dict = {}
+        if msg == "Slow query":
+            coll = (row["ns"] or "db.coll").split(".", 1)[1]
+            cmd: dict = {}
+            if comp == "WRITE":
+                attr["type"] = row["op_kind"]
+            elif row["op_kind"]:
+                cmd[row["op_kind"]] = coll
+            if row["raw_filter_json"]:
+                cmd["filter"] = json.loads(row["raw_filter_json"])
+            if row["read_pref_mode"]:
+                rp: dict = {"mode": row["read_pref_mode"]}
+                if row["read_pref_tags"]:
+                    rp["tags"] = [dict(
+                        kv.split(": ", 1) for kv in
+                        row["read_pref_tags"].split(","))]
+                cmd["$readPreference"] = rp
+            if cmd:
+                attr["command"] = cmd
+            if row["is_change_stream"]:
+                attr["originatingCommand"] = {
+                    "pipeline": [{"$changeStream": {}}]}
+            attr["ns"] = row["ns"]
+            for k, v in (("queryHash", row["query_hash"]),
+                         ("planCacheKey", row["plan_cache_key"]),
+                         ("planSummary", row["plan_summary"]),
+                         ("planningTimeMicros", row["planning_time_us"]),
+                         ("keysExamined", row["keys_examined"]),
+                         ("docsExamined", row["docs_examined"]),
+                         ("nreturned", row["n_returned"]),
+                         ("reslen", row["reslen"]),
+                         ("writeConflicts", row["write_conflicts"]),
+                         ("nShards", row["n_shards"]),
+                         ("nModified", row["n_modified"]),
+                         ("nUpserted", row["n_upserted"]),
+                         ("ndeleted", row["n_deleted"]),
+                         ("ninserted", row["n_inserted"]),
+                         ("replanReason", row["replan_reason"]),
+                         ("appName", row["app_name"]),
+                         ("durationMillis", row["duration_ms"])):
+                if v is not None:
+                    attr[k] = v
+            if row["replanned"] is not None:
+                attr["replanned"] = row["replanned"]
+            if row["from_multi_planner"] is not None:
+                attr["fromMultiPlanner"] = row["from_multi_planner"]
+            if row["bytes_read"] is not None or row["bytes_written"] is not None:
+                attr["storage"] = {"data": {
+                    k: v for k, v in (("bytesRead", row["bytes_read"]),
+                                      ("bytesWritten", row["bytes_written"]))
+                    if v is not None}}
+        elif msg == "Deleted expired documents":
+            attr = {"namespace": row["ns"], "numDeleted": row["n_deleted"],
+                    "durationMillis": row["duration_ms"]}
+        elif msg == "transaction":
+            attr = {"parameters": {"txnRetryCounter": row["txn_retry_counter"]},
+                    "terminationCause": row["termination_cause"],
+                    "commitType": row["commit_type"]}
+            for k, v in (("durationMillis", row["duration_ms"]),
+                         ("commitDurationMicros", row["commit_us"]),
+                         ("timeActiveMicros", row["active_us"]),
+                         ("timeInactiveMicros", row["inactive_us"])):
+                if v is not None:
+                    attr[k] = v
+        elif msg == "client metadata":
+            attr = {"remote": row["remote"],
+                    "doc": {"driver": {"name": row["driver_name"],
+                                       "version": row["driver_version"]},
+                            "os": {"type": row["os_type"]},
+                            "platform": row["platform"]},
+                    "negotiatedCompressors":
+                        row["compressors"].split(",") if row["compressors"]
+                        else []}
+        elif msg in ("Connection accepted", "Connection ended"):
+            attr = {"remote": row["remote"]}
+        elif msg == "Successfully authenticated":
+            attr = {"user": row["username"], "db": "admin",
+                    "mechanism": "SCRAM-SHA-256", "remote": row["remote"]}
+        elif msg == "Index build: done":
+            attr = {"ns": row["ns"]}
+        else:
+            attr = {"detail": "noise"}
+        if row["is_error"]:
+            # isError triggers on attr.ok==0 / attr.error on ANY line
+            # (LogParserTask.java:563-579)
+            attr["ok"] = 0
+            attr["error"] = {"codeName": row["err_code_name"],
+                             "code": row["err_code"]}
+        if row["app_name"] is not None and "appName" not in attr:
+            attr["appName"] = row["app_name"]
+        if row["duration_ms"] is not None and "durationMillis" not in attr:
+            attr["durationMillis"] = row["duration_ms"]
+        line = {"t": {"$date": t_iso}, "s": "I", "c": comp, "id": 51803,
+                "ctx": row["ctx"], "msg": msg, "attr": attr}
+        out.append(json.dumps(line, separators=(",", ":")))
+    return out
+
+
+def write_raw_log_fixture(out_dir: str, n_rows: int, *, seed: int = 42,
+                          n_shards: int = 2, compress: bool = True,
+                          junk_every: int = 50) -> list[str]:
+    """Render the deterministic synthetic events as shard-named JSONL
+    log files (``shard-XX-YY`` in the name drives J2 lineage), with a
+    sprinkle of non-JSON junk lines (1 in ``junk_every``)."""
+    from .. import synth
+
+    os.makedirs(out_dir, exist_ok=True)
+    tbl = synth.generate_events_tok(n_rows, seed=seed, tok_mean=8)
+    lines = render_lines(tbl)
+    paths = []
+    per = (len(lines) + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        name = f"cluster0-shard-0{s}-00.log" + (".gz" if compress else "")
+        path = os.path.join(out_dir, name)
+        chunk = lines[s * per: (s + 1) * per]
+        buf_lines = []
+        for k, ln in enumerate(chunk):
+            if junk_every and k % junk_every == junk_every - 1:
+                buf_lines.append(f"plain text noise line {k}")
+            buf_lines.append(ln)
+        data = ("\n".join(buf_lines) + "\n").encode()
+        opener = gzip.open if compress else open
+        with opener(path, "wb") as fh:
+            fh.write(data)
+        paths.append(path)
+    return paths

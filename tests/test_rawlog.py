@@ -1,0 +1,120 @@
+"""Raw JSONL log ingestion (S2/S3/P1-P3/J2 parity): render the
+deterministic synthetic events to gzipped MongoDB-structured-log files,
+read them back through the raw-log source, and check the parsed stream
+reproduces the parquet-path sink aggregates."""
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from mlp_ray import synth
+from mlp_ray.sources import rawlog
+from mlp_ray.stages.classify import classify_batch
+
+N_ROWS = 3000
+
+
+@pytest.fixture(scope="module")
+def log_paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("rawlogs")
+    return rawlog.write_raw_log_fixture(str(d), N_ROWS, seed=7,
+                                        n_shards=2, compress=True)
+
+
+@pytest.fixture(scope="module")
+def parsed(log_paths):
+    import ray.data as rd  # noqa: F401  (ray initialised by conftest)
+    ds = rawlog.read_raw_logs(log_paths)
+    return pa.concat_tables(
+        b for b in ds.map_batches(rawlog.parse_batch,
+                                  batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+
+
+def test_parse_status_counts(parsed):
+    st = parsed["parse_status"].to_pylist()
+    n_junk = sum(1 for s in st if s == "non_json")
+    n_ok = sum(1 for s in st if s == "ok")
+    # 1 junk line injected per 50 rendered lines per shard
+    assert n_junk == N_ROWS // 50
+    assert n_ok == N_ROWS
+    assert len(st) == N_ROWS + n_junk
+
+
+def test_shard_lineage_from_filename(parsed):
+    src = set(pc.unique(parsed["source"]).to_pylist())
+    assert src == {"shard-00-00", "shard-01-00"}
+
+
+def _agg(df: pd.DataFrame, keys):
+    g = (df.groupby(keys, dropna=False)
+         .agg(count=("duration_ms", "size"),
+              dur_sum=("duration_ms", "sum"),
+              dur_max=("duration_ms", "max"))
+         .reset_index())
+    return g.sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+
+def test_roundtrip_sink_aggregates(parsed):
+    """classify(parsed raw logs) == classify(original parquet events)
+    on every order-independent sink dimension."""
+    orig = synth.generate_events_tok(N_ROWS, seed=7, tok_mean=8)
+    po = classify_batch(orig)
+    pr = classify_batch(parsed.filter(
+        pc.equal(parsed["parse_status"], "ok")))
+
+    for mask in ("r_ops", "r_txn", "r_conn", "r_error"):
+        assert pc.sum(po[mask]).as_py() == pc.sum(pr[mask]).as_py(), mask
+
+    cols = ["ns", "op", "app_name", "duration_ms"]
+    eo = _agg(po.filter(po["r_ops"]).select(cols).to_pandas(),
+              ["ns", "op", "app_name"])
+    er = _agg(pr.filter(pr["r_ops"]).select(cols).to_pandas(),
+              ["ns", "op", "app_name"])
+    pd.testing.assert_frame_equal(eo, er, check_dtype=False)
+
+    # error-code and txn dimensions
+    for keys, mask in ((["err_code_name"], "r_error"),
+                       (["txn_retry_counter", "termination_cause",
+                         "commit_type"], "r_txn")):
+        a = (po.filter(po[mask]).select(keys).to_pandas()
+             .value_counts(dropna=False).sort_index())
+        b = (pr.filter(pr[mask]).select(keys).to_pandas()
+             .value_counts(dropna=False).sort_index())
+        assert a.equals(b), keys
+
+    # redaction input survives the round trip (query shapes on Slow
+    # query lines, normalized; TTL rows carry no shape in a real log)
+    slow_o = po.filter(pc.equal(po["msg"], "Slow query"))
+    slow_r = pr.filter(pc.equal(pr["msg"], "Slow query"))
+    fo = sorted(
+        json.dumps(json.loads(x), sort_keys=True, separators=(",", ":"))
+        for x in slow_o["raw_filter_json"].to_pylist() if x)
+    fr = sorted(x for x in slow_r["raw_filter_json"].to_pylist() if x)
+    assert fo == fr
+
+
+def test_timestamps_and_ctx(parsed):
+    ok = parsed.filter(pc.equal(parsed["parse_status"], "ok"))
+    assert ok["ts"].null_count == 0
+    assert ok["ctx"].null_count == 0
+    orig = synth.generate_events_tok(N_ROWS, seed=7, tok_mean=8)
+    assert pc.min(ok["ts"]).as_py() == pc.min(orig["ts"]).as_py()
+    assert pc.max(ok["ts"]).as_py() == pc.max(orig["ts"]).as_py()
+
+
+def test_too_long_line_guard(tmp_path):
+    p = tmp_path / "big.log"
+    good = '{"t":{"$date":"2024-01-01T00:00:00.000+00:00"},"s":"I",' \
+           '"c":"CONTROL","id":1,"ctx":"conn1","msg":"noise","attr":{}}'
+    big = '{"pad":"' + "x" * (rawlog.MAX_LINE_BYTES + 10) + '"}'
+    p.write_text(good + "\n" + big + "\n")
+    ds = rawlog.read_raw_logs([str(p)])
+    out = pa.concat_tables(ds.map_batches(
+        rawlog.parse_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    st = out["parse_status"].to_pylist()
+    assert sorted(st) == ["ok", "too_long"]
