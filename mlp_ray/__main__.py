@@ -52,22 +52,23 @@ def cmd_analyze(args):
     ds = _load(args)
     cds = analyze.classify(ds, redact=not args.no_redact,
                            filter_config=fc, ns_filter=nf).materialize()
+    from . import report as report_mod
+
     results = {n: d.to_pandas()
                for n, d in analyze.sink_aggregates(cds).items()}
     results["app_conns"] = analyze.app_connection_stats(cds).to_pandas()
     results["slow_planning"] = analyze.slow_planning_topk(cds).to_pandas()
     results["driver_stats"] = analyze.driver_stats(cds).to_pandas()
+    results["ignored"] = analyze.ignored_histogram(cds).to_pandas()
+    results["processing_stats"] = analyze.processing_stats(cds)
     os.makedirs(args.out, exist_ok=True)
-    report = {}
     for name, df in results.items():
         df.to_csv(os.path.join(args.out, f"{name}.csv"), index=False)
-        report[name] = {"rows": len(df)}
-        print(f"== {name} ({len(df)} groups) ==")
-        srt = df.sort_values("count", ascending=False) \
-            if "count" in df.columns else df
-        print(srt.head(args.top).to_string())
-    with open(os.path.join(args.out, "report.json"), "w") as fh:
-        json.dump(report, fh, indent=2)
+    # K3 structured JSON report + K5 console tables
+    report_mod.write_json_report(
+        results, os.path.join(args.out, "report.json"),
+        source_files=list(args.inputs))
+    print(report_mod.console_report(results, top=args.top))
 
 
 def cmd_route(args):

@@ -1,0 +1,172 @@
+"""K3/K5 report layer: the reference's structured JSON report and
+console tables, built from the small final aggregate frames.
+
+Mirrors ``JsonReportGenerator.java:29-89`` — a metadata header plus one
+section per accumulator, every table sorted count-desc
+(``:110-113``), the query-hash section capped at the top 100
+(``:249-251``), operation-type stats carrying percentages
+(``:186-206``). R10 formatting helpers (bytes/duration → human,
+``LogRedactionUtil.java:470-620``) live here because they are
+report-layer only."""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import pandas as pd
+
+TOP_QUERY_HASHES = 100  # JsonReportGenerator.java:251
+
+
+# --- R10 formatting helpers -------------------------------------------------
+def human_bytes(n: float | int | None) -> str | None:
+    if n is None or pd.isna(n):
+        return None
+    n = float(n)
+    for unit in ("B", "KB", "MB", "GB", "TB", "PB"):
+        if abs(n) < 1024.0 or unit == "PB":
+            return f"{n:.1f} {unit}" if unit != "B" else f"{int(n)} B"
+        n /= 1024.0
+
+
+def human_duration(ms: float | int | None) -> str | None:
+    if ms is None or pd.isna(ms):
+        return None
+    ms = float(ms)
+    if ms < 1000:
+        return f"{ms:.0f}ms"
+    s = ms / 1000.0
+    if s < 60:
+        return f"{s:.1f}s"
+    m, s = divmod(s, 60.0)
+    if m < 60:
+        return f"{int(m)}m {s:.0f}s"
+    h, m = divmod(m, 60.0)
+    return f"{int(h)}h {int(m)}m"
+
+
+def _records(df: pd.DataFrame, *, sort_by: str | None = "count",
+             limit: int | None = None) -> list[dict[str, Any]]:
+    if df is None or df.empty:
+        return []
+    if sort_by and sort_by in df.columns:
+        df = df.sort_values(sort_by, ascending=False, kind="mergesort")
+    if limit:
+        df = df.head(limit)
+    out = df.where(pd.notna(df), None).to_dict("records")
+    for rec in out:  # JSON-safe scalars
+        for k, v in rec.items():
+            if hasattr(v, "item"):
+                rec[k] = v.item()
+            elif isinstance(v, pd.Timestamp):
+                rec[k] = v.isoformat()
+    return out
+
+
+def build_report(results: dict[str, pd.DataFrame], *,
+                 generated_at: str | None = None,
+                 source_files: list[str] | None = None) -> dict[str, Any]:
+    """Final aggregates → the reference-shaped JSON report document."""
+    main = results.get("main_ops", pd.DataFrame())
+    qh = results.get("query_hash", pd.DataFrame())
+    idx = results.get("index_stats", pd.DataFrame())
+    ops = results.get("op_stats", pd.DataFrame())
+
+    report: dict[str, Any] = {
+        "metadata": {
+            "generatedAt": generated_at,
+            "sourceFiles": source_files or [],
+            "engine": "mlp_ray",
+        },
+    }
+    if "processing_stats" in results and len(results["processing_stats"]):
+        report["processingStats"] = _records(
+            results["processing_stats"], sort_by=None)[0]
+
+    report["mainOperations"] = {
+        "summary": {
+            "totalOperations": int(main["count"].sum()) if len(main) else 0,
+            "uniqueOperationPatterns": len(main),
+            "totalDurationMs": (float(main["sum_duration_ms"].sum())
+                                if "sum_duration_ms" in main else None),
+        },
+        "operations": _records(main),
+    }
+    report["ttlOperations"] = _records(results.get("ttl"))
+
+    # operationTypeStats with percentages (JsonReportGenerator.java:186-206)
+    if ops is not None and len(ops):
+        total = int(ops["count"].sum())
+        rows = []
+        for rec in _records(ops):
+            rec["percentage"] = round(rec["count"] * 100.0 / total, 2)
+            rows.append(rec)
+        report["operationTypeStats"] = {"total": total, "types": rows}
+    else:
+        report["operationTypeStats"] = {"total": 0, "types": []}
+
+    report["queryHashAnalysis"] = {
+        "summary": {
+            "totalQueries": int(qh["count"].sum()) if len(qh) else 0,
+            "uniqueQueryHashes": (int(qh["query_hash"].nunique())
+                                  if "query_hash" in qh else 0),
+        },
+        # top-100 cap (JsonReportGenerator.java:249-251)
+        "queries": _records(qh, limit=TOP_QUERY_HASHES),
+    }
+    report["planCacheAnalysis"] = _records(results.get("plan_cache"))
+
+    coll_cnt = (int(idx["collscan_count"].sum())
+                if "collscan_count" in idx else 0)
+    idx_total = int(idx["count"].sum()) if len(idx) else 0
+    report["indexStats"] = {
+        "summary": {
+            "totalOperations": idx_total,
+            "collscanCount": coll_cnt,
+            "collscanPercent": (round(coll_cnt * 100.0 / idx_total, 2)
+                                if idx_total else 0.0),
+        },
+        "indexes": _records(idx),
+    }
+    report["errorCodes"] = _records(results.get("errors"))
+    report["transactions"] = _records(results.get("txn"))
+    if "app_conns" in results:
+        report["appNameConnections"] = _records(
+            results["app_conns"], sort_by="distinct_conn_count")
+    if "driver_stats" in results:
+        report["driverStats"] = _records(results["driver_stats"],
+                                         sort_by="conn_count")
+    if "slow_planning" in results:
+        report["slowPlanning"] = _records(results["slow_planning"],
+                                          sort_by="planning_time_us")
+    if "ignored" in results:
+        report["ignoredLines"] = _records(
+            results["ignored"].rename(columns={"count()": "count"}))
+    return report
+
+
+def write_json_report(results: dict[str, pd.DataFrame], path: str,
+                      **kw) -> dict[str, Any]:
+    rep = build_report(results, **kw)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(rep, fh, indent=2, default=str)
+    import os
+    os.replace(tmp, path)
+    return rep
+
+
+def console_report(results: dict[str, pd.DataFrame], *, top: int = 10) -> str:
+    """K5: fixed-width console tables per accumulator
+    (Accumulator.report, Accumulator.java:160-167)."""
+    lines = []
+    for name, df in results.items():
+        if df is None or not isinstance(df, pd.DataFrame) or df.empty:
+            continue
+        lines.append(f"== {name} ({len(df)} groups) ==")
+        srt = (df.sort_values("count", ascending=False, kind="mergesort")
+               if "count" in df.columns else df)
+        lines.append(srt.head(top).to_string())
+        lines.append("")
+    return "\n".join(lines)

@@ -24,12 +24,79 @@ import re
 import pyarrow as pa
 
 
+# R5: Atlas hostname redaction (redactAtlasHostname
+# LogRedactionUtil.java:325-341) — cluster id + region → xxx, the
+# structural parts (shard numbers, domain, port) survive.
+_ATLAS_RE = re.compile(
+    r"atlas-([a-z0-9]+)-shard-(\d+)-(\d+)\.([a-z0-9-]+)\.mongodb\.net"
+    r"(:\d+)?", re.IGNORECASE)
+
+
+def redact_atlas_hostname(s: str) -> str:
+    def sub(m: re.Match) -> str:
+        port = m.group(5) or ""
+        return f"atlas-xxx-shard-{m.group(2)}-{m.group(3)}.xxx.mongodb.net" \
+               f"{port}"
+    return _ATLAS_RE.sub(sub, s)
+
+
+# R8: truncation detector (isLogMessageTruncated
+# LogRedactionUtil.java:405-417,686-716) — nested ``truncated`` probe.
+def is_truncated(node) -> bool:
+    if isinstance(node, dict):
+        if "truncated" in node:
+            return True
+        return any(is_truncated(v) for v in node.values())
+    if isinstance(node, list):
+        return any(is_truncated(x) for x in node)
+    return False
+
+
+# R9: mongos/mongod source detector (detectQuerySource
+# LogRedactionUtil.java:625-681) — recursive probe for mongos markers.
+def detect_query_source(node) -> str:
+    def probe(x) -> bool:
+        if isinstance(x, dict):
+            if "mongos" in x or "fromMongos" in x:
+                return True
+            return any(probe(v) for v in x.values())
+        if isinstance(x, list):
+            return any(probe(v) for v in x)
+        return False
+    return "mongos" if probe(node) else "mongod"
+
+
+def annotate_json_col(batch: pa.Table, col: str = "props") -> pa.Table:
+    """Derived columns over a JSON-string column: ``is_truncated`` (R8)
+    and ``query_source`` (R9). Malformed/null rows → null flags."""
+    trunc: list[bool | None] = []
+    src: list[str | None] = []
+    for s in batch[col].to_pylist():
+        if s is None:
+            trunc.append(None)
+            src.append(None)
+            continue
+        try:
+            doc = json.loads(s)
+        except (ValueError, TypeError):
+            trunc.append(None)
+            src.append(None)
+            continue
+        trunc.append(is_truncated(doc))
+        src.append(detect_query_source(doc))
+    return (batch.append_column("is_truncated", pa.array(trunc, pa.bool_()))
+            .append_column("query_source", pa.array(src, pa.string())))
+
+
 class Redactor:
     """Actor-pool stage: raw_filter_json → sanitized_query + shape_hash."""
 
     # Keys whose values are preserved verbatim (reference PRESERVE_FIELDS
     # spirit, LogRedactionUtil.java:29-63): envelope/temporal markers.
     PRESERVE_VALUE_KEYS = frozenset({"$date", "$timestamp", "$oid"})
+    # host-valued keys: kept structurally but Atlas-redacted
+    # (redactPreservedHostname LogRedactionUtil.java:346-362)
+    HOST_KEYS = frozenset({"host", "remote", "syncSource"})
     REGEX_META = set("^$.*+?()[]{}|\\")
 
     def __init__(self, enabled: bool = True, source_col: str = "raw_filter_json",
@@ -79,6 +146,8 @@ class Redactor:
             for k, v in node.items():
                 if k in self.PRESERVE_VALUE_KEYS:
                     out[k] = v
+                elif k in self.HOST_KEYS and isinstance(v, str):
+                    out[k] = redact_atlas_hostname(v)
                 elif k == "$regularExpression" and isinstance(v, dict):
                     out[k] = {
                         "pattern": self.redact_regex_pattern(

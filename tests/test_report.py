@@ -1,0 +1,111 @@
+"""K3 JSON report, K5 console tables, R5/R8/R9/R10 helpers."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from mlp_ray import report
+from mlp_ray.stages import redact
+
+
+# --- R5: Atlas hostname redaction (LogRedactionUtilTest Atlas case) ----
+def test_atlas_hostname_redaction():
+    s = "atlas-abc123-shard-00-01.xyz9k.mongodb.net:27017"
+    assert redact.redact_atlas_hostname(s) == \
+        "atlas-xxx-shard-00-01.xxx.mongodb.net:27017"
+    # no port, embedded in text
+    s2 = "connecting to atlas-q3x-shard-02-00.ab-cd1.mongodb.net now"
+    assert redact.redact_atlas_hostname(s2) == \
+        "connecting to atlas-xxx-shard-02-00.xxx.mongodb.net now"
+    # non-Atlas hostnames pass through
+    assert redact.redact_atlas_hostname("db.internal:27017") == \
+        "db.internal:27017"
+
+
+def test_host_keys_redacted_in_walk():
+    r = redact.Redactor()
+    out = r.sanitize(json.dumps({
+        "host": "atlas-abc-shard-00-00.xy.mongodb.net",
+        "user": "alice"}))
+    doc = json.loads(out)
+    assert doc["host"] == "atlas-xxx-shard-00-00.xxx.mongodb.net"
+    assert doc["user"] == "xxx"
+
+
+# --- R8/R9: truncation + query-source detection ------------------------
+def test_truncation_and_source_detection():
+    assert redact.is_truncated({"a": {"truncated": {"errMsg": "x"}}})
+    assert not redact.is_truncated({"a": [1, 2, {"b": "c"}]})
+    assert redact.detect_query_source({"fromMongos": True}) == "mongos"
+    assert redact.detect_query_source(
+        {"x": [{"mongos": {"version": "7.0"}}]}) == "mongos"
+    assert redact.detect_query_source({"find": "coll"}) == "mongod"
+
+
+def test_annotate_json_col():
+    batch = pa.table({"props": [
+        json.dumps({"truncated": {}}),
+        json.dumps({"mongos": {}}),
+        "not json", None]})
+    out = redact.annotate_json_col(batch)
+    assert out["is_truncated"].to_pylist() == [True, False, None, None]
+    assert out["query_source"].to_pylist() == \
+        ["mongod", "mongos", None, None]
+
+
+# --- R10 formatting ----------------------------------------------------
+def test_human_formatters():
+    assert report.human_bytes(512) == "512 B"
+    assert report.human_bytes(2048) == "2.0 KB"
+    assert report.human_bytes(5 * 1024**3) == "5.0 GB"
+    assert report.human_duration(250) == "250ms"
+    assert report.human_duration(2500) == "2.5s"
+    assert report.human_duration(125000) == "2m 5s"
+    assert report.human_bytes(None) is None
+
+
+# --- K3 report structure -----------------------------------------------
+@pytest.fixture(scope="module")
+def results(fixture_paths, ray_session):
+    from mlp_ray.pipelines import analyze
+    return analyze.run_full_analysis(fixture_paths)
+
+
+def test_report_sections(results, tmp_path):
+    rep = report.write_json_report(results, str(tmp_path / "report.json"),
+                                   source_files=["a.parquet"])
+    for section in ("metadata", "processingStats", "mainOperations",
+                    "ttlOperations", "operationTypeStats",
+                    "queryHashAnalysis", "planCacheAnalysis", "indexStats",
+                    "errorCodes", "transactions", "appNameConnections",
+                    "driverStats", "slowPlanning", "ignoredLines"):
+        assert section in rep, section
+    # round-trips through json
+    loaded = json.loads((tmp_path / "report.json").read_text())
+    assert loaded["metadata"]["sourceFiles"] == ["a.parquet"]
+
+    mo = rep["mainOperations"]
+    assert mo["summary"]["totalOperations"] == sum(
+        r["count"] for r in mo["operations"])
+    assert mo["summary"]["uniqueOperationPatterns"] == len(mo["operations"])
+    # sorted count-desc (JsonReportGenerator.java:110-113)
+    counts = [r["count"] for r in mo["operations"]]
+    assert counts == sorted(counts, reverse=True)
+
+    # top-100 cap (JsonReportGenerator.java:249-251)
+    assert len(rep["queryHashAnalysis"]["queries"]) <= report.TOP_QUERY_HASHES
+    assert rep["queryHashAnalysis"]["summary"]["totalQueries"] >= sum(
+        r["count"] for r in rep["queryHashAnalysis"]["queries"][:5])
+
+    # operation-type percentages sum to ~100 (JsonReportGenerator.java:186)
+    types = rep["operationTypeStats"]["types"]
+    assert abs(sum(t["percentage"] for t in types) - 100.0) < 0.5
+
+    idx = rep["indexStats"]["summary"]
+    assert 0.0 <= idx["collscanPercent"] <= 100.0
+
+
+def test_console_report(results):
+    txt = report.console_report(results, top=3)
+    assert "main_ops" in txt and "errors" in txt
