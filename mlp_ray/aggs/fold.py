@@ -25,10 +25,12 @@ resolved by ``doc_id`` order (min doc_id first-wins; arg-max by
 ``(value, doc_id)``), never arrival order — the reference is
 thread-timing-dependent here (``LogLineAccumulator.java:294-331``).
 
-p95 is exact over all group values, not the reference's first-10k
-sample (``LogLineAccumulator.java:75``) — a documented deviation; at
-10^12-row scale swap ``p95_exact=False`` to fold a fixed-width
-histogram sketch instead of raw value arrays.
+p95 is exact over all group values by default, not the reference's
+first-10k sample (``LogLineAccumulator.java:75``) — a documented
+deviation. At 10^12-row scale pass ``p95_mode="sketch"``: partials
+then carry a fixed 4096-bin log-spaced histogram per group (bounded
+state, ~0.7% bin width) instead of raw value arrays whose shuffle
+volume grows with the data.
 """
 
 from __future__ import annotations
@@ -64,6 +66,14 @@ class FoldSpec:
     # pinned so every partial/final block has an identical Arrow schema
     # regardless of which groups a block happens to contain
     col_dtypes: dict[str, str] = field(default_factory=dict)
+    # "exact": partials carry raw value arrays (golden-parity default).
+    # "sketch": partials carry a fixed-width log-spaced histogram per
+    # group — bounded state for 10^12-row scale; error = ~0.7% bin
+    # width + rank quantization that vanishes as groups grow. The same
+    # trade the reference makes with its first-10k sample cap
+    # (LogLineAccumulator.java:75), but deterministic and
+    # merge-order-independent.
+    p95_mode: str = "exact"
 
     def _dtype(self, col: str) -> str:
         return self.col_dtypes.get(col, "string")
@@ -118,10 +128,20 @@ class FoldSpec:
                 v = df[m].to_numpy(dtype=np.float64, na_value=np.nan)
                 valid = ~np.isnan(v)
                 gv, vv = ng[valid], v[valid]
-                order = np.argsort(gv, kind="stable")
-                counts = np.bincount(gv, minlength=n_groups)
-                out[f"_vals_{m}"] = np.split(vv[order],
-                                             np.cumsum(counts)[:-1])
+                if self.p95_mode == "sketch":
+                    # per-group log-histogram: (group, bin) bincount in
+                    # one shot, rows of the 2-D array are the sketches
+                    bins = _sketch_bin(vv)
+                    flat = np.bincount(
+                        gv * _SKETCH_BINS + bins,
+                        minlength=n_groups * _SKETCH_BINS)
+                    out[f"_vals_{m}"] = list(
+                        flat.reshape(n_groups, _SKETCH_BINS))
+                else:
+                    order = np.argsort(gv, kind="stable")
+                    counts = np.bincount(gv, minlength=n_groups)
+                    out[f"_vals_{m}"] = np.split(vv[order],
+                                                 np.cumsum(counts)[:-1])
         for c, out_name in self.bool_count_cols.items():
             w = df[c].fillna(False).to_numpy(dtype=np.float64)
             out[f"_bsum_{c}"] = np.bincount(
@@ -221,7 +241,9 @@ class FoldSpec:
             if "avg" in stats:
                 out[f"avg_{m}"] = (s / cnt).where(pos)
             if "p95" in stats:
-                out[f"p95_{m}"] = g[f"_vals_{m}"].apply(_p95_of_arrays)
+                fn = (_p95_of_sketches if self.p95_mode == "sketch"
+                      else _p95_of_arrays)
+                out[f"p95_{m}"] = g[f"_vals_{m}"].apply(fn)
         for c, out_name in self.bool_count_cols.items():
             out[out_name] = g[f"_bsum_{c}"].sum()
         for c in self.countmap_cols:
@@ -271,6 +293,35 @@ def _p95_of_arrays(s: pd.Series):
     if not arrs:
         return np.nan
     return float(np.quantile(np.concatenate(arrs), 0.95))
+
+
+# --- bounded-state p95 sketch (scale path) ---------------------------------
+# log-spaced bins covering [0, ~1e12) with ~0.7% bin width: bounded
+# per-group partial state (_SKETCH_BINS ints) regardless of group size
+_SKETCH_BINS = 4096
+_SKETCH_SCALE = _SKETCH_BINS / np.log1p(1e12)
+
+
+def _sketch_bin(v: np.ndarray) -> np.ndarray:
+    return np.minimum((np.log1p(np.maximum(v, 0.0)) *
+                       _SKETCH_SCALE).astype(np.int64), _SKETCH_BINS - 1)
+
+
+def _sketch_value(b: np.ndarray | float):
+    return np.expm1((np.asarray(b, dtype=np.float64) + 0.5) / _SKETCH_SCALE)
+
+
+def _p95_of_sketches(s: pd.Series):
+    hists = [np.asarray(h, dtype=np.int64) for h in s if h is not None]
+    if not hists:
+        return np.nan
+    h = np.sum(hists, axis=0)
+    total = int(h.sum())
+    if total == 0:
+        return np.nan
+    cum = np.cumsum(h)
+    b = int(np.searchsorted(cum, 0.95 * total))
+    return float(_sketch_value(b))
 
 
 def _union_countmaps(s: pd.Series) -> str:

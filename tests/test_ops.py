@@ -159,3 +159,30 @@ def test_ivf_topk_recall(emb_ds, emb_df):
         # approximate: require decent recall and the self-match
         assert qid in got
         assert len(got & exact) >= 3
+
+
+def test_p95_sketch_close_to_exact(fixture_paths, ray_session):
+    """p95_mode='sketch' (bounded-state scale path) tracks the exact
+    two-phase fold closely: bin width is ~0.7%, plus rank-quantization
+    error on small groups (the sketch returns an order statistic at
+    the ceil rank, exact interpolates) that vanishes as groups grow
+    toward the scale the sketch exists for."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from mlp_ray.aggs.fold import FoldSpec, run_fold
+
+    ds = rd.read_parquet(fixture_paths,
+                         columns=["doc_id", "ns", "duration_ms"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["duration_ms"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    exact = run_fold(ds, FoldSpec(
+        keys=["ns"], metrics={"duration_ms": ("p95",)})).to_pandas()
+    sk = run_fold(ds, FoldSpec(
+        keys=["ns"], metrics={"duration_ms": ("p95",)},
+        p95_mode="sketch")).to_pandas()
+    m = exact.merge(sk, on="ns", suffixes=("_e", "_s"))
+    assert len(m) == len(exact) > 0
+    rel = ((m["p95_duration_ms_s"] - m["p95_duration_ms_e"]).abs()
+           / m["p95_duration_ms_e"].clip(lower=1.0))
+    assert rel.max() < 0.05, m[rel > 0.05]
