@@ -28,17 +28,28 @@ def _init_ray(num_cpus):
 
 def _load(args):
     """Input front door: parquet events, or raw JSONL logs (--raw-logs,
-    gzip transparent) parsed into the same schema."""
+    gzip transparent) parsed into the same schema.  ``--limit N`` stops
+    each input file after N rows (the reference's per-file --limit,
+    LogParser.java:117-118,634-638): limit per source, then union."""
     from .pipelines import analyze
+
+    limit = getattr(args, "limit", None)
+
+    def maybe_union(load_one):
+        if not limit:
+            return load_one(args.inputs)
+        parts = [load_one([p]).limit(limit) for p in args.inputs]
+        ds = parts[0]
+        return ds.union(*parts[1:]) if len(parts) > 1 else ds
 
     if args.raw_logs:
         import pyarrow.compute as pc
         from .sources import rawlog
-        ds = rawlog.read_raw_logs(args.inputs)
+        ds = maybe_union(rawlog.read_raw_logs)
         return ds.map_batches(rawlog.parse_batch, batch_format="pyarrow") \
             .map_batches(lambda t: t.filter(
                 pc.equal(t["parse_status"], "ok")), batch_format="pyarrow")
-    return analyze.load_events(args.inputs)
+    return maybe_union(analyze.load_events)
 
 
 def cmd_analyze(args):
@@ -110,6 +121,8 @@ def main(argv=None):
         sp.add_argument("--raw-logs", action="store_true",
                         help="inputs are JSONL mongod logs (.gz ok), "
                              "not parquet")
+        sp.add_argument("--limit", type=int, default=None,
+                        help="stop each input file after N rows")
 
     sp = sub.add_parser("analyze")
     common(sp)

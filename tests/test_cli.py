@@ -1,0 +1,38 @@
+"""CLI surface: analyze with --limit (S4 per-file limit) and raw-log
+mode, run as a real subprocess (the CLI owns its own Ray session)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*argv):
+    return subprocess.run(
+        [sys.executable, "-m", "mlp_ray", *argv],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "RAY_GRAFT_CPUS": "4"})
+
+
+def test_analyze_with_limit(fixture_paths, tmp_path):
+    out = str(tmp_path / "rep")
+    p = _run("analyze", *fixture_paths, "--limit", "500", "--out", out)
+    assert p.returncode == 0, p.stderr[-2000:]
+    rep = json.load(open(os.path.join(out, "report.json")))
+    # per-file limit: N rows from each input file
+    assert rep["processingStats"]["total_lines"] == 500 * len(fixture_paths)
+    assert rep["mainOperations"]["summary"]["totalOperations"] > 0
+
+
+def test_analyze_raw_logs(tmp_path):
+    from mlp_ray.sources import rawlog
+    logs = rawlog.write_raw_log_fixture(str(tmp_path / "logs"), 2000,
+                                        seed=5, n_shards=2)
+    out = str(tmp_path / "rep")
+    p = _run("analyze", *logs, "--raw-logs", "--out", out, "--top", "2")
+    assert p.returncode == 0, p.stderr[-2000:]
+    rep = json.load(open(os.path.join(out, "report.json")))
+    assert rep["processingStats"]["total_lines"] == 2000
+    assert rep["operationTypeStats"]["total"] > 0
