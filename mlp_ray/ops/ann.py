@@ -71,13 +71,35 @@ def _global_topk(k: int):
     return fn
 
 
+# Per-worker-process scorer cache: the query matrix is broadcast ONCE
+# via ray.put and materialized once per worker, but the stage runs in
+# the reusable task pool (fuses with the read, no actor cold-start) —
+# the same pattern as route._fused_route_task.
+_SCORER_CACHE: dict = {}
+
+
+def _cached_scorer(key, build):
+    sc = _SCORER_CACHE.get(key)
+    if sc is None:
+        if len(_SCORER_CACHE) > 16:
+            _SCORER_CACHE.clear()
+        sc = build()
+        _SCORER_CACHE[key] = sc
+    return sc
+
+
 def brute_force_topk(ds: rd.Dataset, queries: np.ndarray,
                      query_ids, k: int = 10) -> rd.Dataset:
     """Exact cosine top-k: (query_id, vec_id, score, rank)."""
-    partial = ds.map_batches(
-        BruteForceScorer, batch_format="pyarrow", concurrency=(1, 8),
-        fn_constructor_kwargs={"queries": queries, "query_ids": query_ids,
-                               "k": k})
+    ref = ray.put((np.asarray(queries, dtype=np.float64),
+                   np.asarray(query_ids, dtype=np.int64)))
+
+    def score(batch: pa.Table, _ref=ref, _k=k):
+        sc = _cached_scorer((_ref, _k),
+                            lambda: BruteForceScorer(*ray.get(_ref), k=_k))
+        return sc(batch)
+
+    partial = ds.map_batches(score, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(_global_topk(k),
                                                   batch_format="pandas")
 
@@ -119,6 +141,41 @@ def train_centroids(ds: rd.Dataset, n_centroids: int, *, iters: int = 3,
     return cent
 
 
+class IvfScorer(BruteForceScorer):
+    """Probe-limited scorer: search only vectors whose centroid falls
+    in each query's ``nprobe`` nearest centroid buckets."""
+
+    def __init__(self, queries, query_ids, k, centroids, probe_sets):
+        super().__init__(queries, query_ids, k)
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.probe_sets = probe_sets
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        x = _normalize(_stack(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        assign = (x @ self.centroids.T).argmax(axis=1)
+        out = []
+        for j, qid in enumerate(self.query_ids):
+            mask = np.isin(assign, list(self.probe_sets[j]))
+            if not mask.any():
+                continue
+            s = (x[mask] @ self.q[j])
+            sub_ids = ids[mask]
+            order = np.lexsort((sub_ids, -s))[:self.k]
+            for i in order:
+                out.append({"query_id": int(qid),
+                            "vec_id": int(sub_ids[i]),
+                            "score": round(float(s[i]), 6)})
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        df = pd.DataFrame(out)
+        df["query_id"] = df["query_id"].astype("int64")
+        df["vec_id"] = df["vec_id"].astype("int64")
+        return df
+
+
 def ivf_topk(ds: rd.Dataset, queries: np.ndarray, query_ids,
              centroids: np.ndarray, k: int = 10,
              nprobe: int = 4) -> rd.Dataset:
@@ -126,39 +183,17 @@ def ivf_topk(ds: rd.Dataset, queries: np.ndarray, query_ids,
     each query's ``nprobe`` nearest centroids."""
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    c_ref = ray.put(centroids)
     probe_sets = [set(map(int, row)) for row in probe]
+    ref = ray.put((np.asarray(queries, dtype=np.float64),
+                   np.asarray(query_ids, dtype=np.int64),
+                   np.asarray(centroids, dtype=np.float64), probe_sets))
 
-    class Scorer(BruteForceScorer):
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            c = ray.get(c_ref)
-            x = _normalize(_stack(batch["embedding"]))
-            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            assign = (x @ c.T).argmax(axis=1)
-            out = []
-            for j, qid in enumerate(self.query_ids):
-                mask = np.isin(assign, list(probe_sets[j]))
-                if not mask.any():
-                    continue
-                s = (x[mask] @ self.q[j])
-                sub_ids = ids[mask]
-                order = np.lexsort((sub_ids, -s))[:self.k]
-                for i in order:
-                    out.append({"query_id": int(qid),
-                                "vec_id": int(sub_ids[i]),
-                                "score": round(float(s[i]), 6)})
-            if not out:
-                return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                                     "vec_id": pd.Series(dtype="int64"),
-                                     "score": pd.Series(dtype="float64")})
-            df = pd.DataFrame(out)
-            df["query_id"] = df["query_id"].astype("int64")
-            df["vec_id"] = df["vec_id"].astype("int64")
-            return df
+    def score(batch: pa.Table, _ref=ref, _k=k):
+        def build():
+            qs, qi, cent, ps = ray.get(_ref)
+            return IvfScorer(qs, qi, _k, cent, ps)
+        return _cached_scorer((_ref, _k, "ivf"), build)(batch)
 
-    partial = ds.map_batches(
-        Scorer, batch_format="pyarrow", concurrency=(1, 8),
-        fn_constructor_kwargs={"queries": queries, "query_ids": query_ids,
-                               "k": k})
+    partial = ds.map_batches(score, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(_global_topk(k),
                                                   batch_format="pandas")
