@@ -37,6 +37,9 @@ def main(argv=None):
                     help="parquet file, directory, or glob")
     ap.add_argument("--out", required=True)
     ap.add_argument("--no-redact", action="store_true")
+    ap.add_argument("--commit-every", type=int, default=512,
+                    help="manifest commit cadence in partitions; a "
+                         "killed job loses at most one wave")
     ap.add_argument("--sink-agg", default="main_ops",
                     help="'main_ops' (duration fold over the routed ops "
                          "sink, column-pruned) or 'none'")
@@ -58,7 +61,8 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     lin = route.route_partitioned(paths, args.out,
-                                  redact=not args.no_redact)
+                                  redact=not args.no_redact,
+                                  commit_every=args.commit_every)
     summary = {
         "routed_partitions": int(lin["partition_id"].nunique())
         if len(lin) else 0,

@@ -258,38 +258,12 @@ def invalidate_partitions(out_dir: str, pids) -> None:
                     os.remove(p)
 
 
-def route_partitioned(input_files: list[str], out_dir: str, *,
-                      redact: bool = True, concurrency: int | tuple = (1, 8),
-                      batch_size: int | None = None,
-                      filter_config=None, ns_filter=None,
-                      use_actors: bool = False,
-                      override_num_blocks: int | None = None) -> pd.DataFrame:
-    """Route every not-yet-completed input partition in one streaming
-    pipeline; returns lineage (one row per partition × sink).
-
-    Defaults are the fast path: ``use_actors=False`` lets Ray Data FUSE
-    the parquet read with the route stage into one task
-    (``ReadParquet->MapBatches``), so the heavy tokens column goes
-    disk → task heap → sink file without ever entering the object
-    store; ``batch_size=None`` keeps whole read blocks as batches
-    (no coalesce barrier, bigger sink files).  Flip ``use_actors=True``
-    when the stage state becomes expensive enough to amortize actor
-    startup (e.g. a real model or a large enrichment dict)."""
-    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
-    done = completed_partitions(out_dir)
-    todo = [p for p in input_files if _partition_id(p) not in done]
-    if not todo:
-        return pd.DataFrame(columns=["partition_id", "sink", "rows_out",
-                                     "bytes_out", "batches", "wall_ms"])
-    # clear stale partial output from a previous crashed attempt
-    for path in todo:
-        pid = _partition_id(path)
-        for sink in ROUTES:
-            pdir = os.path.join(out_dir, sink, f"part={pid}")
-            if os.path.isdir(pdir):
-                shutil.rmtree(pdir)
+def _route_wave(wave: list[str], out_dir: str, *, redact, concurrency,
+                batch_size, filter_config, ns_filter, use_actors,
+                override_num_blocks) -> pd.DataFrame:
+    """One streaming pipeline over one wave of input partitions."""
     t0 = time.perf_counter()
-    ds = rd.read_parquet(todo, columns=ATTR_COLUMNS + ["tokens", "n_tok"],
+    ds = rd.read_parquet(wave, columns=ATTR_COLUMNS + ["tokens", "n_tok"],
                          include_paths=True,
                          override_num_blocks=override_num_blocks)
     if use_actors:
@@ -314,25 +288,80 @@ def route_partitioned(input_files: list[str], out_dir: str, *,
            .agg(rows_out=("rows_out", "sum"), bytes_out=("bytes_out", "sum"),
                 batches=("rows_out", "size")))
     lin["wall_ms"] = wall_ms
-    # one atomic JSONL commit for the whole batch of partitions —
-    # vectorized build, O(1) files (a per-partition .json loop was a
-    # 40 s driver-side stall at 3k input files)
+    return lin
+
+
+def _commit_wave(wave: list[str], lin: pd.DataFrame, out_dir: str) -> None:
+    # one atomic JSONL commit per wave — vectorized build, O(waves)
+    # manifest files (a per-partition .json loop was a 40 s driver-side
+    # stall at 3k input files)
     sink_map: dict[str, dict[str, int]] = {}
     for pid, sink, rows in zip(lin["partition_id"], lin["sink"],
                                lin["rows_out"]):
         sink_map.setdefault(pid, {})[sink] = int(rows)
+    wall_ms = float(lin["wall_ms"].iloc[0]) if len(lin) else 0.0
     mpath = os.path.join(_manifest_dir(out_dir),
                          f"commit-{uuid.uuid4().hex[:12]}.jsonl")
     tmp = mpath + ".tmp"
     with open(tmp, "w") as fh:
-        for path in todo:
+        for path in wave:
             pid = _partition_id(path)
             fh.write(json.dumps({
                 "partition_id": pid, "status": "complete", "input": path,
                 "sinks": sink_map.get(pid, {}), "wall_ms": wall_ms,
             }) + "\n")
     os.replace(tmp, mpath)
-    return lin
+
+
+def route_partitioned(input_files: list[str], out_dir: str, *,
+                      redact: bool = True, concurrency: int | tuple = (1, 8),
+                      batch_size: int | None = None,
+                      filter_config=None, ns_filter=None,
+                      use_actors: bool = False,
+                      commit_every: int | None = None,
+                      override_num_blocks: int | None = None) -> pd.DataFrame:
+    """Route every not-yet-completed input partition; returns lineage
+    (one row per partition × sink).
+
+    Defaults are the fast path: ``use_actors=False`` lets Ray Data FUSE
+    the parquet read with the route stage into one task
+    (``ReadParquet->MapBatches``), so the heavy tokens column goes
+    disk → task heap → sink file without ever entering the object
+    store; ``batch_size=None`` keeps whole read blocks as batches
+    (no coalesce barrier, bigger sink files).  Flip ``use_actors=True``
+    when the stage state becomes expensive enough to amortize actor
+    startup (e.g. a real model or a large enrichment dict).
+
+    ``commit_every=N`` processes the input in waves of N partitions and
+    commits the manifest after each wave, so a killed job loses at most
+    one in-flight wave instead of the whole run. Each wave is its own
+    pipeline (~1-2 s fixed cost), so size waves to hundreds of files on
+    long jobs; ``None`` (default) = single wave, used by short benches."""
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    done = completed_partitions(out_dir)
+    todo = [p for p in input_files if _partition_id(p) not in done]
+    if not todo:
+        return pd.DataFrame(columns=["partition_id", "sink", "rows_out",
+                                     "bytes_out", "batches", "wall_ms"])
+    # clear stale partial output from a previous crashed attempt
+    for path in todo:
+        pid = _partition_id(path)
+        for sink in ROUTES:
+            pdir = os.path.join(out_dir, sink, f"part={pid}")
+            if os.path.isdir(pdir):
+                shutil.rmtree(pdir)
+    step = commit_every or len(todo)
+    lins = []
+    for w0 in range(0, len(todo), step):
+        wave = todo[w0:w0 + step]
+        lin = _route_wave(wave, out_dir, redact=redact,
+                          concurrency=concurrency, batch_size=batch_size,
+                          filter_config=filter_config, ns_filter=ns_filter,
+                          use_actors=use_actors,
+                          override_num_blocks=override_num_blocks)
+        _commit_wave(wave, lin, out_dir)
+        lins.append(lin)
+    return pd.concat(lins, ignore_index=True)
 
 
 def read_sink(out_dir: str, sink: str, columns: list[str] | None = None):

@@ -66,3 +66,39 @@ def test_route_and_resume(fixture_paths, tmp_path):
     # full equality still holds after resume
     assert _routed_doc_ids(out, "slow_ops") == sorted(
         cdf.loc[cdf["r_ops"], "doc_id"])
+
+
+def test_crash_midrun_resumes_committed_waves(fixture_paths, tmp_path,
+                                              monkeypatch):
+    """With wave commits (commit_every), a crash mid-run keeps every
+    committed wave: the resume run processes ONLY the lost tail, and
+    the final output equals a clean single run."""
+    out = str(tmp_path / "routed")
+    calls = {"n": 0}
+    real_wave = route._route_wave
+
+    def dying_wave(wave, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated mid-run kill")
+        return real_wave(wave, *a, **kw)
+
+    monkeypatch.setattr(route, "_route_wave", dying_wave)
+    try:
+        route.route_partitioned(fixture_paths, out, commit_every=1)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(route, "_route_wave", real_wave)
+
+    committed = route.completed_partitions(out)
+    assert len(committed) == 1  # wave 1 survived the crash
+
+    lin2 = route.route_partitioned(fixture_paths, out, commit_every=1)
+    # resume touched only the partitions the crash lost
+    assert set(lin2["partition_id"]) == {
+        os.path.splitext(os.path.basename(p))[0]
+        for p in fixture_paths} - set(committed)
+
+    cdf = oracle.classify_df(oracle.load(fixture_paths))
+    assert _routed_doc_ids(out, "slow_ops") == sorted(
+        cdf.loc[cdf["r_ops"], "doc_id"])
