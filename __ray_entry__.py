@@ -51,12 +51,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": Q.doc_exact_dedup,
         "doc_minhash_dedup": Q.doc_minhash_dedup,        # rows-only
         "doc_simhash_dedup": Q.doc_simhash_dedup,        # rows-only
+        "doc_ngram_jaccard": Q.doc_ngram_jaccard,        # rows-only
         "emb_near_dup": Q.emb_near_dup,                  # rows-only
         # similarity search
         "ann_topk": Q.ann_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,                  # rows-only (approx)
         # multimodal plumbing (decode stub; rows-only)
         "media_features": Q.media_features,
+        "media_resize": Q.media_resize,
         "media_frame_plan": Q.media_frame_plan,
         # trim tool + flagship sinks (rows-only; golden-checked in
         # tests/test_flagship_golden.py against the pure-Python oracle)

@@ -76,6 +76,44 @@ class MediaDecoder:
         })
 
 
+class Resizer:
+    """Actor-pool stage: resize plan/execution for image payloads.
+
+    Real resampling needs the absent codec libs; the stub computes the
+    REAL metadata transform (target dims preserving aspect ratio,
+    scale factors) and emits a deterministic fake resized payload (a
+    size-proportional slice of the original bytes) — schema, batch
+    sizing, and output layout match what a PIL-backed version returns.
+    """
+
+    def __init__(self, max_side: int = 256, real: bool = False):
+        if real:
+            raise NotImplementedError(
+                "real image resizing requires PIL/opencv, not present in "
+                "this environment; use real=False for the metadata-true "
+                "stub")
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        new_w = np.maximum(1, np.round(w * scale).astype(np.int32))
+        new_h = np.maximum(1, np.round(h * scale).astype(np.int32))
+        payloads = batch["payload"].to_pylist()
+        ratio = (new_w.astype(np.float64) * new_h) / np.maximum(w * h, 1)
+        resized = [p[: max(1, int(len(p) * r))]
+                   for p, r in zip(payloads, ratio)]
+        return pa.table({
+            "media_id": batch["media_id"],
+            "media_type": batch["media_type"],
+            "width": pa.array(new_w, pa.int32()),
+            "height": pa.array(new_h, pa.int32()),
+            "scale": pa.array(scale, pa.float64()),
+            "payload": pa.array(resized, pa.binary()),
+        })
+
+
 class FrameSampler:
     """Actor-pool stage: deterministic frame/segment sampling plan.
 

@@ -334,6 +334,24 @@ def media_features(sf_dir: str) -> pd.DataFrame:
             .to_pandas())
 
 
+def media_resize(sf_dir: str) -> pd.DataFrame:
+    from ..ops.multimodal import Resizer, synth_media_table
+    tbl = synth_media_table(256)
+    out = (rd.from_arrow(tbl)
+           .map_batches(Resizer, batch_format="pyarrow",
+                        batch_size=64, concurrency=(1, 4))
+           .to_pandas())
+    return out.drop(columns=["payload"]).assign(
+        payload_bytes=[len(p) for p in out["payload"]])
+
+
+def doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH candidates verified with exact n-gram Jaccard."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cand = dedup.minhash_lsh_candidates(docs).to_pandas()
+    return dedup.ngram_jaccard_verify(docs, cand, threshold=0.5)
+
+
 def media_frame_plan(sf_dir: str) -> pd.DataFrame:
     from ..ops.multimodal import FrameSampler, synth_media_table
     tbl = synth_media_table(256)

@@ -65,3 +65,33 @@ def test_trim_pipeline_row_preserving():
     sample = out.take(3)
     for r in sample:
         assert json.loads(r["trimmed"]) is not None
+
+
+def test_resizer(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from mlp_ray.ops.multimodal import Resizer, synth_media_table
+
+    tbl = synth_media_table(64, seed=3)
+    out = (rd.from_arrow(tbl)
+           .map_batches(Resizer, batch_format="pyarrow", batch_size=32,
+                        fn_constructor_kwargs={"max_side": 128},
+                        concurrency=(1, 2)).to_pandas())
+    assert len(out) == 64
+    assert (out[["width", "height"]].max(axis=1) <= 128).all()
+    # aspect ratio preserved within integer rounding
+    orig = tbl.to_pandas()
+    merged = out.merge(orig, on="media_id", suffixes=("_n", ""))
+    ar_new = merged["width_n"] / merged["height_n"]
+    ar_old = merged["width"] / merged["height"]
+    assert np.allclose(ar_new, ar_old, rtol=0.15)
+    # payload shrinks proportionally, never empty
+    assert (merged["payload_n"].str.len() >= 1).all()
+    # already-small images untouched
+    small = merged[(merged["width"] <= 128) & (merged["height"] <= 128)]
+    if len(small):
+        assert (small["scale"] == 1.0).all()
+
+    import pytest
+    with pytest.raises(NotImplementedError):
+        Resizer(real=True)
