@@ -215,6 +215,58 @@ class FoldSpec:
         return pd.DataFrame(cols)
 
     # ------------------------------------------------------------------
+    def combine_partials(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Merge partial rows into FEWER partial rows (one per group) —
+        the format is closed under this merge, which is what makes the
+        two-level (salted) reduction possible: at 10^12 rows a hot
+        group owns one partial per block (~15M rows); a first-level
+        combine keyed on hash(key, salt) caps any single task's fan-in
+        before the final merge."""
+        df = df.drop(columns=["_bucket"], errors="ignore")
+        if df.empty:
+            return df
+        g = df.groupby(self.keys, dropna=False, sort=False)
+        out = g["count"].sum().rename("count").to_frame()
+        for m, stats in self.metrics.items():
+            out[f"_cnt_{m}"] = g[f"_cnt_{m}"].sum()
+            for s, fn in (("sum", "sum"), ("min", "min"), ("max", "max")):
+                c = f"_{s}_{m}"
+                if c in df.columns:
+                    out[c] = getattr(g[c], fn)()
+            if f"_vals_{m}" in df.columns:
+                if self.p95_mode == "sketch":
+                    out[f"_vals_{m}"] = g[f"_vals_{m}"].apply(
+                        lambda s: np.sum([np.asarray(h, dtype=np.int64)
+                                          for h in s if h is not None],
+                                         axis=0))
+                else:
+                    out[f"_vals_{m}"] = g[f"_vals_{m}"].apply(
+                        lambda s: np.concatenate(
+                            [np.asarray(a, dtype=np.float64) for a in s
+                             if a is not None and len(a)] or
+                            [np.empty(0)]))
+        for c in self.bool_count_cols:
+            out[f"_bsum_{c}"] = g[f"_bsum_{c}"].sum()
+        for c in self.countmap_cols:
+            out[f"_map_{c}"] = g[f"_map_{c}"].apply(_union_countmaps)
+        for kind, cols in (("first", self.first_cols),
+                           ("last", self.last_cols)):
+            for c in cols:
+                ocol, vcol = f"_{kind}_ord_{c}", f"_{kind}_val_{c}"
+                sub = df[df[ocol].notna()].sort_values(
+                    ocol, ascending=(kind == "first"), kind="mergesort")
+                picked = sub.drop_duplicates(self.keys, keep="first") \
+                    .set_index(self.keys)[[vcol, ocol]]
+                out = out.join(picked)
+        if self.sample_by:
+            sub = df[df["_smp_ord"].notna()].sort_values(
+                ["_smp_val", "_smp_ord"], ascending=False, kind="mergesort")
+            picked = sub.drop_duplicates(self.keys, keep="first") \
+                .set_index(self.keys)[["_smp_ord", "_smp_val"]]
+            out = out.join(picked)
+        return self._cast_partial(out.reset_index())
+
+    # ------------------------------------------------------------------
     def merge_bucket(self, df: pd.DataFrame) -> pd.DataFrame:
         """Merge ALL groups of one hash bucket with vectorized pandas —
         one groupby over the bucket's partial rows, per-group Python
@@ -333,28 +385,58 @@ def _union_countmaps(s: pd.Series) -> str:
 
 
 def run_fold(ds, spec: FoldSpec, *, batch_size: int = 131072,
-             num_buckets: int = 64):
+             num_buckets: int = 64, salt: int = 1):
     """Apply the two-phase fold to a Ray Dataset → Dataset of final rows.
 
     The merge shuffle is keyed on ``hash(keys) % num_buckets`` rather
     than the raw keys: each bucket task receives whole groups and merges
     ALL of them with one vectorized pandas groupby (``merge_bucket``) —
     per-group Python frame construction would serialize the merge and
-    flatten the 8→32 CPU scaling curve."""
+    flatten the 8→32 CPU scaling curve.
+
+    ``salt > 1`` inserts a salted first-level combine: partials are
+    hashed on (key, salt) into ``num_buckets × salt`` fine buckets and
+    reduced with ``combine_partials`` (partial→partial, one row per
+    group per fine bucket) before the final merge. A hot key that owns
+    half the corpus then costs any single task at most
+    ``#blocks / salt`` partial rows at level 1 and ``salt`` rows at the
+    final merge — the north rule's salted-key skew mitigation. Use with
+    ``p95_mode='sketch'`` at scale so the combined state stays bounded
+    (exact mode still concatenates value arrays)."""
     partials = ds.map_batches(spec.partial, batch_format="pyarrow",
                               batch_size=batch_size, zero_copy_batch=True)
 
     keys = list(spec.keys)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(df: pd.DataFrame, *, buckets: int,
+                   salt_mod: int = 1) -> pd.DataFrame:
         if df.empty:
             df["_bucket"] = pd.Series(dtype="int64")
             return df
         h = pd.util.hash_pandas_object(
             df[keys].astype("string").agg("|".join, axis=1), index=False)
-        df["_bucket"] = (h % num_buckets).astype("int64")
+        b = (h % buckets).astype("int64")
+        if salt_mod > 1:
+            # deterministic per-partial salt: spreads one group's
+            # partial rows over `salt_mod` fine buckets
+            s = pd.util.hash_pandas_object(df.index.to_series(),
+                                           index=False) % salt_mod
+            b = b * salt_mod + s.to_numpy().astype("int64")
+        df["_bucket"] = b
         return df
 
-    return (partials.map_batches(add_bucket, batch_format="pandas")
+    if salt > 1:
+        import functools
+        fine = partials.map_batches(
+            functools.partial(add_bucket, buckets=num_buckets,
+                              salt_mod=salt),
+            batch_format="pandas")
+        partials = fine.groupby("_bucket").map_groups(
+            spec.combine_partials, batch_format="pandas")
+
+    import functools
+    return (partials.map_batches(
+                functools.partial(add_bucket, buckets=num_buckets),
+                batch_format="pandas")
             .groupby("_bucket")
             .map_groups(spec.merge_bucket, batch_format="pandas"))

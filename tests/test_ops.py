@@ -186,3 +186,40 @@ def test_p95_sketch_close_to_exact(fixture_paths, ray_session):
     rel = ((m["p95_duration_ms_s"] - m["p95_duration_ms_e"]).abs()
            / m["p95_duration_ms_e"].clip(lower=1.0))
     assert rel.max() < 0.05, m[rel > 0.05]
+
+
+def test_salted_two_level_fold_equals_single_level(fixture_paths,
+                                                   ray_session):
+    """salt>1 (first-level combine on hash(key, salt)) must be a pure
+    physical optimization: identical results to the single-level fold
+    on a full-featured spec (metrics, p95, first/last, sample, maps)."""
+    import ray.data as rd
+    import pandas as pd
+    from mlp_ray.aggs.fold import FoldSpec, run_fold
+
+    ds = rd.read_parquet(fixture_paths,
+                         columns=["doc_id", "ns", "op_kind", "app_name",
+                                  "duration_ms", "query_hash", "replanned"])
+    spec = FoldSpec(
+        keys=["ns"],
+        metrics={"duration_ms": ("count", "sum", "min", "max", "avg",
+                                 "p95")},
+        first_cols=["app_name"], last_cols=["query_hash"],
+        sample_by="duration_ms",
+        bool_count_cols={"replanned": "replanned_count"},
+        countmap_cols={"op_kind": "none"},
+    )
+    base = run_fold(ds, spec).to_pandas().sort_values("ns") \
+        .reset_index(drop=True)
+    salted = run_fold(ds, spec, salt=8).to_pandas().sort_values("ns") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, salted, check_like=True)
+
+    # sketch mode too (the bounded-state pairing recommended at scale)
+    spec_sk = FoldSpec(keys=["ns"], metrics={"duration_ms": ("p95",)},
+                       p95_mode="sketch")
+    b2 = run_fold(ds, spec_sk).to_pandas().sort_values("ns") \
+        .reset_index(drop=True)
+    s2 = run_fold(ds, spec_sk, salt=8).to_pandas().sort_values("ns") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(b2, s2, check_like=True)
