@@ -118,17 +118,19 @@ def main(argv=None):
         sp.add_argument("--cpus", type=int,
                         default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
         sp.add_argument("--no-redact", action="store_true")
-        sp.add_argument("--raw-logs", action="store_true",
-                        help="inputs are JSONL mongod logs (.gz ok), "
-                             "not parquet")
-        sp.add_argument("--limit", type=int, default=None,
-                        help="stop each input file after N rows")
 
     sp = sub.add_parser("analyze")
     common(sp)
     sp.add_argument("--ns", action="append", default=[])
     sp.add_argument("--config")
     sp.add_argument("--top", type=int, default=10)
+    # input-shaping flags are analyze-only: route/trim read parquet
+    # directly and would silently ignore them
+    sp.add_argument("--raw-logs", action="store_true",
+                    help="inputs are JSONL mongod logs (.gz ok), "
+                         "not parquet")
+    sp.add_argument("--limit", type=int, default=None,
+                    help="stop each input file after N rows")
     sp.set_defaults(fn=cmd_analyze)
 
     sp = sub.add_parser("route")

@@ -128,7 +128,8 @@ class FoldSpec:
                 v = df[m].to_numpy(dtype=np.float64, na_value=np.nan)
                 valid = ~np.isnan(v)
                 gv, vv = ng[valid], v[valid]
-                if self.p95_mode == "sketch":
+                if (self.p95_mode == "sketch"
+                        and n_groups <= _SKETCH_DENSE_MAX_GROUPS):
                     # per-group log-histogram: (group, bin) bincount in
                     # one shot, rows of the 2-D array are the sketches
                     bins = _sketch_bin(vv)
@@ -137,6 +138,18 @@ class FoldSpec:
                         minlength=n_groups * _SKETCH_BINS)
                     out[f"_vals_{m}"] = list(
                         flat.reshape(n_groups, _SKETCH_BINS))
+                elif self.p95_mode == "sketch":
+                    # high-cardinality batch: groups are tiny, dense
+                    # 4096-bin rows would dwarf the raw values — emit
+                    # per-value BIN INDICES behind a -1 sentinel (an
+                    # encoding Arrow type-coercion can't confuse with a
+                    # dense histogram, whose counts are never negative)
+                    order = np.argsort(gv, kind="stable")
+                    counts = np.bincount(gv, minlength=n_groups)
+                    bins = _sketch_bin(vv)[order]
+                    out[f"_vals_{m}"] = [
+                        np.concatenate(([-1], part)).astype(np.int64)
+                        for part in np.split(bins, np.cumsum(counts)[:-1])]
                 else:
                     order = np.argsort(gv, kind="stable")
                     counts = np.bincount(gv, minlength=n_groups)
@@ -236,7 +249,7 @@ class FoldSpec:
             if f"_vals_{m}" in df.columns:
                 if self.p95_mode == "sketch":
                     out[f"_vals_{m}"] = g[f"_vals_{m}"].apply(
-                        lambda s: np.sum([np.asarray(h, dtype=np.int64)
+                        lambda s: np.sum([_as_sketch(h)
                                           for h in s if h is not None],
                                          axis=0))
                 else:
@@ -351,6 +364,10 @@ def _p95_of_arrays(s: pd.Series):
 # log-spaced bins covering [0, ~1e12) with ~0.7% bin width: bounded
 # per-group partial state (_SKETCH_BINS ints) regardless of group size
 _SKETCH_BINS = 4096
+# above this many groups in one batch, a dense (groups × bins) array
+# would exceed the raw values it summarizes — partials fall back to
+# value arrays and the merge sketches them lazily
+_SKETCH_DENSE_MAX_GROUPS = 4096
 _SKETCH_SCALE = _SKETCH_BINS / np.log1p(1e12)
 
 
@@ -363,8 +380,19 @@ def _sketch_value(b: np.ndarray | float):
     return np.expm1((np.asarray(b, dtype=np.float64) + 0.5) / _SKETCH_SCALE)
 
 
+def _as_sketch(h) -> np.ndarray:
+    """Partial element → dense histogram. A leading -1 sentinel marks
+    the sparse form (bin indices, one per value — the high-cardinality
+    fallback); anything else is already a dense histogram."""
+    a = np.asarray(h)
+    if len(a) and a[0] < 0:
+        return np.bincount(a[1:].astype(np.int64),
+                           minlength=_SKETCH_BINS)
+    return a.astype(np.int64)
+
+
 def _p95_of_sketches(s: pd.Series):
-    hists = [np.asarray(h, dtype=np.int64) for h in s if h is not None]
+    hists = [_as_sketch(h) for h in s if h is not None]
     if not hists:
         return np.nan
     h = np.sum(hists, axis=0)

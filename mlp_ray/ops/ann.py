@@ -81,10 +81,12 @@ _SCORER_CACHE: dict = {}
 def _cached_scorer(key, build):
     sc = _SCORER_CACHE.get(key)
     if sc is None:
-        if len(_SCORER_CACHE) > 16:
-            _SCORER_CACHE.clear()
+        while len(_SCORER_CACHE) >= 16:  # LRU: evict oldest entry only
+            _SCORER_CACHE.pop(next(iter(_SCORER_CACHE)))
         sc = build()
-        _SCORER_CACHE[key] = sc
+    else:
+        _SCORER_CACHE.pop(key)  # refresh recency
+    _SCORER_CACHE[key] = sc
     return sc
 
 

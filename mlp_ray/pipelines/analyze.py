@@ -70,6 +70,23 @@ def apply_user_filters(batch: pa.Table, filter_config=None,
             .set_column(i("ignored_category"), "ignored_category", cat))
 
 
+def apply_stage_chain(batch: pa.Table, redactor, enricher, *,
+                      filter_config=None, ns_filter=None) -> pa.Table:
+    """THE canonical per-batch stage order: classify → user filters →
+    COLLSCAN flag → redact → enrich.  The fused single-task route stage
+    (``route.FusedRouteStage``) executes this function directly; the
+    operator-per-stage ``classify()`` pipeline below mirrors the same
+    order stage by stage (it stays split so redaction can run as an
+    actor pool) — change the order HERE first, then keep classify() in
+    sync."""
+    b = classify_batch(batch)
+    if filter_config is not None or ns_filter is not None:
+        b = apply_user_filters(b, filter_config, ns_filter)
+    b = sink_defs.add_is_collscan(b)
+    b = redactor(b)
+    return enricher(b)
+
+
 def classify(ds: rd.Dataset, *, redact: bool = True,
              ns_meta=None, redact_concurrency: int | tuple = (1, 8),
              filter_config=None, ns_filter=None) -> rd.Dataset:

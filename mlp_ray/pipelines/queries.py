@@ -285,8 +285,10 @@ def events_argmax_sample(sf_dir: str) -> pd.DataFrame:
                     order_col="order_key")
     out = run_fold(ds.map_batches(_pad_event_order, batch_format="pyarrow",
                                   zero_copy_batch=True), spec).to_pandas()
+    # int() parses leading-zero strings fine (lstrip would turn the
+    # all-zero id of event 0 into "" and crash)
     out["sample_event_id"] = out.pop("sample_doc_id").astype(
-        "string").str.lstrip("0").astype("int64")
+        "string").astype("int64")
     return out
 
 

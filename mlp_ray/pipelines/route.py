@@ -93,11 +93,19 @@ class RouterWriter:
 
     def _sample_ignored(self, t: pa.Table) -> pa.Table:
         # 1-in-100 deterministic sample of ignored lines
-        # (LogParser.java:980-982, index-based per FIXTURES.md §4)
-        idx = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 3, 99), pa.int64())
-        keep = pc.equal(pc.subtract(
-            idx, pc.multiply(pc.divide(idx, self.mod), self.mod)), 0)
-        return t.filter(keep)
+        # (LogParser.java:980-982): numeric doc_ids sample by index
+        # (FIXTURES.md §4 golden contract); non-numeric ids (e.g. the
+        # raw-log source's content hashes) sample by id hash
+        keep = []
+        for d in t["doc_id"].to_pylist():
+            tail = d[3:]
+            if tail.isdigit():
+                keep.append(int(tail) % self.mod == 0)
+            else:
+                h = int.from_bytes(hashlib.blake2b(
+                    d.encode(), digest_size=4).digest(), "big")
+                keep.append(h % self.mod == 0)
+        return t.filter(pa.array(keep, pa.bool_()))
 
     def _write_one(self, pid: str, part: pa.Table, t0: float, lineage: list):
         for sink, (mask_col, cols) in self.routes.items():
@@ -158,9 +166,7 @@ class FusedRouteStage:
                  compression: str = "lz4"):
         from ..stages.redact import Redactor
         from ..stages.enrich import NsEnricher
-        from ..aggs import sinks as sink_defs
 
-        self._collscan = sink_defs.add_is_collscan
         self._redactor = Redactor(enabled=redact)
         self._enricher = NsEnricher(meta=ns_meta)
         self._writer = RouterWriter(out_dir, routes=routes,
@@ -169,15 +175,11 @@ class FusedRouteStage:
         self._ns_filter = ns_filter
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .analyze import apply_user_filters
-        from ..stages.classify import classify_batch
+        from .analyze import apply_stage_chain
 
-        b = classify_batch(batch)
-        if self._filter_config is not None or self._ns_filter is not None:
-            b = apply_user_filters(b, self._filter_config, self._ns_filter)
-        b = self._collscan(b)
-        b = self._redactor(b)
-        b = self._enricher(b)
+        b = apply_stage_chain(batch, self._redactor, self._enricher,
+                              filter_config=self._filter_config,
+                              ns_filter=self._ns_filter)
         return self._writer(b)
 
 
@@ -194,12 +196,22 @@ _FUSED_CACHE: dict[tuple, FusedRouteStage] = {}
 def _fused_route_task(batch: pa.Table, *, out_dir: str, redact: bool,
                       filter_config=None, ns_filter=None,
                       compression: str = "lz4") -> pa.Table:
-    key = (out_dir, redact, id(filter_config), id(ns_filter), compression)
+    if filter_config is not None or ns_filter is not None:
+        # config objects have no stable identity across driver calls
+        # (id() is recycled by CPython) — don't risk serving a stale
+        # cached stage; building one is cheap, the filters themselves
+        # are precompiled inside the config objects
+        return FusedRouteStage(out_dir, redact=redact,
+                               filter_config=filter_config,
+                               ns_filter=ns_filter,
+                               compression=compression)(batch)
+    key = (out_dir, redact, compression)
     st = _FUSED_CACHE.get(key)
     if st is None:
+        while len(_FUSED_CACHE) >= 8:  # bound worker-lifetime growth
+            _FUSED_CACHE.pop(next(iter(_FUSED_CACHE)))
         st = FusedRouteStage(out_dir, redact=redact,
-                             filter_config=filter_config,
-                             ns_filter=ns_filter, compression=compression)
+                             compression=compression)
         _FUSED_CACHE[key] = st
     return st(batch)
 

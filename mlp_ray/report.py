@@ -54,13 +54,22 @@ def _records(df: pd.DataFrame, *, sort_by: str | None = "count",
         df = df.sort_values(sort_by, ascending=False, kind="mergesort")
     if limit:
         df = df.head(limit)
-    out = df.where(pd.notna(df), None).to_dict("records")
-    for rec in out:  # JSON-safe scalars
+    out = df.to_dict("records")
+    for rec in out:  # strict-JSON-safe scalars: every NA flavor → null
         for k, v in rec.items():
+            if v is None:
+                continue
+            if isinstance(v, pd.Timestamp):
+                rec[k] = None if pd.isna(v) else v.isoformat()
+                continue
+            try:
+                if pd.isna(v):  # covers float NaN, pd.NA, NaT
+                    rec[k] = None
+                    continue
+            except (TypeError, ValueError):
+                pass  # arrays/lists: leave as-is
             if hasattr(v, "item"):
                 rec[k] = v.item()
-            elif isinstance(v, pd.Timestamp):
-                rec[k] = v.isoformat()
     return out
 
 

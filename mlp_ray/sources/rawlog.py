@@ -159,9 +159,15 @@ def parse_batch(batch: pa.Table) -> pa.Table:
         _fill_row(cols, r, doc, attr, msg_py[r])
 
     out: dict[str, pa.Array] = {}
+    # doc_id must be a pure function of (file, line content) so it is
+    # identical across runs and parallelism levels (it is the
+    # deterministic tie-break/order key downstream).  Byte-identical
+    # duplicate lines in one file share an id — they are
+    # indistinguishable rows, so ties resolve to the same value.
     out["doc_id"] = pa.array(
-        [f"raw{hashlib.blake2b(t.encode(), digest_size=6).hexdigest()}"
-         f"{r:07d}" for r, t in enumerate(text_py)], pa.string())
+        ["raw" + hashlib.blake2b((p + "|" + t).encode(),
+                                 digest_size=8).hexdigest()
+         for p, t in zip(paths, text_py)], pa.string())
     out["tokens"] = pa.nulls(n, pa.list_(pa.int32()))
     out["n_tok"] = pa.nulls(n, pa.int32())
     out["source"] = pa.array([shard_from_path(p) for p in paths], pa.string())
@@ -169,16 +175,30 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     out["msg"] = env["msg"]
     out["ctx"] = env["ctx"]
     # Arrow strptime supports neither %z nor %f: parse the 19-char
-    # naive prefix, then add the millisecond digits separately
+    # naive prefix, add fractional milliseconds extracted by regex
+    # (absent → 0), and SUBTRACT the UTC offset ("+05:30", "-0800" or
+    # "Z") so mongod logs written in local time land on the UTC axis.
     sec = pc.strptime(pc.utf8_slice_codeunits(env["ts"], 0, 19),
                       format="%Y-%m-%dT%H:%M:%S", unit="ms",
                       error_is_null=True)
-    frac = pc.utf8_slice_codeunits(env["ts"], 20, 23)
-    frac_ms = pc.cast(pc.if_else(
-        pc.equal(pc.binary_length(frac), 3), frac,
-        pa.scalar("0", pa.string())), pa.int64())
-    out["ts"] = pc.cast(pc.add(pc.cast(sec, pa.int64()), frac_ms),
-                        pa.timestamp("ms"))
+
+    def _re_int(pattern: str, default: int) -> pa.Array:
+        g = _extract(env["ts"], pattern)
+        return pc.fill_null(pc.cast(g, pa.int64()), default)
+
+    frac_ms = _re_int(r"\.(?P<g>\d{3})", 0)
+    off_sign = pc.if_else(
+        pc.fill_null(pc.match_substring_regex(
+            env["ts"], r"-\d{2}:?\d{2}$"), False),
+        pa.scalar(-1, pa.int64()), pa.scalar(1, pa.int64()))
+    off_h = _re_int(r"[+-](?P<g>\d{2}):?\d{2}$", 0)
+    off_m = _re_int(r"[+-]\d{2}:?(?P<g>\d{2})$", 0)
+    off_ms = pc.multiply(off_sign,
+                         pc.multiply(pc.add(pc.multiply(off_h, 60), off_m),
+                                     pa.scalar(60000, pa.int64())))
+    out["ts"] = pc.cast(
+        pc.subtract(pc.add(pc.cast(sec, pa.int64()), frac_ms), off_ms),
+        pa.timestamp("ms"))
 
     sch = S.events_tok_schema()
     for name in sch.names:

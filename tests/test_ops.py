@@ -223,3 +223,31 @@ def test_salted_two_level_fold_equals_single_level(fixture_paths,
     s2 = run_fold(ds, spec_sk, salt=8).to_pandas().sort_values("ns") \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(b2, s2, check_like=True)
+
+
+def test_sketch_high_cardinality_fallback(fixture_paths, ray_session):
+    """Sketch mode on a high-cardinality key (every doc its own group)
+    must not build dense per-group histograms — the sparse fallback
+    kicks in and still yields the same sketch-p95 per group."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    import numpy as np
+    from mlp_ray.aggs import fold as foldmod
+    from mlp_ray.aggs.fold import FoldSpec, run_fold
+
+    ds = rd.read_parquet(fixture_paths, columns=["doc_id", "duration_ms"])
+    ds = ds.map_batches(lambda t: t.filter(pc.is_valid(t["duration_ms"])),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    spec = FoldSpec(keys=["doc_id"],
+                    metrics={"duration_ms": ("count", "p95")},
+                    p95_mode="sketch")
+    out = run_fold(ds, spec).to_pandas()
+    assert (out["count_duration_ms"] == 1).all()
+    # a singleton group's sketch p95 is the value's bin midpoint
+    vals = rd.read_parquet(fixture_paths,
+                           columns=["doc_id", "duration_ms"]).to_pandas()
+    vals = vals.dropna().set_index("doc_id")["duration_ms"]
+    m = out.set_index("doc_id")["p95_duration_ms"]
+    exp = foldmod._sketch_value(foldmod._sketch_bin(
+        vals.loc[m.index].to_numpy(dtype=float)))
+    assert np.allclose(m.to_numpy(), exp)

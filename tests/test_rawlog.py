@@ -118,3 +118,42 @@ def test_too_long_line_guard(tmp_path):
         batch_format="pyarrow", batch_size=None))
     st = out["parse_status"].to_pylist()
     assert sorted(st) == ["ok", "too_long"]
+
+
+def test_timestamp_offsets_and_no_millis(tmp_path):
+    """$date with a non-UTC offset lands on the UTC axis; missing
+    fractional seconds parse as .000; 'Z' suffix accepted."""
+    lines = [
+        '{"t":{"$date":"2024-01-01T05:30:00.250+05:30"},"s":"I","c":"CONTROL","id":1,"ctx":"conn1","msg":"noise","attr":{}}',
+        '{"t":{"$date":"2024-01-01T00:00:01+00:00"},"s":"I","c":"CONTROL","id":1,"ctx":"conn2","msg":"noise","attr":{}}',
+        '{"t":{"$date":"2024-01-01T00:00:02.500Z"},"s":"I","c":"CONTROL","id":1,"ctx":"conn3","msg":"noise","attr":{}}',
+        '{"t":{"$date":"2023-12-31T16:00:03.000-0800"},"s":"I","c":"CONTROL","id":1,"ctx":"conn4","msg":"noise","attr":{}}',
+    ]
+    p = tmp_path / "tz.log"
+    p.write_text("\n".join(lines) + "\n")
+    ds = rawlog.read_raw_logs([str(p)])
+    out = pa.concat_tables(ds.map_batches(
+        rawlog.parse_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    ts = sorted(t.isoformat() for t in out["ts"].to_pylist())
+    assert ts == ["2024-01-01T00:00:00.250000",
+                  "2024-01-01T00:00:01",
+                  "2024-01-01T00:00:02.500000",
+                  "2024-01-01T00:00:03"]
+
+
+def test_doc_id_deterministic_and_content_pure(tmp_path):
+    line = '{"t":{"$date":"2024-01-01T00:00:00.000+00:00"},"s":"I",' \
+           '"c":"CONTROL","id":1,"ctx":"conn1","msg":"noise","attr":{}}'
+    p = tmp_path / "a.log"
+    p.write_text(line + "\n" + line.replace("conn1", "conn2") + "\n")
+    ds = rawlog.read_raw_logs([str(p)])
+    ids1 = sorted(pa.concat_tables(ds.map_batches(
+        rawlog.parse_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))["doc_id"].to_pylist())
+    ds2 = rawlog.read_raw_logs([str(p)])
+    ids2 = sorted(pa.concat_tables(ds2.map_batches(
+        rawlog.parse_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))["doc_id"].to_pylist())
+    assert ids1 == ids2          # run-to-run deterministic
+    assert len(set(ids1)) == 2   # distinct content -> distinct ids
