@@ -52,15 +52,47 @@ _DETAIL_MSGS = frozenset({
 })
 
 
+def _zip_lines(row: dict) -> list[dict]:
+    """One zip archive → (text, path) rows; path carries the member
+    name so shard lineage still resolves (``MimeTypes.java:251`` zip
+    branch).  A member is decompressed by exactly one task — zip has
+    no splittable stream, the same constraint the reference has."""
+    import io
+    import zipfile
+
+    out = []
+    with zipfile.ZipFile(io.BytesIO(row["bytes"])) as zf:
+        for name in zf.namelist():
+            if name.endswith("/"):
+                continue
+            data = zf.read(name)
+            if name.endswith(".gz"):
+                data = gzip.decompress(data)
+            for line in data.decode("utf-8", errors="replace").splitlines():
+                out.append({"text": line, "path": f"{row['path']}!{name}"})
+    return out
+
+
 def read_raw_logs(paths, *, override_num_blocks=None):
     """Dataset of raw lines with their file path; gzip transparent
-    (Arrow detects by extension, like MimeTypes.java:34-41)."""
+    (Arrow detects by extension, like MimeTypes.java:34-41); ``.zip``
+    archives expanded per member."""
     import ray.data as rd
 
-    return rd.read_text(
-        paths, include_paths=True,
-        arrow_open_stream_args={"compression": "detect"},
-        override_num_blocks=override_num_blocks)
+    paths = [paths] if isinstance(paths, str) else list(paths)
+    zips = [p for p in paths if p.endswith(".zip")]
+    plain = [p for p in paths if not p.endswith(".zip")]
+    parts = []
+    if plain:
+        parts.append(rd.read_text(
+            plain, include_paths=True,
+            arrow_open_stream_args={"compression": "detect"},
+            override_num_blocks=override_num_blocks))
+    if zips:
+        parts.append(rd.read_binary_files(zips, include_paths=True)
+                     .flat_map(_zip_lines))
+    ds = parts[0]
+    return ds.union(*parts[1:]) if len(parts) > 1 else ds
 
 
 def shard_from_path(path: str) -> str:

@@ -157,3 +157,28 @@ def test_doc_id_deterministic_and_content_pure(tmp_path):
         batch_format="pyarrow", batch_size=None))["doc_id"].to_pylist())
     assert ids1 == ids2          # run-to-run deterministic
     assert len(set(ids1)) == 2   # distinct content -> distinct ids
+
+
+def test_zip_archive_support(tmp_path):
+    """.zip inputs (optionally containing .gz members) parse like
+    plain files, with shard lineage from the member name."""
+    import zipfile
+    import gzip as gz
+
+    lines = [
+        '{"t":{"$date":"2024-01-01T00:00:00.000+00:00"},"s":"I",'
+        '"c":"CONTROL","id":1,"ctx":"conn%d","msg":"noise","attr":{}}' % i
+        for i in range(10)]
+    zpath = tmp_path / "logs.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("cluster0-shard-03-00.log", "\n".join(lines[:5]) + "\n")
+        zf.writestr("cluster0-shard-04-00.log.gz",
+                    gz.compress(("\n".join(lines[5:]) + "\n").encode()))
+    ds = rawlog.read_raw_logs([str(zpath)])
+    out = pa.concat_tables(ds.map_batches(
+        rawlog.parse_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    assert out.num_rows == 10
+    assert set(out["parse_status"].to_pylist()) == {"ok"}
+    assert set(pc.unique(out["source"]).to_pylist()) == {
+        "shard-03-00", "shard-04-00"}
