@@ -300,19 +300,28 @@ def driver_stats(cds: rd.Dataset) -> rd.Dataset:
                                              batch_format="pandas"))
 
 
-def run_full_analysis(paths, *, redact: bool = True) -> dict[str, pd.DataFrame]:
+def run_full_analysis(paths, *, redact: bool = True,
+                      max_parallel: int = 6) -> dict[str, pd.DataFrame]:
     """Everything the reference's JSON report contains (K3), as small
     pandas tables — the driver-side collect of final aggregates."""
+    from concurrent.futures import ThreadPoolExecutor
+
     ds = load_events(paths)
     # Materialized once so the ~12 sink consumers don't re-run the
     # classify/redact chain. At production scale the routing stage
     # (pipelines.route) persists routed parquet per sink instead and
     # each aggregate reads only its sink's narrow columns.
     cds = classify(ds, redact=redact).materialize()
-    results = {name: d.to_pandas() for name, d in sink_aggregates(cds).items()}
-    results["app_conns"] = app_connection_stats(cds).to_pandas()
-    results["slow_planning"] = slow_planning_topk(cds).to_pandas()
-    results["driver_stats"] = driver_stats(cds).to_pandas()
-    results["ignored"] = ignored_histogram(cds).to_pandas()
+    jobs: dict[str, object] = dict(sink_aggregates(cds))
+    jobs["app_conns"] = app_connection_stats(cds)
+    jobs["slow_planning"] = slow_planning_topk(cds)
+    jobs["driver_stats"] = driver_stats(cds)
+    jobs["ignored"] = ignored_histogram(cds)
+    # the ~12 result pipelines are tiny but each pays a fixed executor
+    # spin-up; run them from concurrent driver threads so the floors
+    # overlap instead of summing
+    with ThreadPoolExecutor(max_workers=max_parallel) as ex:
+        futs = {n: ex.submit(d.to_pandas) for n, d in jobs.items()}
+        results = {n: f.result() for n, f in futs.items()}
     results["processing_stats"] = processing_stats(cds)
     return results

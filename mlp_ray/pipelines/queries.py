@@ -86,14 +86,18 @@ def events_distinct_users(sf_dir: str) -> pd.DataFrame:
     ds = _events(sf_dir, ["event_type", "user_id"])
 
     def pairs(t: pa.Table) -> pa.Table:
+        # per-batch dedup: the shuffle moves distinct pairs, not rows
         return t.group_by(["event_type", "user_id"]).aggregate([])
 
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"event_type": g["event_type"].iloc[0],
+                              "distinct_users": g["user_id"].nunique()}])
+
+    # ONE shuffle: all pairs of an event_type land in one group
     return (ds.map_batches(pairs, batch_format="pyarrow",
                            zero_copy_batch=True)
-            .groupby(["event_type", "user_id"]).count()
-            .groupby("event_type").count()
-            .map_batches(lambda t: t.rename_columns(
-                ["event_type", "distinct_users"]), batch_format="pyarrow")
+            .groupby("event_type").map_groups(nunique,
+                                              batch_format="pandas")
             .to_pandas())
 
 
