@@ -115,6 +115,11 @@ def build_report(results: dict[str, pd.DataFrame], *,
     else:
         report["operationTypeStats"] = {"total": 0, "types": []}
 
+    if len(qh) and "avg_planning_time_us" in qh.columns:
+        # reference reports planning time in ms (µs→ms at read,
+        # QueryHashAccumulatorEntry.java planning accessors)
+        qh = qh.assign(avg_planning_time_ms=qh["avg_planning_time_us"]
+                       / 1000.0)
     report["queryHashAnalysis"] = {
         "summary": {
             "totalQueries": int(qh["count"].sum()) if len(qh) else 0,
@@ -126,6 +131,11 @@ def build_report(results: dict[str, pd.DataFrame], *,
     }
     report["planCacheAnalysis"] = _records(results.get("plan_cache"))
 
+    if len(idx) and {"sum_keys_examined", "sum_nret"} <= set(idx.columns):
+        # examined:returned ratio (IndexStatsEntry.java:31-113)
+        idx = idx.assign(examined_returned_ratio=(
+            idx["sum_keys_examined"]
+            / idx["sum_nret"].where(idx["sum_nret"] > 0)).round(3))
     coll_cnt = (int(idx["collscan_count"].sum())
                 if "collscan_count" in idx else 0)
     idx_total = int(idx["count"].sum()) if len(idx) else 0
