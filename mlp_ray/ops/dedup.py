@@ -70,18 +70,19 @@ class MinHasher:
     def __init__(self, num_hashes: int = 64, shingle_k: int = 3,
                  seed: int = 42):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.uint64)
+        self.a = rng.integers(1, 2**63, num_hashes, dtype=np.uint64) | 1
+        self.b = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
         self.k = shingle_k
         self.num_hashes = num_hashes
 
     def signature(self, text: str) -> np.ndarray:
-        s = _shingle_hashes(text, self.k).astype(object)  # python ints: no overflow
-        sig = np.fromiter(
-            (int(min((int(a) * int(h) + int(b)) % _MERSENNE for h in s))
-             for a, b in zip(self.a, self.b)),
-            dtype=np.uint64, count=self.num_hashes)
-        return sig
+        # multiply-shift family over uint64 (a odd, wraparound mod 2^64)
+        # — vectorized H×S min in C instead of a per-component Python
+        # big-int loop, exact and deterministic
+        s = _shingle_hashes(text, self.k)
+        with np.errstate(over="ignore"):
+            prods = self.a[:, None] * s[None, :] + self.b[:, None]
+        return prods.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [self.signature(t or "") for t in batch["text"].to_pylist()]
@@ -118,6 +119,10 @@ def minhash_lsh_candidates(ds: rd.Dataset, *, num_hashes: int = 64,
     """Candidate near-dup pairs: (doc_id, dup_of, est_jaccard), doc_id >
     dup_of, est_jaccard = fraction of equal signature components ≥
     threshold.  Dedup across bands via a final groupby on the pair."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(trailing signature components would be silently unused)")
     rows = num_hashes // bands
 
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
@@ -152,10 +157,16 @@ def minhash_lsh_candidates(ds: rd.Dataset, *, num_hashes: int = 64,
         bucket_pairs, batch_format="pandas")
 
     def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
+        # keep the single BEST pair so dup_of and est_jaccard describe
+        # the same counterpart (mixing min-dup_of with max-jaccard
+        # attributed one pair's similarity to another)
+        r = g.sort_values(["est_jaccard", "dup_of"],
+                          ascending=[False, True],
+                          kind="mergesort").iloc[0]
         return pd.DataFrame([{
-            "doc_id": int(g["doc_id"].iloc[0]),
-            "dup_of": int(g["dup_of"].min()),
-            "est_jaccard": float(g["est_jaccard"].max()),
+            "doc_id": int(r["doc_id"]),
+            "dup_of": int(r["dup_of"]),
+            "est_jaccard": float(r["est_jaccard"]),
         }])
 
     return pairs.groupby("doc_id").map_groups(dedup_pair,
@@ -234,6 +245,11 @@ class SimHasher:
 def simhash_candidates(ds: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
     """Near-dup pairs by simhash Hamming distance ≤ t, banded into 4
     16-bit tables (a pair within distance 3 must agree on ≥1 band)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-band/16-bit simhash LSH only guarantees recall for "
+            f"max_hamming <= 3 (got {max_hamming}); raise the band "
+            "count for larger radii")
     sigs = ds.map_batches(SimHasher, batch_format="pyarrow",
                           concurrency=(1, 8))
 
@@ -274,10 +290,13 @@ def simhash_candidates(ds: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
                                                   batch_format="pandas"))
 
     def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
+        # single best pair: closest counterpart, ties to smallest id
+        r = g.sort_values(["hamming", "dup_of"], ascending=[True, True],
+                          kind="mergesort").iloc[0]
         return pd.DataFrame([{
-            "doc_id": int(g["doc_id"].iloc[0]),
-            "dup_of": int(g["dup_of"].min()),
-            "hamming": int(g["hamming"].min()),
+            "doc_id": int(r["doc_id"]),
+            "dup_of": int(r["dup_of"]),
+            "hamming": int(r["hamming"]),
         }])
 
     return pairs.groupby("doc_id").map_groups(dedup_pair,
@@ -301,6 +320,10 @@ class HyperplaneLSH:
         self.pows = (1 << np.arange(nbits)).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.nulls(0, pa.int64()),
+                             "bucket": pa.nulls(0, pa.int64()),
+                             "embedding": batch["embedding"]})
         x = np.stack([np.asarray(e, dtype=np.float32)
                       for e in batch["embedding"].to_pylist()])
         norms = np.linalg.norm(x, axis=1, keepdims=True)
@@ -325,26 +348,37 @@ def embedding_near_dup(ds: rd.Dataset, *, dim: int, nbits: int = 12,
         fn_constructor_kwargs={"dim": dim, "nbits": nbits, "seed": seed})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # full pairwise within the bucket (like the minhash/simhash
+        # buckets): anchor-only comparison missed near-dup pairs that
+        # didn't involve the bucket's smallest id
         if len(g) < 2:
             return _EMB_EMPTY.copy()
-        g = g.sort_values("vec_id", kind="mergesort")
+        g = g.sort_values("vec_id", kind="mergesort").head(4096)
         x = np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        sims = x @ x[0]
+        sims_m = x @ x.T
         ids = g["vec_id"].to_numpy()
-        out = [{"vec_id": int(ids[i]), "dup_of": int(ids[0]),
-                "cosine": round(float(sims[i]), 6)}
-               for i in range(1, len(ids)) if sims[i] >= cos_threshold]
+        out = []
+        for i in range(1, len(ids)):
+            s = sims_m[i, :i]
+            hits = np.nonzero(s >= cos_threshold)[0]
+            if len(hits):
+                j = hits[0]  # earliest qualifying earlier vec
+                out.append({"vec_id": int(ids[i]), "dup_of": int(ids[j]),
+                            "cosine": round(float(s[j]), 6)})
         return pd.DataFrame(out) if out else _EMB_EMPTY.copy()
 
     pairs = bucketed.groupby("bucket").map_groups(bucket_pairs,
                                                   batch_format="pandas")
 
     def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
+        # single best pair: highest cosine, ties to smallest id
+        r = g.sort_values(["cosine", "dup_of"], ascending=[False, True],
+                          kind="mergesort").iloc[0]
         return pd.DataFrame([{
-            "vec_id": int(g["vec_id"].iloc[0]),
-            "dup_of": int(g["dup_of"].min()),
-            "cosine": float(g["cosine"].max()),
+            "vec_id": int(r["vec_id"]),
+            "dup_of": int(r["dup_of"]),
+            "cosine": float(r["cosine"]),
         }])
 
     return pairs.groupby("vec_id").map_groups(dedup_pair,

@@ -49,9 +49,10 @@ def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
       avg_tok_len   = len(regexp_replace(text,'\\s','','g')) / n_ws_tokens
       stopword_ratio= |tokens in STOPWORDS| / n_ws_tokens
     """
-    text = batch[text_col]
-    toks = _ws_tokens(text).combine_chunks() if isinstance(
-        text, pa.ChunkedArray) else _ws_tokens(text)
+    raw = batch[text_col]
+    null_mask = pc.is_null(raw).to_numpy(zero_copy_only=False)
+    text = pc.fill_null(raw, "")  # null text → null outputs (masked)
+    toks = _ws_tokens(text)
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -66,24 +67,28 @@ def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     safe_n = np.maximum(n, 1)
     return pa.table({
         "doc_id": batch["doc_id"],
-        "n_ws_tokens": pa.array(n, pa.int64()),
-        "avg_tok_len": pa.array(round_half_away(compact / safe_n, 6), pa.float64()),
+        "n_ws_tokens": pa.array(n, pa.int64(), mask=null_mask),
+        "avg_tok_len": pa.array(round_half_away(compact / safe_n, 6),
+                                pa.float64(), mask=null_mask),
         "stopword_ratio": pa.array(round_half_away(stop_counts / safe_n, 6),
-                                   pa.float64()),
+                                   pa.float64(), mask=null_mask),
     })
 
 
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality signals: alpha ratio, digit ratio, token stats + a
     composite quality score in [0,1]."""
-    text = batch[text_col]
+    raw = batch[text_col]
+    null_mask = pc.is_null(raw).to_numpy(zero_copy_only=False)
+    text = pc.fill_null(raw, "")
     total = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
     alpha = pc.utf8_length(pc.replace_substring_regex(
         text, r"[^A-Za-z]", "")).to_numpy(zero_copy_only=False).astype(np.float64)
     digit = pc.utf8_length(pc.replace_substring_regex(
         text, r"[^0-9]", "")).to_numpy(zero_copy_only=False).astype(np.float64)
     ts = token_stats_batch(batch, text_col)
-    n_tok = ts["n_ws_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n_tok = np.nan_to_num(
+        ts["n_ws_tokens"].to_numpy(zero_copy_only=False).astype(np.float64))
     safe_total = np.maximum(total, 1.0)
     alpha_ratio = alpha / safe_total
     digit_ratio = digit / safe_total
@@ -92,10 +97,13 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
              + (1.0 - digit_ratio) * 0.1)
     return pa.table({
         "doc_id": batch["doc_id"],
-        "alpha_ratio": pa.array(round_half_away(alpha_ratio, 6)),
-        "digit_ratio": pa.array(round_half_away(digit_ratio, 6)),
+        "alpha_ratio": pa.array(round_half_away(alpha_ratio, 6),
+                                pa.float64(), mask=null_mask),
+        "digit_ratio": pa.array(round_half_away(digit_ratio, 6),
+                                pa.float64(), mask=null_mask),
         "n_ws_tokens": ts["n_ws_tokens"],
-        "quality_score": pa.array(round_half_away(score, 6)),
+        "quality_score": pa.array(round_half_away(score, 6),
+                                  pa.float64(), mask=null_mask),
     })
 
 

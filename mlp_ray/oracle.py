@@ -49,6 +49,10 @@ def classify_df(df: pd.DataFrame, redact: bool = True) -> pd.DataFrame:
     op[is_write & (opk == "update")] = "update_w"
     op[is_write & (opk == "delete")] = "remove"
     op[is_write & (opk == "insert")] = "insert"
+    # WRITE with any other/absent type → "write_<type>" (classify's
+    # else-branch, mirroring processWriteOperation's fallthrough)
+    write_other = is_write & ~opk.isin(["update", "delete", "insert"])
+    op[write_other] = ("write_" + opk.fillna("unknown"))[write_other]
     op[is_ttl] = "ttl_delete"
     op[is_index_other] = "index_build"
     df["op"] = op
@@ -62,7 +66,8 @@ def classify_df(df: pd.DataFrame, redact: bool = True) -> pd.DataFrame:
     nret[is_ins] = df["n_inserted"][is_ins]
     df["nret"] = nret
 
-    ns_config = df["ns"].str.startswith("config.")
+    # null ns → not config (matches classify's fill_null(False))
+    ns_config = df["ns"].str.startswith("config.").fillna(False).astype(bool)
     has_op = op.notna()
     df["r_ops"] = has_op & ~ns_config
     df["r_txn"] = is_txn

@@ -251,3 +251,56 @@ def test_sketch_high_cardinality_fallback(fixture_paths, ray_session):
     exp = foldmod._sketch_value(foldmod._sketch_bin(
         vals.loc[m.index].to_numpy(dtype=float)))
     assert np.allclose(m.to_numpy(), exp)
+
+
+def test_text_stats_null_text(ray_session):
+    import pyarrow as pa
+    from mlp_ray.ops import text as text_ops
+
+    batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["hello world", None])})
+    ts = text_ops.token_stats_batch(batch)
+    assert ts["n_ws_tokens"].to_pylist() == [2, None]
+    assert ts["avg_tok_len"].to_pylist()[1] is None
+    q = text_ops.quality_batch(batch)
+    assert q["quality_score"].to_pylist()[1] is None
+
+
+def test_embedding_near_dup_non_anchor_pairs(ray_session):
+    """Two near-identical vectors must be found even when the bucket's
+    smallest-id vector is dissimilar to both."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from mlp_ray.ops import dedup as dd
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16)
+    v_anchor = rng.standard_normal(16)          # dissimilar, smallest id
+    v5 = base
+    v7 = base + rng.standard_normal(16) * 0.01  # near-dup of v5
+    tbl = pa.table({
+        "vec_id": pa.array([1, 5, 7], pa.int64()),
+        "embedding": pa.array([v_anchor.tolist(), v5.tolist(), v7.tolist()],
+                              pa.list_(pa.float64())),
+    })
+    # nbits=0 -> every vector in one bucket: isolates pair logic
+    out = dd.embedding_near_dup(rd.from_arrow(tbl), dim=16, nbits=1,
+                                cos_threshold=0.95).to_pandas()
+    pairs = set(zip(out["vec_id"], out["dup_of"]))
+    assert (7, 5) in pairs or (5, 7) in pairs or \
+        {(7, 5)} <= pairs, out
+
+
+def test_dedup_validation_errors(ray_session):
+    import pytest
+    import ray.data as rd
+    import pyarrow as pa
+    from mlp_ray.ops import dedup as dd
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                 "text": ["x"]}))
+    with pytest.raises(ValueError):
+        dd.minhash_lsh_candidates(ds, num_hashes=64, bands=10)
+    with pytest.raises(ValueError):
+        dd.simhash_candidates(ds, max_hamming=4)
