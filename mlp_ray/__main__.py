@@ -75,9 +75,12 @@ def cmd_analyze(args):
     os.makedirs(args.out, exist_ok=True)
     for name, df in results.items():
         df.to_csv(os.path.join(args.out, f"{name}.csv"), index=False)
-    # K3 structured JSON report + K5 console tables
+    # K3 structured JSON report + K4 static HTML + K5 console tables
     report_mod.write_json_report(
         results, os.path.join(args.out, "report.json"),
+        source_files=list(args.inputs))
+    report_mod.write_html_report(
+        results, os.path.join(args.out, "report.html"),
         source_files=list(args.inputs))
     print(report_mod.console_report(results, top=args.top))
 

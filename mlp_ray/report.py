@@ -176,6 +176,55 @@ def write_json_report(results: dict[str, pd.DataFrame], path: str,
     return rep
 
 
+def write_html_report(results: dict[str, pd.DataFrame], path: str,
+                      *, top: int = 100, **kw) -> None:
+    """K4 (minimal): static HTML tables per section — same data as the
+    JSON report (HtmlReportGenerator.java:131-186 section order spirit;
+    the reference's 2.8 kLoC interactive report is out of scope per
+    SURVEY.md §2.1 K4, JSON/CSV parity is authoritative)."""
+    import html as _html
+
+    rep = build_report(results, **kw)
+    parts = ["<!doctype html><meta charset='utf-8'>",
+             "<title>mlp_ray report</title>",
+             "<style>body{font-family:monospace}table{border-collapse:"
+             "collapse}td,th{border:1px solid #999;padding:2px 6px;"
+             "text-align:right}th{background:#eee}</style>",
+             "<h1>mlp_ray analysis report</h1>"]
+
+    def table(rows: list[dict]) -> str:
+        if not rows:
+            return "<p>(empty)</p>"
+        cols = list(rows[0])
+        h = "".join(f"<th>{_html.escape(str(c))}</th>" for c in cols)
+        body = "".join(
+            "<tr>" + "".join(
+                f"<td>{_html.escape(str(r.get(c, '')))}</td>" for c in cols)
+            + "</tr>" for r in rows[:top])
+        return f"<table><tr>{h}</tr>{body}</table>"
+
+    for section, payload in rep.items():
+        if section == "metadata":
+            continue
+        parts.append(f"<h2>{_html.escape(section)}</h2>")
+        if isinstance(payload, dict):
+            summary = {k: v for k, v in payload.items()
+                       if not isinstance(v, list)}
+            if summary:
+                parts.append(table([{k: json.dumps(v) if isinstance(v, dict)
+                                     else v for k, v in summary.items()}]))
+            for v in payload.values():
+                if isinstance(v, list):
+                    parts.append(table(v))
+        elif isinstance(payload, list):
+            parts.append(table(payload))
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(parts))
+    import os
+    os.replace(tmp, path)
+
+
 def console_report(results: dict[str, pd.DataFrame], *, top: int = 10) -> str:
     """K5: fixed-width console tables per accumulator
     (Accumulator.report, Accumulator.java:160-167)."""

@@ -109,3 +109,15 @@ def test_report_sections(results, tmp_path):
 def test_console_report(results):
     txt = report.console_report(results, top=3)
     assert "main_ops" in txt and "errors" in txt
+
+
+def test_html_report(results, tmp_path):
+    p = tmp_path / "report.html"
+    report.write_html_report(results, str(p))
+    html = p.read_text()
+    assert html.startswith("<!doctype html>")
+    for section in ("mainOperations", "queryHashAnalysis", "indexStats",
+                    "errorCodes", "driverStats"):
+        assert f"<h2>{section}</h2>" in html
+    # table rows rendered and escaped
+    assert "<table>" in html and "<script" not in html
