@@ -128,7 +128,10 @@ def run_flagship(paths: list[str], out_dir: str, *,
         key_fillna={"app_name": "unknown"},
         metrics={"duration_ms": ("min", "max", "avg", "p95", "sum")},
     )
-    main_ops = run_fold(ops_ds, agg_spec).to_pandas()
+    # small outputs skip the sort shuffle; large partial sets (exact
+    # p95 value arrays grow with rows) stay on the distributed merge
+    merge = "driver" if total_rows <= 4_000_000 else "distributed"
+    main_ops = run_fold(ops_ds, agg_spec, merge=merge).to_pandas()
     t_agg = time.perf_counter() - t1
     return {
         "route_sec": round(t_route, 3),

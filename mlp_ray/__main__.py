@@ -56,22 +56,14 @@ def cmd_analyze(args):
     _init_ray(args.cpus)
     from .pipelines import analyze
     from .stages.filters import FilterConfig, NamespaceFilter
+    from . import report as report_mod
 
     fc = (FilterConfig.from_properties_file(args.config)
           if args.config else None)
     nf = NamespaceFilter(args.ns) if args.ns else None
-    ds = _load(args)
-    cds = analyze.classify(ds, redact=not args.no_redact,
-                           filter_config=fc, ns_filter=nf).materialize()
-    from . import report as report_mod
-
-    results = {n: d.to_pandas()
-               for n, d in analyze.sink_aggregates(cds).items()}
-    results["app_conns"] = analyze.app_connection_stats(cds).to_pandas()
-    results["slow_planning"] = analyze.slow_planning_topk(cds).to_pandas()
-    results["driver_stats"] = analyze.driver_stats(cds).to_pandas()
-    results["ignored"] = analyze.ignored_histogram(cds).to_pandas()
-    results["processing_stats"] = analyze.processing_stats(cds)
+    results = analyze.run_full_analysis(
+        None, ds=_load(args), redact=not args.no_redact,
+        filter_config=fc, ns_filter=nf)
     os.makedirs(args.out, exist_ok=True)
     for name, df in results.items():
         df.to_csv(os.path.join(args.out, f"{name}.csv"), index=False)

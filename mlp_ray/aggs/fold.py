@@ -413,7 +413,8 @@ def _union_countmaps(s: pd.Series) -> str:
 
 
 def run_fold(ds, spec: FoldSpec, *, batch_size: int = 131072,
-             num_buckets: int = 64, salt: int = 1):
+             num_buckets: int = 64, salt: int = 1,
+             merge: str = "distributed"):
     """Apply the two-phase fold to a Ray Dataset → Dataset of final rows.
 
     The merge shuffle is keyed on ``hash(keys) % num_buckets`` rather
@@ -421,6 +422,12 @@ def run_fold(ds, spec: FoldSpec, *, batch_size: int = 131072,
     ALL of them with one vectorized pandas groupby (``merge_bucket``) —
     per-group Python frame construction would serialize the merge and
     flatten the 8→32 CPU scaling curve.
+
+    ``merge="driver"`` collects the partial rows (small: one row per
+    group × block) and merges them in-process, skipping the
+    groupby-sort shuffle whose ~2-3 s fixed latency dominates small
+    jobs; use the default distributed merge when partials are large
+    (exact-p95 partials carry value arrays that grow with the data).
 
     ``salt > 1`` inserts a salted first-level combine: partials are
     hashed on (key, salt) into ``num_buckets × salt`` fine buckets and
@@ -433,6 +440,11 @@ def run_fold(ds, spec: FoldSpec, *, batch_size: int = 131072,
     (exact mode still concatenates value arrays)."""
     partials = ds.map_batches(spec.partial, batch_format="pyarrow",
                               batch_size=batch_size, zero_copy_batch=True)
+
+    if merge == "driver":
+        import ray.data as rd
+        merged = spec.merge_bucket(partials.to_pandas())
+        return rd.from_pandas(merged)
 
     keys = list(spec.keys)
 

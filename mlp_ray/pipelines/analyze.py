@@ -301,27 +301,43 @@ def driver_stats(cds: rd.Dataset) -> rd.Dataset:
 
 
 def run_full_analysis(paths, *, redact: bool = True,
+                      filter_config=None, ns_filter=None,
+                      ds: rd.Dataset | None = None,
                       max_parallel: int = 6) -> dict[str, pd.DataFrame]:
     """Everything the reference's JSON report contains (K3), as small
-    pandas tables — the driver-side collect of final aggregates."""
+    pandas tables — the driver-side collect of final aggregates.
+    Pass ``ds`` to analyze an already-loaded Dataset (e.g. parsed raw
+    logs) instead of parquet paths."""
     from concurrent.futures import ThreadPoolExecutor
+    from ..aggs.fold import run_fold
 
-    ds = load_events(paths)
+    if ds is None:
+        ds = load_events(paths)
     # Materialized once so the ~12 sink consumers don't re-run the
     # classify/redact chain. At production scale the routing stage
     # (pipelines.route) persists routed parquet per sink instead and
     # each aggregate reads only its sink's narrow columns.
-    cds = classify(ds, redact=redact).materialize()
-    jobs: dict[str, object] = dict(sink_aggregates(cds))
-    jobs["app_conns"] = app_connection_stats(cds)
-    jobs["slow_planning"] = slow_planning_topk(cds)
-    jobs["driver_stats"] = driver_stats(cds)
-    jobs["ignored"] = ignored_histogram(cds)
+    cds = classify(ds, redact=redact, filter_config=filter_config,
+                   ns_filter=ns_filter).materialize()
+
+    def sink_job(name):
+        filter_fn, spec = sink_defs.ALL_SINKS[name]()
+        filtered = cds.map_batches(filter_fn, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        # report-scale outputs: driver merge skips the sort shuffle
+        return run_fold(filtered, spec, merge="driver").to_pandas()
+
+    jobs: dict[str, object] = {
+        name: (lambda n=name: sink_job(n)) for name in sink_defs.ALL_SINKS}
+    jobs["app_conns"] = app_connection_stats(cds).to_pandas
+    jobs["slow_planning"] = slow_planning_topk(cds).to_pandas
+    jobs["driver_stats"] = driver_stats(cds).to_pandas
+    jobs["ignored"] = ignored_histogram(cds).to_pandas
     # the ~12 result pipelines are tiny but each pays a fixed executor
     # spin-up; run them from concurrent driver threads so the floors
     # overlap instead of summing
     with ThreadPoolExecutor(max_workers=max_parallel) as ex:
-        futs = {n: ex.submit(d.to_pandas) for n, d in jobs.items()}
+        futs = {n: ex.submit(fn) for n, fn in jobs.items()}
         results = {n: f.result() for n, f in futs.items()}
     results["processing_stats"] = processing_stats(cds)
     return results

@@ -37,7 +37,7 @@ def events_main_agg(sf_dir: str) -> pd.DataFrame:
                     metrics={"value": ("min", "max", "avg", "p95", "sum")},
                     order_col="event_id")
     out = run_fold(_events(sf_dir, ["event_id", "event_type", "value"]),
-                   spec).to_pandas()
+                   spec, merge="driver").to_pandas()
     return round_cols(out, ["min_value", "max_value", "avg_value",
                             "p95_value", "sum_value"])
 
@@ -304,7 +304,8 @@ def events_first_last(sf_dir: str) -> pd.DataFrame:
                     last_cols=["event_type"], order_col="order_key",
                     col_dtypes={"user_id": "Int64"})
     out = run_fold(ds.map_batches(_pad_event_order, batch_format="pyarrow",
-                                  zero_copy_batch=True), spec).to_pandas()
+                                  zero_copy_batch=True), spec,
+                   merge="driver").to_pandas()
     out["user_id"] = out["user_id"].astype("int64")
     return out
 
@@ -382,7 +383,7 @@ def _flagship_sink(sf_dir: str, sink: str) -> pd.DataFrame:
     filter_fn, spec = sink_defs.ALL_SINKS[sink]()
     filtered = _flagship_cds(sf_dir).map_batches(
         filter_fn, batch_format="pyarrow", zero_copy_batch=True)
-    return run_fold(filtered, spec).to_pandas()
+    return run_fold(filtered, spec, merge="driver").to_pandas()
 
 
 def flagship_main_ops(sf_dir: str) -> pd.DataFrame:
@@ -462,4 +463,4 @@ def rawlog_main_ops(sf_dir: str) -> pd.DataFrame:
     filtered = classify(parsed).map_batches(filter_fn,
                                             batch_format="pyarrow",
                                             zero_copy_batch=True)
-    return run_fold(filtered, spec).to_pandas()
+    return run_fold(filtered, spec, merge="driver").to_pandas()
