@@ -60,10 +60,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": Q.media_features,
         "media_resize": Q.media_resize,
         "media_frame_plan": Q.media_frame_plan,
-        # trim tool + flagship sinks (rows-only; golden-checked in
-        # tests/test_flagship_golden.py against the pure-Python oracle)
+        # trim tool + flagship sinks (DuckDB oracles in
+        # mlp_ray/oracle_sql.py over the persisted flagship input; also
+        # golden-checked in tests/test_flagship_golden.py)
         "events_trim_props": Q.events_trim_props,        # rows-only
         "flagship_main_ops": Q.flagship_main_ops,        # A1
+        "flagship_main_ops_by_shard": Q.flagship_main_ops_by_shard,  # --shards
         "flagship_ttl": Q.flagship_ttl,                  # A2
         "flagship_query_hash": Q.flagship_query_hash,    # A3
         "flagship_plan_cache": Q.flagship_plan_cache,    # A4
@@ -81,7 +83,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from mlp_ray.oracle_sql import FLAGSHIP_SQL
+
     return {
+        **FLAGSHIP_SQL,
         "events_main_agg": """
             SELECT event_type,
                    count(*) AS "count",

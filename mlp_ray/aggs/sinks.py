@@ -26,11 +26,19 @@ def _filter(mask_col: str, extra=None):
     return fn
 
 
+# Per-shard aggregate variants (reference `--shards`:
+# LogParser.java:155-163,557-565 keeps one accumulator set per shard) —
+# prepend the `source` lineage column to the fold keys so every sink
+# can be rendered per shard.
+def _shard_keys(keys: list[str], by_shard: bool) -> list[str]:
+    return (["source"] + keys) if by_shard else keys
+
+
 # --- A1: main operations (Accumulator.java:90-154, key
 # AccumulatorKey.java:32-38 = (ns, op, appName)) ------------------------
-def make_main_ops():
+def make_main_ops(by_shard: bool = False):
     spec = FoldSpec(
-        keys=["ns", "op", "app_name"],
+        keys=_shard_keys(["ns", "op", "app_name"], by_shard),
         key_fillna={"app_name": UNKNOWN_APP},
         metrics={
             "duration_ms": ("min", "max", "avg", "p95", "sum"),
@@ -52,9 +60,9 @@ def make_main_ops():
 
 # --- A2: TTL operations (LogParser.java:938-970) — the ttl_delete
 # slice of the ops stream, grouped by namespace ------------------------
-def make_ttl():
+def make_ttl(by_shard: bool = False):
     spec = FoldSpec(
-        keys=["ns"],
+        keys=_shard_keys(["ns"], by_shard),
         metrics={"duration_ms": ("min", "max", "avg"),
                  "nret": ("sum", "avg")},
     )
@@ -64,9 +72,9 @@ def make_ttl():
 # --- A3: query-hash analysis (QueryHashAccumulator.java:25-47; entry
 # QueryHashAccumulatorEntry.java:84-216). Rows without a queryHash are
 # skipped (QueryHashAccumulator.java:30-32). -----------------------------
-def make_query_hash():
+def make_query_hash(by_shard: bool = False):
     spec = FoldSpec(
-        keys=["query_hash", "ns", "op"],
+        keys=_shard_keys(["query_hash", "ns", "op"], by_shard),
         metrics={
             "duration_ms": ("min", "max", "avg", "p95"),
             "keys_examined": ("sum",),
@@ -89,9 +97,9 @@ def make_query_hash():
 # --- A4: plan-cache analysis (PlanCacheAccumulator.java:28-51; gated
 # on planCacheKey AND planSummary present :33-35, key excludes the
 # planCacheKey itself PlanCacheKey.java:16-21) --------------------------
-def make_plan_cache():
+def make_plan_cache(by_shard: bool = False):
     spec = FoldSpec(
-        keys=["ns", "op", "query_hash", "plan_summary"],
+        keys=_shard_keys(["ns", "op", "query_hash", "plan_summary"], by_shard),
         metrics={"duration_ms": ("min", "max", "avg", "p95"),
                  "keys_examined": ("sum",), "docs_examined": ("sum",)},
         bool_count_cols={"replanned": "replanned_count",
@@ -104,9 +112,9 @@ def make_plan_cache():
 
 # --- A5: index stats / COLLSCAN sink (IndexStatsAccumulator.java:15-39,
 # IndexStatsEntry.java:31-113) ------------------------------------------
-def make_index_stats():
+def make_index_stats(by_shard: bool = False):
     spec = FoldSpec(
-        keys=["ns", "plan_summary"],
+        keys=_shard_keys(["ns", "plan_summary"], by_shard),
         metrics={"duration_ms": ("min", "max", "avg", "p95", "sum"),
                  "keys_examined": ("sum",), "docs_examined": ("sum",),
                  "nret": ("sum",)},
@@ -116,9 +124,9 @@ def make_index_stats():
 
 
 # --- A6: error codes (ErrorCodeAccumulator.java:24-44) -----------------
-def make_errors():
+def make_errors(by_shard: bool = False):
     spec = FoldSpec(
-        keys=["err_code_name"],
+        keys=_shard_keys(["err_code_name"], by_shard),
         first_cols=["err_code", "ns"],
         col_dtypes={"err_code": "Int64"},
     )
@@ -127,9 +135,9 @@ def make_errors():
 
 # --- A7: transactions (TransactionAccumulator.java:27-41; per-metric
 # independent presence counts TransactionEntry.java:44-87) --------------
-def make_txn():
+def make_txn(by_shard: bool = False):
     spec = FoldSpec(
-        keys=["txn_retry_counter", "termination_cause", "commit_type"],
+        keys=_shard_keys(["txn_retry_counter", "termination_cause", "commit_type"], by_shard),
         col_dtypes={"txn_retry_counter": "Int64"},
         metrics={
             "duration_ms": ("count", "min", "max", "avg"),
@@ -142,8 +150,8 @@ def make_txn():
 
 
 # --- A9: operation-type stats (LogParserTask.java:1378-1382) -----------
-def make_op_stats():
-    spec = FoldSpec(keys=["op"])
+def make_op_stats(by_shard: bool = False):
+    spec = FoldSpec(keys=_shard_keys(["op"], by_shard))
     return _filter("r_ops"), spec
 
 

@@ -1,0 +1,317 @@
+"""DuckDB oracle SQL for the flagship sinks.
+
+The flagship input is derived from testdata documents plus the seeded
+synthetic attribute generator (``sources.tokenized``) — not derivable
+in SQL — so each flagship query persists it at
+``sources.tokenized.FLAGSHIP_ORACLE_PATH`` and these (static) oracle
+statements read it back with ``read_parquet()``.  Everything else is
+re-derived INDEPENDENTLY in SQL: the op classification CASE mirrors
+``stages.classify.classify_batch`` (reference dispatch
+``LogParserTask.java:155-262``), the write-metric coalescing mirrors
+``processExecutionStats`` (LogParserTask.java:983-1013), and every
+aggregate re-expresses the corresponding FoldSpec in
+``aggs/sinks.py``.  Only ``sanitized_query``/``shape_hash`` are taken
+from the persisted file (computed driver-side by the SAME ``Redactor``
+the Ray pipeline runs; redaction itself is attested by
+tests/test_redact*.py).
+
+Float outputs are rounded to 6 decimals on both sides; averages are
+written as round(sum::DOUBLE / count, 6) to mirror the fold's exact
+integer-sum-then-divide arithmetic, and p95 uses quantile_cont ==
+numpy linear interpolation.
+"""
+
+from __future__ import annotations
+
+from .sources.tokenized import FLAGSHIP_ORACLE_PATH
+
+# Shared classified-events CTE: op label, coalesced nret, routing
+# masks, COLLSCAN flag — the SQL re-derivation of classify_batch +
+# add_is_collscan.
+CLASSIFIED_CTE = f"""
+WITH cl AS (
+  SELECT *,
+    CASE WHEN op IN ('update', 'update_w') THEN coalesce(n_modified, n_upserted)
+         WHEN op IN ('delete', 'remove', 'ttl_delete') THEN n_deleted
+         WHEN op = 'insert' THEN n_inserted
+         ELSE n_returned END AS nret,
+    (op IS NOT NULL AND NOT starts_with(coalesce(ns, ''), 'config.')) AS r_ops,
+    (component = 'TXN' AND msg = 'transaction') AS r_txn,
+    (component IN ('NETWORK', 'ACCESS')) AS r_conn,
+    coalesce(is_error, FALSE) AS r_error,
+    (component = 'CONTROL'
+     OR (op IS NOT NULL AND starts_with(coalesce(ns, ''), 'config.'))) AS r_ignored,
+    CASE WHEN op IS NOT NULL AND starts_with(coalesce(ns, ''), 'config.')
+              THEN 'filtered_namespace'
+         WHEN component = 'CONTROL' THEN msg END AS ignored_category,
+    coalesce(contains(plan_summary, 'COLLSCAN'), FALSE) AS is_collscan
+  FROM (
+    SELECT *,
+      CASE
+        WHEN component = 'COMMAND' AND msg = 'Slow query'
+             AND (op_kind IN ('createIndexes', 'collMod', 'drop',
+                              'killCursors', 'commitTransaction')
+                  OR starts_with(coalesce(op_kind, ''), '_shardsvr'))
+            THEN 'cmd'
+        WHEN component = 'COMMAND' AND msg = 'Slow query'
+             AND op_kind = 'getMore' AND coalesce(is_change_stream, FALSE)
+            THEN 'getMore (change stream)'
+        WHEN component = 'COMMAND' AND msg = 'Slow query' THEN op_kind
+        WHEN component = 'WRITE' AND msg = 'Slow query'
+             AND op_kind = 'update' THEN 'update_w'
+        WHEN component = 'WRITE' AND msg = 'Slow query'
+             AND op_kind = 'delete' THEN 'remove'
+        WHEN component = 'WRITE' AND msg = 'Slow query'
+             AND op_kind = 'insert' THEN 'insert'
+        WHEN component = 'WRITE' AND msg = 'Slow query'
+            THEN 'write_' || coalesce(op_kind, 'unknown')
+        WHEN component = 'INDEX' AND msg = 'Deleted expired documents'
+            THEN 'ttl_delete'
+        WHEN component = 'INDEX' THEN 'index_build'
+      END AS op
+    FROM read_parquet('{FLAGSHIP_ORACLE_PATH}')))
+"""
+
+
+def _stat(metric: str, stat: str) -> str:
+    """One fold output column as SQL (names match aggs/fold merge_bucket)."""
+    if stat == "count":
+        return f"count({metric}) AS count_{metric}"
+    if stat == "avg":
+        return (f"round(CAST(sum({metric}) AS DOUBLE) / count({metric}), 6)"
+                f" AS avg_{metric}")
+    if stat == "p95":
+        return (f"round(CAST(quantile_cont({metric}, 0.95) AS DOUBLE), 6)"
+                f" AS p95_{metric}")
+    return f"round(CAST({stat}({metric}) AS DOUBLE), 6) AS {stat}_{metric}"
+
+
+def _stats(metrics: dict[str, tuple[str, ...]]) -> str:
+    return ",\n    ".join(_stat(m, s) for m, ss in metrics.items() for s in ss)
+
+
+_SAMPLE_DOC = ("substr(max(CASE WHEN duration_ms IS NOT NULL THEN "
+               "lpad(CAST(duration_ms AS VARCHAR), 20, '0') || doc_id END), 21)"
+               " AS sample_doc_id")
+
+_MAIN_OPS_METRICS = {
+    "duration_ms": ("min", "max", "avg", "p95", "sum"),
+    "keys_examined": ("sum", "p95"),
+    "docs_examined": ("sum", "p95"),
+    "nret": ("sum",),
+    "reslen": ("sum",),
+    "bytes_read": ("sum",),
+    "bytes_written": ("sum",),
+    "write_conflicts": ("sum",),
+    "n_shards": ("sum",),
+}
+
+
+def _main_ops_sql(keys: str) -> str:
+    return f"""{CLASSIFIED_CTE}
+SELECT {keys},
+    count(*) AS "count",
+    {_stats(_MAIN_OPS_METRICS)},
+    count(*) FILTER (WHERE coalesce(is_error, FALSE)) AS error_count,
+    count(*) FILTER (WHERE coalesce(is_change_stream, FALSE))
+        AS change_stream_count,
+    {_SAMPLE_DOC}
+FROM cl WHERE r_ops
+GROUP BY ALL
+"""
+
+
+# count-map helper: JSON {value: count} string matching
+# json.dumps(acc, sort_keys=True) (fold _union_countmaps)
+def _countmap(expr: str, out: str, keys: str, where: str) -> str:
+    return f"""
+  SELECT {keys},
+         '{{' || coalesce(string_agg('"' || v || '": ' || c, ', ' ORDER BY v),
+                          '') || '}}' AS {out}
+  FROM (SELECT {keys}, {expr} AS v, count(*) AS c FROM base
+        {where} GROUP BY ALL)
+  GROUP BY ALL"""
+
+
+_QH_KEYS = "query_hash, ns, op"
+
+_QUERY_HASH_SQL = f"""{CLASSIFIED_CTE}
+, base AS (SELECT * FROM cl WHERE r_ops AND query_hash IS NOT NULL),
+agg AS (
+  SELECT {_QH_KEYS},
+    count(*) AS "count",
+    {_stats({"duration_ms": ("min", "max", "avg", "p95"),
+             "keys_examined": ("sum",), "docs_examined": ("sum",),
+             "planning_time_us": ("count", "min", "max", "avg")})},
+    count(*) FILTER (WHERE coalesce(replanned, FALSE)) AS replanned_count,
+    count(*) FILTER (WHERE coalesce(from_multi_planner, FALSE))
+        AS multi_planner_count,
+    min_by(sanitized_query, doc_id) FILTER (WHERE sanitized_query IS NOT NULL)
+        AS first_sanitized_query,
+    min_by(app_name, doc_id) FILTER (WHERE app_name IS NOT NULL)
+        AS first_app_name,
+    max_by(plan_summary, doc_id) FILTER (WHERE plan_summary IS NOT NULL)
+        AS last_plan_summary,
+    {_SAMPLE_DOC}
+  FROM base GROUP BY ALL),
+m_rr AS ({_countmap("replan_reason", "map_replan_reason", _QH_KEYS,
+                    "WHERE replan_reason IS NOT NULL")}),
+m_rpm AS ({_countmap("coalesce(read_pref_mode, 'default')",
+                     "map_read_pref_mode", _QH_KEYS, "")}),
+m_rpt AS ({_countmap("read_pref_tags", "map_read_pref_tags", _QH_KEYS,
+                     "WHERE read_pref_tags IS NOT NULL")})
+SELECT agg.*,
+       coalesce(m_rr.map_replan_reason, '{{}}') AS map_replan_reason,
+       coalesce(m_rpm.map_read_pref_mode, '{{}}') AS map_read_pref_mode,
+       coalesce(m_rpt.map_read_pref_tags, '{{}}') AS map_read_pref_tags
+FROM agg
+LEFT JOIN m_rr USING (query_hash, ns, op)
+LEFT JOIN m_rpm USING (query_hash, ns, op)
+LEFT JOIN m_rpt USING (query_hash, ns, op)
+"""
+
+_PC_KEYS = "ns, op, query_hash, plan_summary"
+
+_PLAN_CACHE_SQL = f"""{CLASSIFIED_CTE}
+, base AS (SELECT * FROM cl
+           WHERE r_ops AND plan_cache_key IS NOT NULL
+             AND plan_summary IS NOT NULL),
+agg AS (
+  SELECT {_PC_KEYS},
+    count(*) AS "count",
+    {_stats({"duration_ms": ("min", "max", "avg", "p95"),
+             "keys_examined": ("sum",), "docs_examined": ("sum",)})},
+    count(*) FILTER (WHERE coalesce(replanned, FALSE)) AS replanned_count,
+    count(*) FILTER (WHERE is_collscan) AS collscan_count
+  FROM base GROUP BY ALL),
+m_rr AS ({_countmap("replan_reason", "map_replan_reason", _PC_KEYS,
+                    "WHERE replan_reason IS NOT NULL")})
+SELECT agg.*, coalesce(m_rr.map_replan_reason, '{{}}') AS map_replan_reason
+FROM agg LEFT JOIN m_rr USING (ns, op, query_hash, plan_summary)
+"""
+
+_TTL_SQL = f"""{CLASSIFIED_CTE}
+SELECT ns, count(*) AS "count",
+    {_stats({"duration_ms": ("min", "max", "avg"), "nret": ("sum", "avg")})}
+FROM cl WHERE r_ops AND op = 'ttl_delete'
+GROUP BY ALL
+"""
+
+_INDEX_STATS_SQL = f"""{CLASSIFIED_CTE}
+SELECT ns, plan_summary, count(*) AS "count",
+    {_stats({"duration_ms": ("min", "max", "avg", "p95", "sum"),
+             "keys_examined": ("sum",), "docs_examined": ("sum",),
+             "nret": ("sum",)})},
+    count(*) FILTER (WHERE is_collscan) AS collscan_count
+FROM cl WHERE r_ops AND plan_summary IS NOT NULL
+GROUP BY ALL
+"""
+
+_ERRORS_SQL = f"""{CLASSIFIED_CTE}
+SELECT err_code_name, count(*) AS "count",
+    CAST(min_by(err_code, doc_id) FILTER (WHERE err_code IS NOT NULL)
+         AS BIGINT) AS first_err_code,
+    min_by(ns, doc_id) FILTER (WHERE ns IS NOT NULL) AS first_ns
+FROM cl WHERE r_error
+GROUP BY ALL
+"""
+
+_TXN_SQL = f"""{CLASSIFIED_CTE}
+SELECT CAST(txn_retry_counter AS BIGINT) AS txn_retry_counter,
+    termination_cause, commit_type, count(*) AS "count",
+    {_stats({"duration_ms": ("count", "min", "max", "avg"),
+             "commit_us": ("count", "min", "max", "avg"),
+             "active_us": ("count", "min", "max", "avg"),
+             "inactive_us": ("count", "min", "max", "avg")})}
+FROM cl WHERE r_txn
+GROUP BY ALL
+"""
+
+_OP_STATS_SQL = f"""{CLASSIFIED_CTE}
+SELECT op, count(*) AS "count" FROM cl WHERE r_ops GROUP BY ALL
+"""
+
+_APP_CONNS_SQL = f"""{CLASSIFIED_CTE}
+SELECT coalesce(app_name, 'unknown') AS app_name,
+       count(DISTINCT ctx) AS distinct_conn_count
+FROM cl GROUP BY ALL
+"""
+
+_SLOW_PLANNING_SQL = f"""{CLASSIFIED_CTE}
+SELECT planning_time_us, ns, op, plan_summary, sanitized_query,
+       query_hash, app_name, doc_id
+FROM cl WHERE r_ops AND planning_time_us IS NOT NULL
+ORDER BY planning_time_us DESC, doc_id DESC LIMIT 50
+"""
+
+_IGNORED_HIST_SQL = f"""{CLASSIFIED_CTE}
+SELECT ignored_category, count(*) AS "count"
+FROM cl WHERE r_ignored GROUP BY ALL
+"""
+
+_PROCESSING_STATS_SQL = f"""{CLASSIFIED_CTE}
+SELECT count(*) AS total_lines,
+    count(*) FILTER (WHERE r_ops) AS found_ops,
+    count(*) FILTER (WHERE r_txn) AS txn_events,
+    count(*) FILTER (WHERE r_conn) AS conn_events,
+    count(*) FILTER (WHERE r_error) AS error_events,
+    count(*) FILTER (WHERE r_ignored) AS ignored,
+    count(*) FILTER (WHERE ignored_category = 'filtered_namespace')
+        AS filtered_by_namespace
+FROM cl
+"""
+
+# J1/A12 driver stats: per-connection two-pass join (username by first
+# auth row, lifetime from accepted→ended, deterministic 1-in-10
+# sampling), then per-driver-identity rollup
+# (TwoPassDriverStatsAccumulator.java:29-171).
+_DRIVER_STATS_SQL = f"""{CLASSIFIED_CTE}
+, conn AS (SELECT * FROM cl WHERE r_conn),
+per AS (
+  SELECT ctx,
+    min(ts) FILTER (WHERE msg = 'Connection accepted') AS start_ts,
+    max(ts) FILTER (WHERE msg = 'Connection ended') AS end_ts,
+    coalesce(min_by(username, doc_id) FILTER (WHERE username IS NOT NULL),
+             'none') AS username,
+    (CAST(substr(ctx, 5) AS BIGINT) % 10 = 0) AS sampled
+  FROM conn GROUP BY ctx),
+meta AS (
+  SELECT c.driver_name, c.driver_version, c.os_type, c.platform,
+         c.compressors, c.remote, p.username,
+         CASE WHEN p.sampled AND p.start_ts IS NOT NULL
+                   AND p.end_ts IS NOT NULL
+                   AND date_diff('millisecond', p.start_ts, p.end_ts) > 0
+              THEN CAST(date_diff('millisecond', p.start_ts, p.end_ts)
+                        AS DOUBLE) END AS lifetime_ms
+  FROM conn c JOIN per p USING (ctx)
+  WHERE c.driver_name IS NOT NULL)
+SELECT driver_name, driver_version, os_type, platform, compressors,
+    username,
+    count(*) AS conn_count,
+    count(DISTINCT remote) AS distinct_hosts,
+    round(avg(lifetime_ms), 6) AS lifetime_avg_ms,
+    round(max(lifetime_ms), 6) AS lifetime_max_ms
+FROM meta
+WHERE NOT starts_with(driver_name, 'NetworkInterface')
+  AND driver_name <> 'MongoDB Internal Client'
+GROUP BY ALL
+"""
+
+FLAGSHIP_SQL: dict[str, str] = {
+    "flagship_main_ops": _main_ops_sql(
+        "ns, op, coalesce(app_name, 'unknown') AS app_name"),
+    "flagship_main_ops_by_shard": _main_ops_sql(
+        "source, ns, op, coalesce(app_name, 'unknown') AS app_name"),
+    "flagship_ttl": _TTL_SQL,
+    "flagship_query_hash": _QUERY_HASH_SQL,
+    "flagship_plan_cache": _PLAN_CACHE_SQL,
+    "flagship_index_stats": _INDEX_STATS_SQL,
+    "flagship_errors": _ERRORS_SQL,
+    "flagship_txn": _TXN_SQL,
+    "flagship_op_stats": _OP_STATS_SQL,
+    "flagship_app_conns": _APP_CONNS_SQL,
+    "flagship_slow_planning": _SLOW_PLANNING_SQL,
+    "flagship_ignored_hist": _IGNORED_HIST_SQL,
+    "flagship_processing_stats": _PROCESSING_STATS_SQL,
+    "flagship_driver_stats": _DRIVER_STATS_SQL,
+}

