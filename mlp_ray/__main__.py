@@ -43,12 +43,12 @@ def _load(args):
         return ds.union(*parts[1:]) if len(parts) > 1 else ds
 
     if args.raw_logs:
-        import pyarrow.compute as pc
         from .sources import rawlog
+        # malformed lines stay in the stream: classify routes them to
+        # the ignored sink (parse_<status>) and processing_stats counts
+        # them in total_lines, like the reference (LogParser.java:972-999)
         ds = maybe_union(rawlog.read_raw_logs)
-        return ds.map_batches(rawlog.parse_batch, batch_format="pyarrow") \
-            .map_batches(lambda t: t.filter(
-                pc.equal(t["parse_status"], "ok")), batch_format="pyarrow")
+        return ds.map_batches(rawlog.parse_batch, batch_format="pyarrow")
     return maybe_union(analyze.load_events)
 
 

@@ -129,9 +129,14 @@ class FoldSpec:
                 valid = ~np.isnan(v)
                 gv, vv = ng[valid], v[valid]
                 if (self.p95_mode == "sketch"
-                        and n_groups <= _SKETCH_DENSE_MAX_GROUPS):
+                        and n_groups * _SKETCH_BINS <= len(vv) + n_groups):
                     # per-group log-histogram: (group, bin) bincount in
-                    # one shot, rows of the 2-D array are the sketches
+                    # one shot, rows of the 2-D array are the sketches.
+                    # Chosen per batch ONLY when the dense (groups ×
+                    # 4096) array is no larger than the sparse
+                    # per-value encoding below — near the old
+                    # fixed-group-count cutoff a dense partial could
+                    # carry ~100× the raw values it summarizes
                     bins = _sketch_bin(vv)
                     flat = np.bincount(
                         gv * _SKETCH_BINS + bins,
@@ -364,10 +369,6 @@ def _p95_of_arrays(s: pd.Series):
 # log-spaced bins covering [0, ~1e12) with ~0.7% bin width: bounded
 # per-group partial state (_SKETCH_BINS ints) regardless of group size
 _SKETCH_BINS = 4096
-# above this many groups in one batch, a dense (groups × bins) array
-# would exceed the raw values it summarizes — partials fall back to
-# value arrays and the merge sketches them lazily
-_SKETCH_DENSE_MAX_GROUPS = 4096
 _SKETCH_SCALE = _SKETCH_BINS / np.log1p(1e12)
 
 

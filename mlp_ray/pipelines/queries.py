@@ -487,9 +487,9 @@ def rawlog_main_ops(sf_dir: str) -> pd.DataFrame:
         rawlog.write_raw_log_fixture(fixture, 8000, seed=11, n_shards=2)
     paths = sorted(os.path.join(fixture, f) for f in os.listdir(fixture))
     ds = rawlog.read_raw_logs(paths)
-    parsed = ds.map_batches(rawlog.parse_batch, batch_format="pyarrow") \
-        .map_batches(lambda t: t.filter(
-            pc.equal(t["parse_status"], "ok")), batch_format="pyarrow")
+    # no ok-prefilter: classify() masks non-ok rows out of every sink
+    # while keeping them countable for processing stats / ignored
+    parsed = ds.map_batches(rawlog.parse_batch, batch_format="pyarrow")
     filter_fn, spec = make_main_ops()
     filtered = classify(parsed).map_batches(filter_fn,
                                             batch_format="pyarrow",

@@ -94,17 +94,28 @@ class RouterWriter:
     def _sample_ignored(self, t: pa.Table) -> pa.Table:
         # 1-in-100 deterministic sample of ignored lines
         # (LogParser.java:980-982): numeric doc_ids sample by index
-        # (FIXTURES.md §4 golden contract); non-numeric ids (e.g. the
-        # raw-log source's content hashes) sample by id hash
-        keep = []
-        for d in t["doc_id"].to_pylist():
-            tail = d[3:]
-            if tail.isdigit():
-                keep.append(int(tail) % self.mod == 0)
-            else:
+        # (FIXTURES.md §4 golden contract) — fully vectorized in
+        # Arrow/numpy since ignored lines are the bulk of a log corpus;
+        # non-numeric ids (e.g. the raw-log source's content hashes)
+        # fall back to a Python id-hash on that rare subset only
+        import numpy as np
+
+        ids = t["doc_id"].combine_chunks()
+        tails = pc.utf8_slice_codeunits(ids, 3, 1 << 30)
+        num_mask = pc.fill_null(
+            pc.match_substring_regex(tails, r"^[0-9]{1,18}$"), False)
+        nm = num_mask.to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(nm), dtype=bool)
+        if nm.any():
+            vals = pc.cast(pc.if_else(num_mask, tails, "0"),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+            keep[nm] = (vals[nm] % self.mod) == 0
+        if not nm.all():
+            for i in np.nonzero(~nm)[0]:
                 h = int.from_bytes(hashlib.blake2b(
-                    d.encode(), digest_size=4).digest(), "big")
-                keep.append(h % self.mod == 0)
+                    ids[int(i)].as_py().encode(),
+                    digest_size=4).digest(), "big")
+                keep[i] = h % self.mod == 0
         return t.filter(pa.array(keep, pa.bool_()))
 
     def _write_one(self, pid: str, part: pa.Table, t0: float, lineage: list):

@@ -34,5 +34,8 @@ def test_analyze_raw_logs(tmp_path):
     p = _run("analyze", *logs, "--raw-logs", "--out", out, "--top", "2")
     assert p.returncode == 0, p.stderr[-2000:]
     rep = json.load(open(os.path.join(out, "report.json")))
-    assert rep["processingStats"]["total_lines"] == 2000
+    # 2000 rendered lines + 1-in-50 junk lines: malformed input is
+    # counted, not silently dropped (LogParser.java:972-999)
+    assert rep["processingStats"]["total_lines"] == 2040
+    assert rep["processingStats"]["ignored"] >= 40
     assert rep["operationTypeStats"]["total"] > 0

@@ -182,3 +182,20 @@ def test_zip_archive_support(tmp_path):
     assert set(out["parse_status"].to_pylist()) == {"ok"}
     assert set(pc.unique(out["source"]).to_pylist()) == {
         "shard-03-00", "shard-04-00"}
+
+
+def test_parse_status_accounting_in_classify(parsed):
+    """Malformed lines are not dropped pre-accounting: classify routes
+    them to the ignored sink under parse_<status> and keeps them out of
+    every event sink (reference counts+samples them,
+    LogParser.java:972-999)."""
+    cb = classify_batch(parsed)
+    bad = cb.filter(pc.not_equal(cb["parse_status"], "ok"))
+    assert bad.num_rows == N_ROWS // 50
+    assert set(bad["r_ignored"].to_pylist()) == {True}
+    assert set(bad["ignored_category"].to_pylist()) == {"parse_non_json"}
+    for mask in ("r_ops", "r_txn", "r_conn", "r_error"):
+        assert not any(bad[mask].to_pylist()), mask
+    # ok rows are classified exactly as before
+    ok = cb.filter(pc.equal(cb["parse_status"], "ok"))
+    assert int(pc.sum(pc.cast(ok["r_ops"], pa.int64())).as_py()) > 0
