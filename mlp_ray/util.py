@@ -18,3 +18,33 @@ def round_cols(df, cols, ndigits: int = 6):
     for c in cols:
         df[c] = round_half_away(df[c].to_numpy(dtype=np.float64), ndigits)
     return df
+
+
+def bucketed_groups(ds, key_cols: list[str], fn, num_buckets: int = 64):
+    """groupby a hash BUCKET of ``key_cols`` and run ``fn`` over the
+    whole bucket (all rows of every key the bucket owns).
+
+    The scale-safe replacement for ``groupby(key).map_groups`` when the
+    key cardinality is high: per-key map_groups builds one Python
+    pandas frame per key through the sort shuffle, while a bucketed
+    group hands ``fn`` enough co-located rows to reduce them with ONE
+    vectorized pandas pass per bucket."""
+    import pandas as pd
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            df["_bucket"] = pd.Series(dtype="int64")
+            return df
+        h = np.zeros(len(df), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in key_cols:
+                h = h * np.uint64(31) + pd.util.hash_pandas_object(
+                    df[c], index=False).to_numpy().astype(np.uint64)
+        df["_bucket"] = (h % num_buckets).astype("int64")
+        return df
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=["_bucket"]))
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket").map_groups(run, batch_format="pandas"))

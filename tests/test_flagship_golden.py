@@ -77,3 +77,22 @@ def test_timestamp_range(fixture_paths, oracle_cdf):
     r = analyze.timestamp_range(ds)
     assert pd.Timestamp(r["min(ts)"]) == oracle_cdf["ts"].min()
     assert pd.Timestamp(r["max(ts)"]) == oracle_cdf["ts"].max()
+
+
+def test_distributed_merge_equals_driver_merge(fixture_paths, results):
+    """The large-input path (single shuffled merge keyed on
+    (sink, key-bucket)) must produce byte-identical tables to the
+    report-scale driver merge — the mode gate can never change
+    results."""
+    dist = analyze.run_full_analysis(fixture_paths, mode="distributed")
+    for name, exp in results.items():
+        act = dist[name]
+        keys = [c for c in exp.columns
+                if exp[c].dtype == object or str(exp[c].dtype) == "string"]
+        a = act.sort_values(list(act.columns), kind="mergesort",
+                            na_position="last").reset_index(drop=True)
+        e = exp.sort_values(list(exp.columns), kind="mergesort",
+                            na_position="last").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a, e, check_like=True, check_dtype=False, atol=1e-9,
+            obj=f"sink {name}")
