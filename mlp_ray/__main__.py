@@ -3,7 +3,9 @@
   python -m mlp_ray analyze <parquet...> --out DIR [--no-redact]
          [--ns SELECTOR ...] [--config props]      # full report (K3/K5)
   python -m mlp_ray route <parquet...> --out DIR   # routed sinks + manifest
-  python -m mlp_ray trim <parquet...> --col props --out DIR  # LogFilter tool
+  python -m mlp_ray trim <parquet...> --col props --out DIR [--redact]
+                                                   # LogFilter tool
+  python -m mlp_ray redact <logs...> --out DIR     # whole-file redaction
   python -m mlp_ray synth --rows N --out DIR       # fixture generator
 
 Owns the Ray session (the library itself never calls ray.init).
@@ -89,11 +91,48 @@ def cmd_trim(args):
     _init_ray(args.cpus)
     import ray.data as rd
     from .ops import trim
+    redactor = None
+    if args.redact:
+        from .stages.redact import Redactor
+        redactor = Redactor(enabled=True)
     ds = rd.read_parquet(args.inputs)
-    out = ds.map_batches(lambda t: trim.trim_batch(t, col=args.col),
-                         batch_format="pyarrow")
+    out = ds.map_batches(
+        lambda t: trim.trim_batch(t, col=args.col, redactor=redactor),
+        batch_format="pyarrow")
     out.write_parquet(args.out)
     print(f"wrote {out.count()} rows to {args.out}")
+
+
+def cmd_redact(args):
+    """Whole-file redaction: every log line through the preserve-path
+    whitelist walk (reference --redact mode, LogRedactionUtil.java)."""
+    _init_ray(args.cpus)
+    import gzip
+    import hashlib
+
+    import pyarrow as pa
+    from .sources import rawlog
+    from .stages.redact import redact_lines_batch
+
+    ds = rawlog.read_raw_logs(args.inputs)
+    os.makedirs(args.out, exist_ok=True)
+    out_dir = args.out
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        red = redact_lines_batch(batch)
+        lines = [v for v in red["text"].to_pylist() if v is not None]
+        data = ("\n".join(lines) + "\n").encode()
+        # content-hash names: a retried task overwrites, not duplicates
+        tag = hashlib.blake2b(data, digest_size=8).hexdigest()
+        path = os.path.join(out_dir, f"redacted-{tag}.log.gz")
+        tmp = path + f".tmp-{os.getpid()}"
+        with gzip.open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+        return pa.table({"path": [path], "lines": [len(lines)]})
+
+    lin = ds.map_batches(write_batch, batch_format="pyarrow").to_pandas()
+    print(f"wrote {int(lin['lines'].sum())} redacted lines to {args.out}")
 
 
 def cmd_synth(args):
@@ -135,7 +174,14 @@ def main(argv=None):
     sp = sub.add_parser("trim")
     common(sp)
     sp.add_argument("--col", default="props")
+    sp.add_argument("--redact", action="store_true",
+                    help="apply whole-message preserve-path redaction "
+                         "to the trimmed output")
     sp.set_defaults(fn=cmd_trim)
+
+    sp = sub.add_parser("redact")
+    common(sp)
+    sp.set_defaults(fn=cmd_redact)
 
     sp = sub.add_parser("synth")
     common(sp, inputs=False)

@@ -50,17 +50,24 @@ def trim_node(node, parent_key: str | None = None):
     return node
 
 
-def trim_json_str(s: str | None) -> str | None:
+def trim_json_str(s: str | None, redactor=None) -> str | None:
     if s is None:
         return None
     try:
         doc = json.loads(s)
     except (ValueError, TypeError):
-        return s  # non-JSON rows pass through row-preserved
-    return json.dumps(trim_node(doc), sort_keys=True, separators=(",", ":"))
+        # non-JSON rows pass through row-preserved — but never
+        # unredacted when redaction is requested
+        return s if redactor is None else '"xxx"'
+    doc = trim_node(doc)
+    if redactor is not None:
+        # --redact: whole-message preserve-path walk over the trimmed
+        # fragment (reference LogFilter + LogRedactionUtil combination)
+        doc = redactor.redact_fragment(doc)
+    return json.dumps(doc, sort_keys=True, separators=(",", ":"))
 
 
 def trim_batch(batch: pa.Table, col: str = "props",
-               out_col: str = "trimmed") -> pa.Table:
-    vals = [trim_json_str(v) for v in batch[col].to_pylist()]
+               out_col: str = "trimmed", redactor=None) -> pa.Table:
+    vals = [trim_json_str(v, redactor) for v in batch[col].to_pylist()]
     return batch.append_column(out_col, pa.array(vals, pa.string()))

@@ -88,6 +88,72 @@ def annotate_json_col(batch: pa.Table, col: str = "props") -> pa.Table:
             .append_column("query_source", pa.array(src, pa.string())))
 
 
+# --- R1 proper: whole-log-message redaction ---------------------------
+# Exact dotted paths whose VALUES survive verbatim when an entire log
+# line is redacted (semantics of the reference's PRESERVE_PATHS
+# whitelist + redactLogMessage walk, LogRedactionUtil.java:67-175 and
+# :198-232): the analytic envelope/metric payload is preserved, every
+# other value — filters, documents, errmsg text — is redacted.
+# Arrays do not extend the path; key names are always preserved.
+_ENVELOPE_PATHS = {"t", "t.$date", "s", "c", "id", "ctx", "msg"}
+
+_ATTR_SCALARS = {
+    # identity / namespace
+    "ns", "namespace", "type", "appName", "db", "collection",
+    # slow-query metrics (SlowQuery.java:3-29)
+    "durationMillis", "keysExamined", "docsExamined", "nreturned",
+    "nReturned", "reslen", "planningTimeMicros", "cpuNanos",
+    "writeConflicts", "nShards", "nModified", "nUpserted", "ndeleted",
+    "nDeleted", "ninserted", "nInserted", "nMatched", "numYields",
+    "queryHash", "planCacheKey", "planSummary", "queryFramework",
+    "replanned", "replanReason", "fromMultiPlanner", "usedDisk",
+    "fromPlanCache", "remoteOpWaitMillis", "protocol", "cursorid",
+    "cursorExhausted", "hasSortStage",
+    # storage metrics
+    "storage.data.bytesRead", "storage.data.bytesWritten",
+    "storage.data.timeReadingMicros", "storage.data.timeWritingMicros",
+    "storage.bytesRead", "storage.bytesWritten",
+    # locks / flow control are numeric counters
+    "numDeleted", "numIntervals",
+    # transactions (LogParserTask.java:1117-1179)
+    "terminationCause", "commitType", "commitDurationMicros",
+    "timeActiveMicros", "timeInactiveMicros",
+    "parameters.txnRetryCounter", "parameters.autocommit",
+    "parameters.readConcern.level",
+    # errors: code and name are safe, errMsg text is NOT
+    "error.code", "error.codeName", "code", "codeName", "ok",
+    # connection / auth / metadata (LogParserTask.java:1181-1315)
+    "user", "mechanism", "principalName", "authenticationDatabase",
+    "connectionId", "connectionCount", "negotiatedCompressors",
+    "doc.driver.name", "doc.driver.version", "doc.os.type",
+    "doc.os.name", "doc.os.architecture", "doc.os.version",
+    "doc.platform", "doc.application.name", "doc.mongos.version",
+    "doc.mongos.host", "isSpeculative", "isClusterMember",
+    # read preference / sharding
+    "readPreference.mode", "nShards", "shardsUsed",
+}
+
+# command-shape keys: the value of the operation key is the collection
+# name (preserved, like ns); control knobs are numeric/bool scalars
+_COMMAND_SCALARS = {
+    "find", "aggregate", "update", "insert", "delete", "findAndModify",
+    "getMore", "count", "distinct", "createIndexes", "collMod", "drop",
+    "listIndexes", "killCursors", "explain", "collection",
+    "batchSize", "limit", "skip", "singleBatch", "maxTimeMS",
+    "allowDiskUse", "bypassDocumentValidation", "ordered", "upsert",
+    "multi", "new", "remove", "$db", "lsid.id", "$readPreference.mode",
+    "readConcern.level", "writeConcern.w", "writeConcern.wtimeout",
+    "writeConcern.j", "comment",
+}
+
+PRESERVE_PATHS = frozenset(
+    _ENVELOPE_PATHS
+    | {f"attr.{p}" for p in _ATTR_SCALARS}
+    | {f"attr.command.{p}" for p in _COMMAND_SCALARS}
+    | {f"attr.originatingCommand.{p}" for p in _COMMAND_SCALARS}
+)
+
+
 class Redactor:
     """Actor-pool stage: raw_filter_json → sanitized_query + shape_hash."""
 
@@ -167,6 +233,59 @@ class Redactor:
             return self.redact_number(node)
         return node
 
+    # -- whole-log-message walk (redactLogMessage
+    # LogRedactionUtil.java:67-232) -------------------------------------
+    def redact_log_message(self, doc: dict) -> dict:
+        """Redact an ENTIRE structured log line: values at
+        ``PRESERVE_PATHS`` survive verbatim, host-valued keys are
+        Atlas-redacted, ``$regularExpression`` patterns smart-redacted,
+        ``$date``/``$oid``/``$timestamp`` markers kept, everything else
+        falls to the string/number rules.  Key names and structure are
+        always preserved; arrays do not extend the path."""
+        return self._walk_path(doc, "")
+
+    def _walk_path(self, node, path: str):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                p = f"{path}.{k}" if path else k
+                if p in PRESERVE_PATHS:
+                    out[k] = v
+                elif k in self.PRESERVE_VALUE_KEYS:
+                    out[k] = v
+                elif k in self.HOST_KEYS and isinstance(v, str):
+                    out[k] = redact_atlas_hostname(v)
+                elif k == "$regularExpression" and isinstance(v, dict):
+                    out[k] = {
+                        "pattern": self.redact_regex_pattern(
+                            str(v.get("pattern", ""))),
+                        "options": v.get("options", ""),
+                    }
+                else:
+                    out[k] = self._walk_path(v, p)
+            return out
+        if isinstance(node, list):
+            return [self._walk_path(x, path) for x in node]
+        if isinstance(node, str):
+            return self.redact_string(node)
+        if isinstance(node, bool) or node is None:
+            return node
+        if isinstance(node, (int, float)):
+            return self.redact_number(node)
+        return node
+
+    def redact_log_line(self, line: str) -> str:
+        """One raw JSONL log line → redacted line (non-JSON lines pass
+        through redacted to a marker, never leaked verbatim)."""
+        try:
+            doc = json.loads(line)
+        except (ValueError, TypeError):
+            return '{"redaction_error":"non_json_line"}'
+        if not isinstance(doc, dict):
+            return '{"redaction_error":"non_object_line"}'
+        return json.dumps(self.redact_log_message(doc),
+                          separators=(",", ":"))
+
     def sanitize(self, raw: str | None) -> str | None:
         # sanitizeFilter (:721-736): disabled → raw; failure → sentinel
         if raw is None:
@@ -189,6 +308,11 @@ class Redactor:
                 self._cache[raw] = hit
         return hit
 
+    def redact_fragment(self, doc, root: str = "attr"):
+        """Redact a log-message FRAGMENT (e.g. a trimmed ``attr``
+        payload) with the preserve-path walk anchored at ``root``."""
+        return self._walk_path(doc, root)
+
     # -- batch entry ----------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -206,3 +330,22 @@ class Redactor:
         hsh = pa.array([p[1] for p in pairs], pa.string()).take(enc.indices)
         return (batch.append_column(self.out_col, san)
                 .append_column("shape_hash", hsh))
+
+
+# per-worker singleton for the task-pool whole-line redaction stage
+# (regexes + preserve set built once per worker process)
+_LINE_REDACTOR: Redactor | None = None
+
+
+def redact_lines_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Raw JSONL log lines → redacted lines (K-tool: the reference's
+    file-redaction mode applies redactLogMessage to every line before
+    any sample/report output leaves the system)."""
+    global _LINE_REDACTOR
+    if _LINE_REDACTOR is None:
+        _LINE_REDACTOR = Redactor(enabled=True)
+    r = _LINE_REDACTOR
+    vals = [r.redact_log_line(v) if v is not None else None
+            for v in batch[col].to_pylist()]
+    i = batch.column_names.index(col)
+    return batch.set_column(i, col, pa.array(vals, pa.string()))

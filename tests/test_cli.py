@@ -39,3 +39,36 @@ def test_analyze_raw_logs(tmp_path):
     assert rep["processingStats"]["total_lines"] == 2040
     assert rep["processingStats"]["ignored"] >= 40
     assert rep["operationTypeStats"]["total"] > 0
+
+
+def test_redact_cli_roundtrip(tmp_path):
+    """`redact` rewrites log files through the preserve-path walk:
+    output parses as JSONL, envelope/metrics survive, filter values do
+    not leak."""
+    import gzip
+    import glob
+    from mlp_ray.sources import rawlog
+
+    logs = rawlog.write_raw_log_fixture(str(tmp_path / "logs"), 300,
+                                        seed=9, n_shards=1)
+    out = str(tmp_path / "red")
+    p = _run("redact", *logs, "--out", out)
+    assert p.returncode == 0, p.stderr[-2000:]
+    lines = []
+    for f in glob.glob(os.path.join(out, "*.log.gz")):
+        with gzip.open(f, "rt") as fh:
+            lines += [l for l in fh.read().splitlines() if l]
+    docs = [json.loads(l) for l in lines]  # every line valid JSON
+    assert len(docs) >= 300  # original lines + junk markers
+    slow = [d for d in docs if d.get("msg") == "Slow query"
+            and "command" in d.get("attr", {})]
+    assert slow, "no slow queries in redacted output"
+    for d in slow[:50]:
+        assert "durationMillis" not in d["attr"] or \
+            isinstance(d["attr"]["durationMillis"], int)
+        flt = d["attr"]["command"].get("filter")
+        if isinstance(flt, dict) and "status" in flt:
+            assert flt["status"] == "xxx"
+    blob = "\n".join(lines)
+    for leaked in ("active", "pending", "failed"):  # filter words
+        assert f'"status": "{leaked}"' not in blob
