@@ -54,7 +54,12 @@ def classify_df(df: pd.DataFrame, redact: bool = True) -> pd.DataFrame:
     write_other = is_write & ~opk.isin(["update", "delete", "insert"])
     op[write_other] = ("write_" + opk.fillna("unknown"))[write_other]
     op[is_ttl] = "ttl_delete"
-    op[is_index_other] = "index_build"
+    # INDEX subcategories (processIndexOperation LogParserTask.java:755-767)
+    idx_msg = df["msg"].fillna("")
+    op[is_index_other] = "index_other"
+    op[is_index_other & df["msg"].isna()] = "index_maintenance"
+    op[is_index_other & idx_msg.str.contains("Index build")] = "index_build"
+    op[is_index_other & idx_msg.str.contains("Index drop")] = "index_drop"
     df["op"] = op
 
     is_upd = op.isin(["update", "update_w"])

@@ -67,7 +67,12 @@ WITH cl AS (
             THEN 'write_' || coalesce(op_kind, 'unknown')
         WHEN component = 'INDEX' AND msg = 'Deleted expired documents'
             THEN 'ttl_delete'
-        WHEN component = 'INDEX' THEN 'index_build'
+        WHEN component = 'INDEX' AND contains(coalesce(msg, ''), 'Index build')
+            THEN 'index_build'
+        WHEN component = 'INDEX' AND contains(coalesce(msg, ''), 'Index drop')
+            THEN 'index_drop'
+        WHEN component = 'INDEX' AND msg IS NULL THEN 'index_maintenance'
+        WHEN component = 'INDEX' THEN 'index_other'
       END AS op
     FROM read_parquet('{FLAGSHIP_ORACLE_PATH}')))
 """

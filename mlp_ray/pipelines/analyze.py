@@ -39,7 +39,7 @@ ATTR_COLUMNS = [
     "txn_retry_counter", "termination_cause", "commit_type", "commit_us",
     "active_us", "inactive_us", "raw_filter_json", "driver_name",
     "driver_version", "os_type", "platform", "compressors", "username",
-    "remote",
+    "auth_db", "auth_mechanism", "server_version", "remote",
 ]
 
 

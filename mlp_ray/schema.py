@@ -122,6 +122,16 @@ FILTER_TEMPLATES = [
     '{"nested": {"deep": {"value": %d, "label": "%s"}}}',
 ]
 
+# INDEX-component messages → op subcategories (processIndexOperation
+# LogParserTask.java:755-767: "Index build" → index_build, "Index
+# drop" → index_drop, other msg → index_other, no msg →
+# index_maintenance)
+INDEX_MSGS = ["Index build: done", "Index build: starting",
+              "Index drop: completed", "Index validation complete"]
+
+AUTH_DBS = ["admin", "$external", "app"]
+AUTH_MECHANISMS = ["SCRAM-SHA-256", "SCRAM-SHA-1", "MONGODB-X509"]
+
 NOISE_MSGS = [
     "Checkpointer thread", "Flow control refresh", "Periodic task runner",
     "TTLMonitor pass", "WiredTiger message", "Heartbeat scheduled",
@@ -185,6 +195,9 @@ def events_tok_schema() -> pa.Schema:
             ("platform", s),
             ("compressors", s),
             ("username", s),
+            ("auth_db", s),          # attr.db (processAccessMessage
+            ("auth_mechanism", s),   #   LogParserTask.java:1181-1222)
+            ("server_version", s),   # doc.mongos.version (:1289-1296)
             ("remote", s),
         ]
     )

@@ -45,10 +45,12 @@ MAX_LINE_BYTES = 1 << 20  # 1 MB, LogParser.java:631
 _SHARD_RE = re.compile(r"shard-(\d+)-(\d+)")
 
 # msgs whose attr payload feeds a sink → worth a full JSON parse
+_DISCONNECT_MSG = "Interrupted operation as its client disconnected"
 _DETAIL_MSGS = frozenset({
     "Slow query", "transaction", "client metadata",
     "Successfully authenticated", "Connection accepted",
-    "Connection ended", "Deleted expired documents", "Index build: done",
+    "Connection ended", "Deleted expired documents",
+    _DISCONNECT_MSG, *S.INDEX_MSGS,
 })
 
 
@@ -167,7 +169,8 @@ def parse_batch(batch: pa.Table) -> pa.Table:
         "err_code", "txn_retry_counter", "termination_cause", "commit_type",
         "commit_us", "active_us", "inactive_us", "raw_filter_json",
         "driver_name", "driver_version", "os_type", "platform",
-        "compressors", "username", "remote")}
+        "compressors", "username", "auth_db", "auth_mechanism",
+        "server_version", "remote")}
     status = ["ok"] * n
     tl = too_long.to_pylist()
     ij = is_json.to_pylist()
@@ -254,13 +257,28 @@ def _fill_row(cols, r, doc, attr, msg):
     cols["remote"][r] = attr.get("remote")
     cols["app_name"][r] = attr.get("appName")
     cols["duration_ms"][r] = _get_metric(attr, "durationMillis")
-    # isError on any line (LogParserTask.java:563-579)
+    # isError on any line (LogParserTask.java:563-579) + error-code
+    # synthesis paths (processErrorCode :1040-1112): explicit error
+    # object, top-level ok:0 with errName/errCode ("Error<code>" when
+    # only the numeric code exists), client-disconnect interruption
     err = attr.get("error")
     if attr.get("ok") == 0 or err is not None:
         cols["is_error"][r] = True
         if isinstance(err, dict):
             cols["err_code_name"][r] = err.get("codeName")
             cols["err_code"][r] = _get_metric(err, "code")
+        if cols["err_code_name"][r] is None:
+            err_code = _get_metric(attr, "errCode")
+            if attr.get("errName") is not None:
+                cols["err_code_name"][r] = attr["errName"]
+                cols["err_code"][r] = err_code
+            elif err_code is not None:
+                cols["err_code_name"][r] = f"Error{err_code}"
+                cols["err_code"][r] = err_code
+    if msg == _DISCONNECT_MSG:
+        cols["is_error"][r] = True
+        if cols["err_code_name"][r] is None:
+            cols["err_code_name"][r] = "InterruptedByClientDisconnect"
 
     if msg == "Slow query":
         cmd = attr.get("command") or {}
@@ -277,6 +295,18 @@ def _fill_row(cols, r, doc, attr, msg):
                 for k in cmd:
                     cols["op_kind"][r] = k  # admin/other first key
                     break
+            # collection-name ns override (:804-918): the command
+            # value names the collection; getMore carries it in
+            # `collection`; aggregate "1" is a DATABASE-level
+            # aggregation and keeps the db-only namespace
+            opk = cols["op_kind"][r]
+            coll = cmd.get("collection") if opk == "getMore" \
+                else (cmd.get(opk) if opk else None)
+            base_ns = cols["ns"][r] or cmd.get("$db") or ""
+            db = str(base_ns).split(".", 1)[0]
+            if db and isinstance(coll, str) and coll \
+                    and not (opk == "aggregate" and coll == "1"):
+                cols["ns"][r] = f"{db}.{coll}"
         cols["query_hash"][r] = attr.get("queryHash")
         cols["plan_cache_key"][r] = attr.get("planCacheKey")
         cols["plan_summary"][r] = attr.get("planSummary")
@@ -303,24 +333,46 @@ def _fill_row(cols, r, doc, attr, msg):
         cols["replan_reason"][r] = attr.get("replanReason")
         if "fromMultiPlanner" in attr:
             cols["from_multi_planner"][r] = bool(attr["fromMultiPlanner"])
-        rp = cmd.get("$readPreference") or {}
-        cols["read_pref_mode"][r] = rp.get("mode")
-        tags = rp.get("tags")
-        if tags:
-            # tag formatting (LogParserTask.java:585-627)
-            cols["read_pref_tags"][r] = ",".join(
-                f"{k}: {v}" for t in tags for k, v in sorted(t.items()))
+        def read_pref(container):
+            # $readPreference may be an object or a bare mode string
+            # (extractReadPreferenceAndFilter LogParserTask.java:452-467)
+            rp = container.get("$readPreference")
+            if isinstance(rp, str):
+                return rp, None
+            if isinstance(rp, dict):
+                tags = rp.get("tags")
+                fmt = ",".join(f"{k}: {v}" for t in tags
+                               for k, v in sorted(t.items())) if tags \
+                    else None  # tag formatting (:585-627)
+                return rp.get("mode"), fmt
+            return None, None
+
+        cols["read_pref_mode"][r], cols["read_pref_tags"][r] = read_pref(cmd)
         # change-stream getMore (LogParserTask.java:871-890)
         orig = attr.get("originatingCommand") or {}
         stages = orig.get("pipeline") or []
         cols["is_change_stream"][r] = any(
             isinstance(s, dict) and "$changeStream" in s for s in stages)
+
+        def first_match(pipeline):
+            for st in pipeline or []:
+                if isinstance(st, dict) and "$match" in st:
+                    return st["$match"]
+            return None
+
         flt = cmd.get("filter") or cmd.get("q")
         if flt is None and isinstance(cmd.get("pipeline"), list):
-            for st in cmd["pipeline"]:
-                if isinstance(st, dict) and "$match" in st:
-                    flt = st["$match"]
-                    break
+            flt = first_match(cmd["pipeline"])
+        # getMore fallback: shape + read preference from
+        # attr.originatingCommand when the command itself has none
+        # (extractReadPreferenceAndFilter LogParserTask.java:517-551)
+        if flt is None and isinstance(orig, dict):
+            flt = orig.get("filter")
+        if cols["read_pref_mode"][r] is None and isinstance(orig, dict):
+            mode, fmt = read_pref(orig)
+            cols["read_pref_mode"][r] = mode
+            if cols["read_pref_tags"][r] is None:
+                cols["read_pref_tags"][r] = fmt
         if flt is not None:
             cols["raw_filter_json"][r] = json.dumps(
                 flt, sort_keys=True, separators=(",", ":"))
@@ -343,12 +395,17 @@ def _fill_row(cols, r, doc, attr, msg):
         cols["driver_version"][r] = drv.get("version")
         cols["os_type"][r] = (d.get("os") or {}).get("type")
         cols["platform"][r] = d.get("platform")
+        # server version from the mongos field (:1289-1296)
+        cols["server_version"][r] = (d.get("mongos") or {}).get("version")
         comps = attr.get("negotiatedCompressors")
         if comps is not None:
             cols["compressors"][r] = ",".join(comps)
     elif msg == "Successfully authenticated":
-        # processAccessMessage (LogParserTask.java:1181-1222)
+        # processAccessMessage (LogParserTask.java:1181-1222):
+        # user + db + mechanism recorded for the ctx join
         cols["username"][r] = attr.get("user")
+        cols["auth_db"][r] = attr.get("db")
+        cols["auth_mechanism"][r] = attr.get("mechanism")
 
 
 # ---------------------------------------------------------------------------
@@ -430,21 +487,25 @@ def render_lines(tbl: pa.Table) -> list[str]:
                 if v is not None:
                     attr[k] = v
         elif msg == "client metadata":
-            attr = {"remote": row["remote"],
-                    "doc": {"driver": {"name": row["driver_name"],
-                                       "version": row["driver_version"]},
-                            "os": {"type": row["os_type"]},
-                            "platform": row["platform"]},
+            doc_obj = {"driver": {"name": row["driver_name"],
+                                  "version": row["driver_version"]},
+                       "os": {"type": row["os_type"]},
+                       "platform": row["platform"]}
+            if row["server_version"]:
+                doc_obj["mongos"] = {"version": row["server_version"]}
+            attr = {"remote": row["remote"], "doc": doc_obj,
                     "negotiatedCompressors":
                         row["compressors"].split(",") if row["compressors"]
                         else []}
         elif msg in ("Connection accepted", "Connection ended"):
             attr = {"remote": row["remote"]}
         elif msg == "Successfully authenticated":
-            attr = {"user": row["username"], "db": "admin",
-                    "mechanism": "SCRAM-SHA-256", "remote": row["remote"]}
-        elif msg == "Index build: done":
-            attr = {"ns": row["ns"]}
+            attr = {"user": row["username"],
+                    "db": row["auth_db"] or "admin",
+                    "mechanism": row["auth_mechanism"] or "SCRAM-SHA-256",
+                    "remote": row["remote"]}
+        elif msg.startswith("Index"):
+            attr = {"namespace": row["ns"]}
         else:
             attr = {"detail": "noise"}
         if row["is_error"]:

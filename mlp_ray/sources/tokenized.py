@@ -88,7 +88,9 @@ def ensure_flagship_parquet(sf_dir: str, seed: int = 42,
     """Idempotently persist the flagship input table (scalar columns +
     driver-side redaction outputs) for ``sf_dir``; returns ``path``."""
     marker = path + ".src"
-    key = f"{os.path.abspath(sf_dir)}|seed={seed}|v2"
+    # bump the version suffix whenever synth/schema output changes —
+    # it invalidates the cached oracle parquet
+    key = f"{os.path.abspath(sf_dir)}|seed={seed}|v3"
     if os.path.exists(path) and os.path.exists(marker):
         try:
             with open(marker) as fh:

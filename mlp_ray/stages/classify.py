@@ -82,7 +82,20 @@ def classify_batch(batch: pa.Table) -> pa.Table:
             (is_write, pc.binary_join_element_wise(
                 pa.scalar("write"), pc.fill_null(opk, "unknown"), "_")),
             (is_ttl, pa.scalar("ttl_delete", pa.string())),
-            (is_index_other, pa.scalar("index_build", pa.string())),
+            # INDEX subcategories (processIndexOperation
+            # LogParserTask.java:755-767): msg substring dispatch,
+            # msg-less maintenance lines get their own bucket
+            (_b(pc.and_(is_index_other,
+                        pc.match_substring(pc.fill_null(msg, ""),
+                                           "Index build"))),
+             pa.scalar("index_build", pa.string())),
+            (_b(pc.and_(is_index_other,
+                        pc.match_substring(pc.fill_null(msg, ""),
+                                           "Index drop"))),
+             pa.scalar("index_drop", pa.string())),
+            (_b(pc.and_(is_index_other, pc.is_null(msg))),
+             pa.scalar("index_maintenance", pa.string())),
+            (is_index_other, pa.scalar("index_other", pa.string())),
         ],
         pa.scalar(None, pa.string()),
     )

@@ -87,7 +87,8 @@ def generate_chunk(chunk_id: int, n_rows_total: int, seed: int = 42,
     msg = np.empty(n, dtype=object)
     msg[is_cmd | is_write] = "Slow query"
     idx_ttl = is_index & (rng.random(n) < 0.6)
-    msg[is_index] = "Index build: done"
+    idx_msgs, _ = _choice(rng, S.INDEX_MSGS, n, p=[0.5, 0.2, 0.2, 0.1])
+    msg[is_index] = idx_msgs[is_index]
     msg[idx_ttl] = "Deleted expired documents"
     msg[is_txn] = "transaction"
     net_kind = rng.integers(0, 3, n)  # 0 metadata, 1 accepted, 2 ended
@@ -234,6 +235,14 @@ def generate_chunk(chunk_id: int, n_rows_total: int, seed: int = 42,
 
     un, _ = _choice(rng, S.USERNAMES, n)
     username = pa.array(un, pa.string(), mask=~is_access)
+    adb, _ = _choice(rng, S.AUTH_DBS, n, p=[0.7, 0.2, 0.1])
+    auth_db = pa.array(adb, pa.string(), mask=~is_access)
+    amech, _ = _choice(rng, S.AUTH_MECHANISMS, n, p=[0.8, 0.15, 0.05])
+    auth_mechanism = pa.array(amech, pa.string(), mask=~is_access)
+    # doc.mongos.version present on ~30% of client-metadata rows
+    sv_mask = meta_rows & (rng.random(n) < 0.3)
+    server_version = pa.array(np.full(n, "7.0.5", dtype=object),
+                              pa.string(), mask=~sv_mask)
 
     # remote host — derived from ctx so it's stable per connection
     remote = pa.array([f"10.0.{c % 32}.{c % 200}:{50000 + c % 1000}"
@@ -252,7 +261,8 @@ def generate_chunk(chunk_id: int, n_rows_total: int, seed: int = 42,
         read_pref_mode, read_pref_tags, is_change_stream, is_error,
         err_code_name, err_code, txn_retry, termination_cause, commit_type,
         commit_us, active_us, inactive_us, raw_filter_json, driver_name,
-        driver_version, os_type, platform, compressors, username, remote,
+        driver_version, os_type, platform, compressors, username,
+        auth_db, auth_mechanism, server_version, remote,
     ]
     return pa.Table.from_arrays(arrays, schema=S.events_tok_schema())
 

@@ -199,3 +199,102 @@ def test_parse_status_accounting_in_classify(parsed):
     # ok rows are classified exactly as before
     ok = cb.filter(pc.equal(cb["parse_status"], "ok"))
     assert int(pc.sum(pc.cast(ok["r_ops"], pa.int64())).as_py()) > 0
+
+
+def _parse_lines(lines):
+    tbl = pa.table({"text": pa.array(lines, pa.string()),
+                    "path": pa.array(["t.log"] * len(lines), pa.string())})
+    return rawlog.parse_batch(tbl)
+
+
+def _line(c, msg, attr):
+    return json.dumps({"t": {"$date": "2024-01-01T00:00:00.000+00:00"},
+                       "s": "I", "c": c, "id": 1, "ctx": "conn1",
+                       "msg": msg, "attr": attr},
+                      separators=(",", ":"))  # compact mongod format
+
+
+def test_command_collection_ns_override():
+    """processCommandOperation rewrites the collection from the command
+    value (LogParserTask.java:804-918); aggregate "1" is database-level
+    and keeps the original ns."""
+    out = _parse_lines([
+        _line("COMMAND", "Slow query",
+              {"ns": "app.$cmd", "command": {"find": "users",
+                                             "filter": {"a": 1}}}),
+        _line("COMMAND", "Slow query",
+              {"ns": "app.orders", "command": {"aggregate": "1",
+                                               "pipeline": []}}),
+        _line("COMMAND", "Slow query",
+              {"ns": "app.$cmd",
+               "command": {"getMore": 123, "collection": "big"}}),
+    ])
+    assert out["ns"].to_pylist() == ["app.users", "app.orders", "app.big"]
+    assert out["op_kind"].to_pylist() == ["find", "aggregate", "getMore"]
+
+
+def test_getmore_originating_command_fallback():
+    """getMore shape + readPreference fall back to
+    attr.originatingCommand (LogParserTask.java:517-551); bare-string
+    $readPreference accepted (:463-466)."""
+    out = _parse_lines([
+        _line("COMMAND", "Slow query",
+              {"ns": "app.x",
+               "command": {"getMore": 5, "collection": "x"},
+               "originatingCommand": {
+                   "find": "x", "filter": {"user": "bob"},
+                   "$readPreference": {"mode": "secondary",
+                                       "tags": [{"region": "US"}]}}}),
+        _line("COMMAND", "Slow query",
+              {"ns": "app.y",
+               "command": {"find": "y", "$readPreference": "nearest"}}),
+    ])
+    assert out["raw_filter_json"][0].as_py() == '{"user":"bob"}'
+    assert out["read_pref_mode"].to_pylist() == ["secondary", "nearest"]
+    assert out["read_pref_tags"][0].as_py() == "region: US"
+
+
+def test_error_code_synthesis_paths():
+    """Error<code> synthesized from ok:0 + errCode; errName preferred;
+    client-disconnect msg becomes its own code
+    (processErrorCode LogParserTask.java:1040-1112)."""
+    out = _parse_lines([
+        _line("COMMAND", "Slow query",
+              {"ns": "a.b", "command": {"find": "b"}, "ok": 0,
+               "errCode": 50}),
+        _line("COMMAND", "Slow query",
+              {"ns": "a.b", "command": {"find": "b"}, "ok": 0,
+               "errName": "ExceededTimeLimit", "errCode": 262}),
+        _line("COMMAND", _DISCONNECT := "Interrupted operation as its "
+              "client disconnected", {"opId": 99}),
+    ])
+    assert out["is_error"].to_pylist() == [True, True, True]
+    assert out["err_code_name"].to_pylist() == [
+        "Error50", "ExceededTimeLimit", "InterruptedByClientDisconnect"]
+    assert out["err_code"].to_pylist() == [50, 262, None]
+
+
+def test_index_subcategories_and_auth_fields():
+    """INDEX msg dispatch (LogParserTask.java:755-767) and auth
+    db/mechanism + doc.mongos.version extraction (:1181-1222,
+    :1289-1296)."""
+    from mlp_ray.stages.classify import classify_batch
+    out = _parse_lines([
+        _line("INDEX", "Index build: starting", {"namespace": "a.idx"}),
+        _line("INDEX", "Index drop: completed", {"namespace": "a.idx"}),
+        _line("INDEX", "Index validation complete", {"namespace": "a.idx"}),
+        _line("ACCESS", "Successfully authenticated",
+              {"user": "svc", "db": "$external",
+               "mechanism": "MONGODB-X509", "remote": "1.2.3.4:1"}),
+        _line("NETWORK", "client metadata",
+              {"remote": "1.2.3.4:1",
+               "doc": {"driver": {"name": "PyMongo", "version": "4.6.0"},
+                       "os": {"type": "Linux"}, "platform": "CPython",
+                       "mongos": {"version": "7.0.5"}}}),
+    ])
+    cb = classify_batch(out)
+    assert cb["op"].to_pylist()[:3] == ["index_build", "index_drop",
+                                       "index_other"]
+    assert out["auth_db"][3].as_py() == "$external"
+    assert out["auth_mechanism"][3].as_py() == "MONGODB-X509"
+    assert out["server_version"][4].as_py() == "7.0.5"
