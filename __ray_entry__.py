@@ -203,6 +203,33 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_hist": """
             SELECT lang, count(*) AS "count" FROM documents GROUP BY lang
         """,
+        # stopword-profile heuristic (ops/text.py LANG_PROFILES):
+        # argmax over per-language stopword-hit counts, ties resolved in
+        # profile order (en, es, fr, de), zero hits -> unknown
+        "doc_lang_id": r"""
+            WITH s AS (
+              SELECT doc_id,
+                greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)
+                    AS n,
+                len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    x -> x IN ('the','a','and','of','to')))*1.0 AS c_en,
+                len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    x -> x IN ('el','la','de','que','y')))*1.0 AS c_es,
+                len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    x -> x IN ('le','la','de','et','un')))*1.0 AS c_fr,
+                len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    x -> x IN ('der','die','und','das','ein')))*1.0 AS c_de
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN greatest(c_en, c_es, c_fr, c_de) = 0 THEN 'unknown'
+                   WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de
+                       THEN 'en'
+                   WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+                   WHEN c_fr >= c_de THEN 'fr'
+                   ELSE 'de' END AS lang_pred,
+              round(greatest(c_en, c_es, c_fr, c_de) / n, 6) AS lang_conf
+            FROM s
+        """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_hash,
                    min(doc_id) AS canonical_doc_id,

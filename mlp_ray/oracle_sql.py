@@ -302,7 +302,107 @@ WHERE NOT starts_with(driver_name, 'NetworkInterface')
 GROUP BY ALL
 """
 
+# --- raw-log path oracle: DuckDB read_json over the SAME gz JSONL
+# fixture the Ray query parses (S2/P1-P18 attestation: envelope +
+# attr extraction, write-metric coalescing, classification and the
+# main-ops fold all re-derived in SQL from the raw bytes).  Junk lines
+# parse to all-NULL rows (ignore_errors) and classify to no op, like
+# the Ray path's parse_status accounting.
+from .sources.rawlog import RAWLOG_FIXTURE_DIR as _RAWLOG_FIXTURE  # noqa: E402
+
+_RAWLOG_MAIN_OPS_SQL = f"""
+WITH j AS (
+  SELECT * FROM read_json('{_RAWLOG_FIXTURE}/*.log.gz',
+                          format='newline_delimited',
+                          ignore_errors=true, union_by_name=true)),
+ev AS (
+  SELECT
+    j.c AS component, j.msg AS msg,
+    coalesce(j.attr."ns", j.attr."namespace") AS ns,
+    j.attr."appName" AS app_name,
+    j.attr."durationMillis" AS duration_ms,
+    j.attr."keysExamined" AS keys_examined,
+    j.attr."docsExamined" AS docs_examined,
+    j.attr."nreturned" AS n_returned,
+    j.attr."reslen" AS reslen,
+    j.attr."storage"."data"."bytesRead" AS bytes_read,
+    j.attr."storage"."data"."bytesWritten" AS bytes_written,
+    j.attr."writeConflicts" AS write_conflicts,
+    j.attr."nShards" AS n_shards,
+    j.attr."nModified" AS n_modified,
+    j.attr."nUpserted" AS n_upserted,
+    coalesce(j.attr."ndeleted", j.attr."numDeleted") AS n_deleted,
+    j.attr."ninserted" AS n_inserted,
+    (j.attr."ok" = 0 OR j.attr."error" IS NOT NULL) AS is_error,
+    contains(coalesce(CAST(j.attr."originatingCommand" AS VARCHAR), ''),
+             '$changeStream') AS is_change_stream,
+    CASE WHEN j.c = 'WRITE' THEN j.attr."type"
+         WHEN j.attr."command"."find" IS NOT NULL THEN 'find'
+         WHEN j.attr."command"."aggregate" IS NOT NULL THEN 'aggregate'
+         WHEN j.attr."command"."update" IS NOT NULL THEN 'update'
+         WHEN j.attr."command"."insert" IS NOT NULL THEN 'insert'
+         WHEN j.attr."command"."delete" IS NOT NULL THEN 'delete'
+         WHEN j.attr."command"."findAndModify" IS NOT NULL
+             THEN 'findAndModify'
+         WHEN j.attr."command"."getMore" IS NOT NULL THEN 'getMore'
+         WHEN j.attr."command"."count" IS NOT NULL THEN 'count'
+         WHEN j.attr."command"."distinct" IS NOT NULL THEN 'distinct'
+         WHEN j.attr."command"."createIndexes" IS NOT NULL
+             THEN 'createIndexes'
+         WHEN j.attr."command"."_shardsvrMoveChunk" IS NOT NULL
+             THEN '_shardsvrMoveChunk'
+         WHEN j.attr."command"."collMod" IS NOT NULL THEN 'collMod'
+         END AS op_kind
+  FROM j),
+cl AS (
+  SELECT *,
+    CASE WHEN op IN ('update', 'update_w') THEN coalesce(n_modified, n_upserted)
+         WHEN op IN ('delete', 'remove', 'ttl_delete') THEN n_deleted
+         WHEN op = 'insert' THEN n_inserted
+         ELSE n_returned END AS nret,
+    (op IS NOT NULL AND NOT starts_with(coalesce(ns, ''), 'config.')) AS r_ops
+  FROM (
+    SELECT *,
+      CASE
+        WHEN component = 'COMMAND' AND msg = 'Slow query'
+             AND (op_kind IN ('createIndexes', 'collMod', 'drop',
+                              'killCursors', 'commitTransaction')
+                  OR starts_with(coalesce(op_kind, ''), '_shardsvr'))
+            THEN 'cmd'
+        WHEN component = 'COMMAND' AND msg = 'Slow query'
+             AND op_kind = 'getMore' AND coalesce(is_change_stream, FALSE)
+            THEN 'getMore (change stream)'
+        WHEN component = 'COMMAND' AND msg = 'Slow query' THEN op_kind
+        WHEN component = 'WRITE' AND msg = 'Slow query'
+             AND op_kind = 'update' THEN 'update_w'
+        WHEN component = 'WRITE' AND msg = 'Slow query'
+             AND op_kind = 'delete' THEN 'remove'
+        WHEN component = 'WRITE' AND msg = 'Slow query'
+             AND op_kind = 'insert' THEN 'insert'
+        WHEN component = 'WRITE' AND msg = 'Slow query'
+            THEN 'write_' || coalesce(op_kind, 'unknown')
+        WHEN component = 'INDEX' AND msg = 'Deleted expired documents'
+            THEN 'ttl_delete'
+        WHEN component = 'INDEX' AND contains(coalesce(msg, ''), 'Index build')
+            THEN 'index_build'
+        WHEN component = 'INDEX' AND contains(coalesce(msg, ''), 'Index drop')
+            THEN 'index_drop'
+        WHEN component = 'INDEX' AND msg IS NULL THEN 'index_maintenance'
+        WHEN component = 'INDEX' THEN 'index_other'
+      END AS op
+    FROM ev))
+SELECT ns, op, coalesce(app_name, 'unknown') AS app_name,
+    count(*) AS "count",
+    {_stats(_MAIN_OPS_METRICS)},
+    count(*) FILTER (WHERE coalesce(is_error, FALSE)) AS error_count,
+    count(*) FILTER (WHERE coalesce(is_change_stream, FALSE))
+        AS change_stream_count
+FROM cl WHERE r_ops
+GROUP BY ALL
+"""
+
 FLAGSHIP_SQL: dict[str, str] = {
+    "rawlog_main_ops": _RAWLOG_MAIN_OPS_SQL,
     "flagship_main_ops": _main_ops_sql(
         "ns, op, coalesce(app_name, 'unknown') AS app_name"),
     "flagship_main_ops_by_shard": _main_ops_sql(

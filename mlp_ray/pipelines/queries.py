@@ -482,16 +482,19 @@ def rawlog_main_ops(sf_dir: str) -> pd.DataFrame:
     from .analyze import classify
     from ..aggs.sinks import make_main_ops
 
-    fixture = "/tmp/mlp_rawlog_fixture_v1"
-    if not os.path.isdir(fixture) or not os.listdir(fixture):
-        rawlog.write_raw_log_fixture(fixture, 8000, seed=11, n_shards=2)
-    paths = sorted(os.path.join(fixture, f) for f in os.listdir(fixture))
+    paths = rawlog.ensure_rawlog_fixture()
     ds = rawlog.read_raw_logs(paths)
     # no ok-prefilter: classify() masks non-ok rows out of every sink
     # while keeping them countable for processing stats / ignored
     parsed = ds.map_batches(rawlog.parse_batch, batch_format="pyarrow")
     filter_fn, spec = make_main_ops()
+    # the raw-path doc_id is a blake2b content hash the SQL oracle
+    # cannot recompute — drop the arg-max sample column here (sample
+    # semantics are oracle-attested by flagship_main_ops and
+    # events_argmax_sample) so every remaining column is derivable by
+    # DuckDB read_json over the same gz fixture
+    spec.sample_by = None
     filtered = classify(parsed).map_batches(filter_fn,
                                             batch_format="pyarrow",
                                             zero_copy_batch=True)
-    return run_fold(filtered, spec, merge="driver").to_pandas()
+    return _round_floats(run_fold(filtered, spec, merge="driver").to_pandas())

@@ -160,8 +160,16 @@ def build_report(results: dict[str, pd.DataFrame], *,
         report["slowPlanning"] = _records(results["slow_planning"],
                                           sort_by="planning_time_us")
     if "ignored" in results:
-        report["ignoredLines"] = _records(
-            results["ignored"].rename(columns={"count()": "count"}))
+        ign = results["ignored"].rename(columns={"count()": "count"})
+        total_ign = int(ign["count"].sum()) if len(ign) else 0
+        rows = []
+        for rec in _records(ign):
+            # per-category share (reportIgnoredAnalysis
+            # LogParser.java:1114-1125)
+            rec["percentage"] = round(
+                rec["count"] * 100.0 / max(total_ign, 1), 1)
+            rows.append(rec)
+        report["ignoredLines"] = {"total": total_ign, "categories": rows}
     return report
 
 

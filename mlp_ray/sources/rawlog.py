@@ -552,3 +552,19 @@ def write_raw_log_fixture(out_dir: str, n_rows: int, *, seed: int = 42,
             fh.write(data)
         paths.append(path)
     return paths
+
+
+# Fixed-location fixture shared by the rawlog_main_ops driver query and
+# its DuckDB read_json oracle (mlp_ray/oracle_sql.py) — bump the
+# version suffix whenever synth/render output changes.
+RAWLOG_FIXTURE_DIR = "/tmp/mlp_rawlog_fixture_v2"
+
+
+def ensure_rawlog_fixture(n_rows: int = 8000, seed: int = 11,
+                          n_shards: int = 2) -> list[str]:
+    if not os.path.isdir(RAWLOG_FIXTURE_DIR) \
+            or not os.listdir(RAWLOG_FIXTURE_DIR):
+        write_raw_log_fixture(RAWLOG_FIXTURE_DIR, n_rows, seed=seed,
+                              n_shards=n_shards)
+    return sorted(os.path.join(RAWLOG_FIXTURE_DIR, f)
+                  for f in os.listdir(RAWLOG_FIXTURE_DIR))
