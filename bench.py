@@ -32,7 +32,7 @@ BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "1500000"))
 # the scaling comparison needs enough total CPU-work to dwarf the
 # ~2-3 s fixed pipeline floor, else efficiency measures the floor
 SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "36000000"))
-BENCH_INPUT = f"/tmp/mlp_bench_input_r{BENCH_ROWS}_v2"
+BENCH_INPUT = f"/tmp/mlp_bench_input_r{BENCH_ROWS}_v3"
 
 
 def _init_ray(num_cpus: int):
@@ -55,7 +55,7 @@ def ensure_bench_input(rows: int | None = None, *, tok_mean: int = 48,
 
     rows = rows or BENCH_ROWS
     in_dir = (BENCH_INPUT if (rows, tok_mean, cpf) == (BENCH_ROWS, 48, 2)
-              else f"/tmp/mlp_bench_input_r{rows}_t{tok_mean}_c{cpf}_v2")
+              else f"/tmp/mlp_bench_input_r{rows}_t{tok_mean}_c{cpf}_v3")
     os.makedirs(in_dir, exist_ok=True)
     n_chunks = (rows + synth.CHUNK - 1) // synth.CHUNK
     jobs = []

@@ -65,7 +65,7 @@ def cmd_analyze(args):
     nf = NamespaceFilter(args.ns) if args.ns else None
     results = analyze.run_full_analysis(
         None, ds=_load(args), redact=not args.no_redact,
-        filter_config=fc, ns_filter=nf)
+        filter_config=fc, ns_filter=nf, shards=args.shards)
     os.makedirs(args.out, exist_ok=True)
     for name, df in results.items():
         df.to_csv(os.path.join(args.out, f"{name}.csv"), index=False)
@@ -158,6 +158,10 @@ def main(argv=None):
     sp.add_argument("--ns", action="append", default=[])
     sp.add_argument("--config")
     sp.add_argument("--top", type=int, default=10)
+    sp.add_argument("--shards", action="store_true",
+                    help="keep one accumulator set per shard: prepend "
+                         "the source lineage column to every sink key "
+                         "(reference --shards)")
     # input-shaping flags are analyze-only: route/trim read parquet
     # directly and would silently ignore them
     sp.add_argument("--raw-logs", action="store_true",

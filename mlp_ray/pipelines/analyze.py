@@ -323,8 +323,10 @@ def _est_input_bytes(paths, ds) -> int | None:
     return total
 
 
-def _analysis_jobs(top_k: int = 50):
-    """SinkJob per report table (aggs.multifold contract)."""
+def _analysis_jobs(top_k: int = 50, by_shard: bool = False):
+    """SinkJob per report table (aggs.multifold contract).
+    ``by_shard`` prepends the ``source`` lineage column to every fold
+    key (reference ``--shards``, LogParser.java:155-163,557-565)."""
     from ..aggs.multifold import SinkJob
 
     def or_empty(fn):
@@ -333,7 +335,7 @@ def _analysis_jobs(top_k: int = 50):
 
     jobs: dict = {}
     for name in sink_defs.ALL_SINKS:
-        filter_fn, spec = sink_defs.ALL_SINKS[name]()
+        filter_fn, spec = sink_defs.ALL_SINKS[name](by_shard=by_shard)
         jobs[name] = SinkJob(
             prep=(lambda b, f=filter_fn, s=spec: s.partial(f(b))),
             bucket_merge=spec.merge_bucket,
@@ -419,7 +421,7 @@ def _ident_df(df: pd.DataFrame) -> pd.DataFrame:
 def run_full_analysis(paths, *, redact: bool = True,
                       filter_config=None, ns_filter=None,
                       ds: rd.Dataset | None = None,
-                      mode: str = "auto",
+                      mode: str = "auto", shards: bool = False,
                       driver_merge_max_bytes: int = 512 << 20
                       ) -> dict[str, pd.DataFrame]:
     """Everything the reference's JSON report contains (K3), as small
@@ -445,4 +447,5 @@ def run_full_analysis(paths, *, redact: bool = True,
         ds = load_events(paths)
     cds = classify(ds, redact=redact, filter_config=filter_config,
                    ns_filter=ns_filter)
-    return run_multi_fold(cds, _analysis_jobs(), mode=mode)
+    return run_multi_fold(cds, _analysis_jobs(by_shard=shards),
+                          mode=mode)

@@ -96,3 +96,20 @@ def test_distributed_merge_equals_driver_merge(fixture_paths, results):
         pd.testing.assert_frame_equal(
             a, e, check_like=True, check_dtype=False, atol=1e-9,
             obj=f"sink {name}")
+
+
+def test_shards_mode_partitions_every_sink(fixture_paths, results):
+    """--shards: the source lineage column joins every fold key
+    (reference LogParser.java:155-163,557-565); collapsing the shard
+    key reproduces the unsharded counts exactly."""
+    sharded = analyze.run_full_analysis(fixture_paths, shards=True)
+    for sink, keys in SINK_KEYS.items():
+        sh = sharded[sink]
+        assert "source" in sh.columns, sink
+        assert sh["source"].nunique() > 1
+        collapsed = (sh.groupby(keys, dropna=False)["count"].sum()
+                     .reset_index())
+        base = results[sink][keys + ["count"]]
+        m = collapsed.merge(base, on=keys, suffixes=("_shard", "_base"))
+        assert len(m) == len(base), sink
+        assert (m["count_shard"] == m["count_base"]).all(), sink
