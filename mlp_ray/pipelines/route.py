@@ -387,6 +387,13 @@ def route_partitioned(input_files: list[str], out_dir: str, *,
     return pd.concat(lins, ignore_index=True)
 
 
-def read_sink(out_dir: str, sink: str, columns: list[str] | None = None):
-    """Read one routed sink back as a Dataset (column-pruned)."""
-    return rd.read_parquet(os.path.join(out_dir, sink), columns=columns)
+def read_sink(out_dir: str, sink: str, columns: list[str] | None = None,
+              override_num_blocks: int | None = None):
+    """Read one routed sink back as a Dataset (column-pruned).
+
+    Routed sinks are one file per (partition × batch) — pass
+    ``override_num_blocks`` sized by DATA (~0.5M rows/block) when the
+    consumer is a fold, so scheduling overhead doesn't dominate small
+    per-file reads."""
+    return rd.read_parquet(os.path.join(out_dir, sink), columns=columns,
+                           override_num_blocks=override_num_blocks)
