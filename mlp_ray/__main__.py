@@ -65,7 +65,10 @@ def cmd_analyze(args):
     nf = NamespaceFilter(args.ns) if args.ns else None
     results = analyze.run_full_analysis(
         None, ds=_load(args), redact=not args.no_redact,
-        filter_config=fc, ns_filter=nf, shards=args.shards)
+        filter_config=fc, ns_filter=nf, shards=args.shards,
+        exclude=frozenset(
+            (["driver_stats"] if args.no_drivers else [])
+            + (["app_conns"] if args.no_app_stats else [])))
     os.makedirs(args.out, exist_ok=True)
     for name, df in results.items():
         df.to_csv(os.path.join(args.out, f"{name}.csv"), index=False)
@@ -158,6 +161,12 @@ def main(argv=None):
     sp.add_argument("--ns", action="append", default=[])
     sp.add_argument("--config")
     sp.add_argument("--top", type=int, default=10)
+    sp.add_argument("--no-drivers", action="store_true",
+                    help="skip the two-pass driver-stats subsystem "
+                         "(reference gates it behind --drivers)")
+    sp.add_argument("--no-app-stats", action="store_true",
+                    help="skip appName connection stats (reference "
+                         "--appNameStats gate)")
     sp.add_argument("--shards", action="store_true",
                     help="keep one accumulator set per shard: prepend "
                          "the source lineage column to every sink key "

@@ -323,7 +323,8 @@ def _est_input_bytes(paths, ds) -> int | None:
     return total
 
 
-def _analysis_jobs(top_k: int = 50, by_shard: bool = False):
+def _analysis_jobs(top_k: int = 50, by_shard: bool = False,
+                   exclude: set[str] | frozenset = frozenset()):
     """SinkJob per report table (aggs.multifold contract).
     ``by_shard`` prepends the ``source`` lineage column to every fold
     key (reference ``--shards``, LogParser.java:155-163,557-565)."""
@@ -335,6 +336,8 @@ def _analysis_jobs(top_k: int = 50, by_shard: bool = False):
 
     jobs: dict = {}
     for name in sink_defs.ALL_SINKS:
+        if name in exclude:
+            continue
         filter_fn, spec = sink_defs.ALL_SINKS[name](by_shard=by_shard)
         jobs[name] = SinkJob(
             prep=(lambda b, f=filter_fn, s=spec: s.partial(f(b))),
@@ -411,6 +414,8 @@ def _analysis_jobs(top_k: int = 50, by_shard: bool = False):
         bucket_merge=conn_meta_rollup,
         finalize=or_empty(driver_key_rollup),
         bucket_keys=["ctx"])
+    for name in exclude:
+        jobs.pop(name, None)
     return jobs
 
 
@@ -422,6 +427,7 @@ def run_full_analysis(paths, *, redact: bool = True,
                       filter_config=None, ns_filter=None,
                       ds: rd.Dataset | None = None,
                       mode: str = "auto", shards: bool = False,
+                      exclude: set[str] | frozenset = frozenset(),
                       driver_merge_max_bytes: int = 512 << 20
                       ) -> dict[str, pd.DataFrame]:
     """Everything the reference's JSON report contains (K3), as small
@@ -447,5 +453,5 @@ def run_full_analysis(paths, *, redact: bool = True,
         ds = load_events(paths)
     cds = classify(ds, redact=redact, filter_config=filter_config,
                    ns_filter=ns_filter)
-    return run_multi_fold(cds, _analysis_jobs(by_shard=shards),
-                          mode=mode)
+    return run_multi_fold(
+        cds, _analysis_jobs(by_shard=shards, exclude=exclude), mode=mode)

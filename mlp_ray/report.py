@@ -235,8 +235,24 @@ def write_html_report(results: dict[str, pd.DataFrame], path: str,
 
 def console_report(results: dict[str, pd.DataFrame], *, top: int = 10) -> str:
     """K5: fixed-width console tables per accumulator
-    (Accumulator.report, Accumulator.java:160-167)."""
+    (Accumulator.report, Accumulator.java:160-167), plus the error
+    summary with its top-5 most-frequent list
+    (ErrorCodeAccumulator.java:95-117)."""
     lines = []
+    err = results.get("errors")
+    if err is not None and isinstance(err, pd.DataFrame) and len(err):
+        total = int(err["count"].sum())
+        lines += ["=== Error Code Summary ===",
+                  f"Total error occurrences: {total:,}",
+                  f"Unique error codes: {len(err):,}",
+                  "=== Top 5 Most Frequent Errors ==="]
+        top5 = err.sort_values("count", ascending=False,
+                               kind="mergesort").head(5)
+        for _, r in top5.iterrows():
+            pct = r["count"] * 100.0 / total
+            lines.append(f"  {r['err_code_name']}: {int(r['count']):,} "
+                         f"({pct:.1f}%)")
+        lines.append("")
     for name, df in results.items():
         if df is None or not isinstance(df, pd.DataFrame) or df.empty:
             continue

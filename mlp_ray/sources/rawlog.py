@@ -333,6 +333,18 @@ def _fill_row(cols, r, doc, attr, msg):
         cols["replan_reason"][r] = attr.get("replanReason")
         if "fromMultiPlanner" in attr:
             cols["from_multi_planner"][r] = bool(attr["fromMultiPlanner"])
+        def fmt_tags(tags):
+            # formatAllReadPreferenceTags (LogParserTask.java:585-627):
+            # "k: v" pairs joined by ", " within a tag document,
+            # tag documents joined by "<br>"; accepts a single object
+            if isinstance(tags, dict):
+                tags = [tags]
+            if not isinstance(tags, list):
+                return None
+            parts = [", ".join(f"{k}: {v}" for k, v in t.items())
+                     for t in tags if isinstance(t, dict)]
+            return "<br>".join(parts) if parts else None
+
         def read_pref(container):
             # $readPreference may be an object or a bare mode string
             # (extractReadPreferenceAndFilter LogParserTask.java:452-467)
@@ -340,11 +352,7 @@ def _fill_row(cols, r, doc, attr, msg):
             if isinstance(rp, str):
                 return rp, None
             if isinstance(rp, dict):
-                tags = rp.get("tags")
-                fmt = ",".join(f"{k}: {v}" for t in tags
-                               for k, v in sorted(t.items())) if tags \
-                    else None  # tag formatting (:585-627)
-                return rp.get("mode"), fmt
+                return rp.get("mode"), fmt_tags(rp.get("tags"))
             return None, None
 
         cols["read_pref_mode"][r], cols["read_pref_tags"][r] = read_pref(cmd)
@@ -435,9 +443,11 @@ def render_lines(tbl: pa.Table) -> list[str]:
             if row["read_pref_mode"]:
                 rp: dict = {"mode": row["read_pref_mode"]}
                 if row["read_pref_tags"]:
-                    rp["tags"] = [dict(
-                        kv.split(": ", 1) for kv in
-                        row["read_pref_tags"].split(","))]
+                    # inverse of formatAllReadPreferenceTags: "<br>"
+                    # between tag docs, ", " between pairs
+                    rp["tags"] = [
+                        dict(kv.split(": ", 1) for kv in t.split(", "))
+                        for t in row["read_pref_tags"].split("<br>")]
                 cmd["$readPreference"] = rp
             if cmd:
                 attr["command"] = cmd

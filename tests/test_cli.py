@@ -72,3 +72,16 @@ def test_redact_cli_roundtrip(tmp_path):
     blob = "\n".join(lines)
     for leaked in ("active", "pending", "failed"):  # filter words
         assert f'"status": "{leaked}"' not in blob
+
+
+def test_analyze_subsystem_gates(fixture_paths, tmp_path):
+    """--no-drivers / --no-app-stats skip those subsystems (reference
+    gates them behind --drivers / --appNameStats)."""
+    out = str(tmp_path / "rep")
+    p = _run("analyze", fixture_paths[0], "--limit", "400", "--out", out,
+             "--no-drivers", "--no-app-stats")
+    assert p.returncode == 0, p.stderr[-2000:]
+    rep = json.load(open(os.path.join(out, "report.json")))
+    assert "driverStats" not in rep and "appNameConnections" not in rep
+    assert rep["processingStats"]["total_lines"] == 400
+    assert "Top 5 Most Frequent Errors" in p.stdout

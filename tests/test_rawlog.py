@@ -244,14 +244,20 @@ def test_getmore_originating_command_fallback():
                "originatingCommand": {
                    "find": "x", "filter": {"user": "bob"},
                    "$readPreference": {"mode": "secondary",
-                                       "tags": [{"region": "US"}]}}}),
+                                       "tags": [{"region": "US",
+                                                 "dc": "east"},
+                                                {"nodeType": "ANALYTICS"}
+                                                ]}}}),
         _line("COMMAND", "Slow query",
               {"ns": "app.y",
                "command": {"find": "y", "$readPreference": "nearest"}}),
     ])
     assert out["raw_filter_json"][0].as_py() == '{"user":"bob"}'
     assert out["read_pref_mode"].to_pylist() == ["secondary", "nearest"]
-    assert out["read_pref_tags"][0].as_py() == "region: US"
+    # formatAllReadPreferenceTags: ", " within a tag doc, "<br>"
+    # between tag docs (LogParserTask.java:585-627)
+    assert out["read_pref_tags"][0].as_py() == \
+        "region: US, dc: east<br>nodeType: ANALYTICS"
 
 
 def test_error_code_synthesis_paths():
