@@ -85,6 +85,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from mlp_ray.oracle_sql import FLAGSHIP_SQL
 
+    # The flagship/rawlog oracles read fixed-path fixtures that the
+    # corresponding queries() callables persist.  The driver compares
+    # at sf=0.01 — pre-warm both fixtures here (pure pyarrow/gzip, no
+    # Ray) so the oracle side is correct regardless of whether it runs
+    # before or after the Ray side.
+    try:
+        from mlp_ray.sources.rawlog import ensure_rawlog_fixture
+        from mlp_ray.sources.tokenized import ensure_flagship_parquet
+
+        ensure_flagship_parquet("/root/testdata/sf0.01")
+        ensure_rawlog_fixture()
+    except Exception:
+        pass  # fixture warm-up is best-effort; queries() rebuilds it
+
     return {
         **FLAGSHIP_SQL,
         "events_main_agg": """

@@ -31,6 +31,22 @@ from .text import md5_hash_batch
 _MERSENNE = (1 << 61) - 1
 _NUM_BUCKETS = 64
 
+# Per-worker-process cache for the cheap-state hash stages: Ray reuses
+# worker processes across map_batches tasks, so a module global gives
+# the same build-once semantics as an actor pool without paying a
+# fresh actor process + imports per pool member on short jobs (the
+# hash state is two small numpy arrays, not a model).
+_STAGE_CACHE: dict = {}
+
+
+def _cached_stage(key, factory):
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        if len(_STAGE_CACHE) >= 16:  # bound worker-lifetime growth
+            _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
+        st = _STAGE_CACHE[key] = factory()
+    return st
+
 
 def _bucketed(ds: rd.Dataset, key_cols: list[str], merge,
               num_buckets: int = _NUM_BUCKETS) -> rd.Dataset:
@@ -182,6 +198,7 @@ def _attach_pair_values(values: rd.Dataset, pairs: rd.Dataset,
     merge per bucket; (2) pair-keyed bucket align hands ``pair_fn`` the
     bucket's aligned (value_a, value_b) Series to score vectorized."""
     def requests(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["doc_id", "dup_of"])  # batch-local dedup
         a = df.rename(columns={"doc_id": "key"})[["key", "dup_of"]]
         a = a.assign(other=a["dup_of"], side=np.int8(0))
         b = df.rename(columns={"dup_of": "key"})[["key"]]
@@ -210,11 +227,15 @@ def _attach_pair_values(values: rd.Dataset, pairs: rd.Dataset,
     def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # (key, other, side, value): side 0 rows are (doc_id→value),
         # side 1 rows are (dup_of→value); align on the canonical
-        # (doc_id, dup_of) pair key
+        # (doc_id, dup_of) pair key.  drop_duplicates completes the
+        # cross-band pair dedup (all copies of a pair share a bucket),
+        # replacing a dedicated dedup shuffle stage.
         a = g[g["side"] == 0].rename(columns={"key": "doc_id",
                                               "other": "dup_of"})
         b = g[g["side"] == 1].rename(columns={"other": "doc_id",
                                               "key": "dup_of"})
+        a = a.drop_duplicates(["doc_id", "dup_of"])
+        b = b.drop_duplicates(["doc_id", "dup_of"])
         m = a.merge(b, on=["doc_id", "dup_of"], suffixes=("_a", "_b"))
         if m.empty:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
@@ -264,31 +285,55 @@ def minhash_lsh_candidates(ds: rd.Dataset, *, num_hashes: int = 64,
             "(trailing signature components would be silently unused)")
     rows = num_hashes // bands
 
-    sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
-                          concurrency=(1, 8),
-                          fn_constructor_kwargs={"num_hashes": num_hashes,
-                                                 "shingle_k": shingle_k,
-                                                 "seed": seed})
+    import functools
+
+    def minhash_task(batch, *, num_hashes, shingle_k, seed):
+        return _cached_stage(("minhash", num_hashes, shingle_k, seed),
+                             lambda: MinHasher(num_hashes, shingle_k,
+                                               seed))(batch)
+
+    sigs = ds.map_batches(
+        functools.partial(minhash_task, num_hashes=num_hashes,
+                          shingle_k=shingle_k, seed=seed),
+        batch_format="pyarrow")
     banded = sigs.map_batches(lambda b: _band_rows(b, bands, rows),
                               batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs_bulk(g: pd.DataFrame) -> pd.DataFrame:
+        """ALL (band, band_hash) groups of one hash bucket → candidate
+        pairs, fully vectorized with segment arithmetic.  A per-group
+        ``map_groups`` here built one Python frame per band bucket —
+        bands × docs of them (~80k at 5k docs) through the sort
+        shuffle; this pass is one numpy pipeline per bucket."""
         if len(g) < 2:
             return _PAIRS_NOEST_EMPTY.copy()
-        ids = np.sort(g["doc_id"].to_numpy())[:4096]
+        key = (g["band_hash"].to_numpy(dtype=np.uint64)
+               ^ (g["band"].to_numpy().astype(np.uint64) << np.uint64(56)))
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, key))
+        key, ids = key[order], ids[order]
+        seg_starts = np.flatnonzero(
+            np.concatenate(([True], key[1:] != key[:-1])))
+        counts = np.diff(np.append(seg_starts, len(key)))
+        offsets_rep = np.repeat(seg_starts, counts)
+        pos_in_seg = np.arange(len(key)) - offsets_rep
         out_doc, out_dup = [], []
-        for j in range(min(max_earlier, len(ids) - 1)):
-            out_doc.append(ids[j + 1:])
-            out_dup.append(np.full(len(ids) - j - 1, ids[j]))
+        for j in range(max_earlier):
+            # pair every member past position j (capped) with the
+            # j-th earliest member of its band bucket
+            m = (pos_in_seg > j) & (pos_in_seg < 4096)
+            if not m.any():
+                break
+            out_doc.append(ids[m])
+            out_dup.append(ids[offsets_rep[m] + j])
+        if not out_doc:
+            return _PAIRS_NOEST_EMPTY.copy()
         return pd.DataFrame({"doc_id": np.concatenate(out_doc),
                              "dup_of": np.concatenate(out_dup)})
 
-    raw_pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    # dedup across bands — vectorized per hash bucket
-    pairs = _bucketed(raw_pairs, ["doc_id", "dup_of"],
-                      lambda g: g.drop_duplicates(["doc_id", "dup_of"])
-                      .reset_index(drop=True))
+    # cross-band duplicates survive into the pair join, which dedups
+    # them inside its pair-keyed buckets — no dedicated dedup shuffle
+    pairs = _bucketed(banded, ["band", "band_hash"], bucket_pairs_bulk)
 
     sig_vals = sigs.map_batches(
         lambda df: pd.DataFrame({
@@ -409,8 +454,9 @@ def simhash_candidates(ds: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
             "4-band/16-bit simhash LSH only guarantees recall for "
             f"max_hamming <= 3 (got {max_hamming}); raise the band "
             "count for larger radii")
-    sigs = ds.map_batches(SimHasher, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    sigs = ds.map_batches(
+        lambda b: _cached_stage(("simhash",), SimHasher)(b),
+        batch_format="pyarrow")
 
     def band(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -434,27 +480,40 @@ def simhash_candidates(ds: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
             "simhash": pa.array(np.repeat(sh, 4), pa.uint64()),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return _SIM_EMPTY.copy()
-        g = g.sort_values("doc_id", kind="mergesort").head(4096)
-        ids = g["doc_id"].to_numpy()
-        sh = g["simhash"].to_numpy(dtype=np.uint64)
+    def one_bucket(ids: np.ndarray, sh: np.ndarray, out: list) -> None:
         # vectorized pairwise Hamming via popcount on XOR
         bits = np.unpackbits(sh[:, None].view(np.uint8), axis=1)
-        out = []
         for i in range(1, len(ids)):
             d = np.bitwise_xor(bits[:i], bits[i]).sum(axis=1)
             hits = np.nonzero(d <= max_hamming)[0]
             if len(hits):
                 j = hits[0]
-                out.append({"doc_id": int(ids[i]), "dup_of": int(ids[j]),
-                            "hamming": int(d[j])})
-        return pd.DataFrame(out) if out else _SIM_EMPTY.copy()
+                out.append((int(ids[i]), int(ids[j]), int(d[j])))
 
-    pairs = (sigs.map_batches(band, batch_format="pyarrow")
-             .groupby(["band", "key"]).map_groups(bucket_pairs,
-                                                  batch_format="pandas"))
+    def bucket_pairs_bulk(g: pd.DataFrame) -> pd.DataFrame:
+        """All (band, key) groups of one hash bucket in one call — the
+        per-group Ray map_groups built one Python frame per 16-bit
+        band bucket (4×docs of them) through the sort shuffle."""
+        if len(g) < 2:
+            return _SIM_EMPTY.copy()
+        g = g.sort_values(["band", "key", "doc_id"], kind="mergesort")
+        codes = (g["band"].to_numpy().astype(np.int64) << 17) \
+            | g["key"].to_numpy().astype(np.int64)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        sh = g["simhash"].to_numpy(dtype=np.uint64)
+        seg = np.flatnonzero(np.concatenate(([True],
+                                             codes[1:] != codes[:-1])))
+        bounds = np.append(seg, len(codes))
+        out: list = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s >= 2:
+                one_bucket(ids[s:e][:4096], sh[s:e][:4096], out)
+        if not out:
+            return _SIM_EMPTY.copy()
+        return pd.DataFrame(out, columns=["doc_id", "dup_of", "hamming"])
+
+    pairs = _bucketed(sigs.map_batches(band, batch_format="pyarrow"),
+                      ["band", "key"], bucket_pairs_bulk)
     return _best_pair_per_doc(pairs, "doc_id", ["hamming", "dup_of"],
                               [True, True])
 
@@ -517,34 +576,54 @@ def embedding_near_dup(ds: rd.Dataset, *, dim: int, nbits: int = 12,
     within multi-table LSH buckets (approximate at scale; buckets bound
     the quadratic comparison; duplicate hits across tables collapse in
     the best-pair tail)."""
-    bucketed = ds.map_batches(
-        HyperplaneLSH, batch_format="pyarrow", concurrency=(1, 8),
-        fn_constructor_kwargs={"dim": dim, "nbits": nbits, "seed": seed,
-                               "n_tables": n_tables})
+    import functools
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # full pairwise within the bucket (like the minhash/simhash
-        # buckets): anchor-only comparison missed near-dup pairs that
-        # didn't involve the bucket's smallest id
-        if len(g) < 2:
-            return _EMB_EMPTY.copy()
-        g = g.sort_values("vec_id", kind="mergesort").head(4096)
-        x = np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
+    def lsh_task(batch, *, dim, nbits, seed, n_tables):
+        return _cached_stage(("hplsh", dim, nbits, seed, n_tables),
+                             lambda: HyperplaneLSH(dim, nbits, seed,
+                                                   n_tables))(batch)
+
+    bucketed = ds.map_batches(
+        functools.partial(lsh_task, dim=dim, nbits=nbits, seed=seed,
+                          n_tables=n_tables),
+        batch_format="pyarrow")
+
+    def one_bucket(ids: np.ndarray, emb: list, out: list) -> None:
+        # full pairwise within the LSH bucket (anchor-only comparison
+        # missed near-dup pairs not involving the smallest id)
+        x = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         sims_m = x @ x.T
-        ids = g["vec_id"].to_numpy()
-        out = []
         for i in range(1, len(ids)):
             s = sims_m[i, :i]
             hits = np.nonzero(s >= cos_threshold)[0]
             if len(hits):
                 j = hits[0]  # earliest qualifying earlier vec
-                out.append({"vec_id": int(ids[i]), "dup_of": int(ids[j]),
-                            "cosine": round(float(s[j]), 6)})
-        return pd.DataFrame(out) if out else _EMB_EMPTY.copy()
+                out.append((int(ids[i]), int(ids[j]),
+                            round(float(s[j]), 6)))
 
-    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs,
-                                                  batch_format="pandas")
+    def bucket_pairs_bulk(g: pd.DataFrame) -> pd.DataFrame:
+        """All LSH buckets of one hash bucket in one call (the
+        per-bucket map_groups built up to tables×2^nbits Python
+        frames through the sort shuffle)."""
+        if len(g) < 2:
+            return _EMB_EMPTY.copy()
+        g = g.sort_values(["bucket", "vec_id"], kind="mergesort")
+        codes = g["bucket"].to_numpy(dtype=np.int64)
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        emb = g["embedding"].to_numpy()
+        seg = np.flatnonzero(np.concatenate(([True],
+                                             codes[1:] != codes[:-1])))
+        bounds = np.append(seg, len(codes))
+        out: list = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s >= 2:
+                one_bucket(ids[s:e][:4096], emb[s:e][:4096], out)
+        if not out:
+            return _EMB_EMPTY.copy()
+        return pd.DataFrame(out, columns=["vec_id", "dup_of", "cosine"])
+
+    pairs = _bucketed(bucketed, ["bucket"], bucket_pairs_bulk)
     return _best_pair_per_doc(pairs, "vec_id", ["cosine", "dup_of"],
                               [False, True])
 
