@@ -87,13 +87,42 @@ def apply_stage_chain(batch: pa.Table, redactor, enricher, *,
     return enricher(b)
 
 
+# Per-worker-process cache for the classify chain's stateful pieces
+# (redaction shape memo + broadcast ns dict): Ray reuses worker
+# processes across tasks, so a module global gives build-once
+# semantics without actor-pool spin-up — the same trade the fused
+# route stage makes (route._fused_route_task).
+_CHAIN_CACHE: dict = {}
+
+
+def _chain_task(batch: pa.Table, *, redact: bool,
+                filter_config=None, ns_filter=None) -> pa.Table:
+    key = ("chain", redact)
+    st = _CHAIN_CACHE.get(key)
+    if st is None:
+        st = _CHAIN_CACHE[key] = (Redactor(enabled=redact), NsEnricher())
+    return apply_stage_chain(batch, st[0], st[1],
+                             filter_config=filter_config,
+                             ns_filter=ns_filter)
+
+
 def classify(ds: rd.Dataset, *, redact: bool = True,
              ns_meta=None, redact_concurrency: int | tuple = (1, 8),
-             filter_config=None, ns_filter=None) -> rd.Dataset:
-    """classify + COLLSCAN flag (stateless, zero-copy) → optional
-    user filters (configurable ignore blacklist F4 / namespace
-    selectors F5) → redaction (stateful actor pool) → ns enrichment
-    (broadcast dict)."""
+             filter_config=None, ns_filter=None,
+             use_actors: bool = False) -> rd.Dataset:
+    """classify → optional user filters (F4/F5) → COLLSCAN flag →
+    redaction → ns enrichment, as ONE ``map_batches`` task per batch
+    (fusible with the upstream read; stateful pieces built once per
+    worker).  ``use_actors=True`` keeps the operator-per-stage actor
+    pools for when the stage state outgrows build-per-worker cost
+    (real models, large enrichment dicts)."""
+    if not use_actors and ns_meta is None:
+        import functools
+        return ds.map_batches(
+            functools.partial(_chain_task, redact=redact,
+                              filter_config=filter_config,
+                              ns_filter=ns_filter),
+            batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(classify_batch, batch_format="pyarrow",
                         zero_copy_batch=True)
     if filter_config is not None or ns_filter is not None:
