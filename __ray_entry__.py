@@ -45,7 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": Q.doc_token_stats,
         "doc_quality": Q.doc_quality,
         "doc_lang_hist": Q.doc_lang_hist,
-        "doc_lang_id": Q.doc_lang_id,                    # rows-only
+        "doc_bpe_tokens": Q.doc_bpe_tokens,              # BPE-ish count
+        "doc_lang_id": Q.doc_lang_id,
         "doc_fingerprint": Q.doc_fingerprint,            # rows-only
         # dedup
         "doc_exact_dedup": Q.doc_exact_dedup,
@@ -216,6 +217,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_lang_hist": """
             SELECT lang, count(*) AS "count" FROM documents GROUP BY lang
+        """,
+        # BPE-ish pretokenizer count — RE2 pattern shared verbatim with
+        # ops/text.py BPE_PATTERN (pyarrow and DuckDB both run RE2, so
+        # the regex semantics match exactly)
+        "doc_bpe_tokens": r"""
+            WITH c AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text,
+                    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                    AS n_bpe_tokens,
+                len(regexp_split_to_array(trim(text), '\s+'))
+                    AS n_ws_tokens
+              FROM documents)
+            SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+                   round(n_bpe_tokens * 1.0 / greatest(n_ws_tokens, 1), 6)
+                       AS tokens_per_word
+            FROM c
         """,
         # stopword-profile heuristic (ops/text.py LANG_PROFILES):
         # argmax over per-language stopword-hit counts, ties resolved in

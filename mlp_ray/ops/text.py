@@ -75,6 +75,37 @@ def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
+# BPE-ish subword tokenizer count: a GPT-2-style pretokenizer pattern
+# (contraction pieces, space-prefixed letter/digit/punct runs) without
+# the lookahead so it runs on RE2 — identical semantics in
+# pyarrow.compute (RE2) and the DuckDB oracle (also RE2).
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table,
+                          text_col: str = "text") -> pa.Table:
+    """n_bpe_tokens (regex pretokenizer) next to n_ws_tokens — both
+    fully vectorized; tokens_per_word = subword inflation signal."""
+    raw = batch[text_col]
+    null_mask = pc.is_null(raw).to_numpy(zero_copy_only=False)
+    text = pc.fill_null(raw, "")
+    bpe = pc.count_substring_regex(text, BPE_PATTERN).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    toks = _ws_tokens(text)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    ws = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ratio = bpe / np.maximum(ws, 1)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_bpe_tokens": pa.array(bpe, pa.int64(), mask=null_mask),
+        "n_ws_tokens": pa.array(ws, pa.int64(), mask=null_mask),
+        "tokens_per_word": pa.array(round_half_away(ratio, 6),
+                                    pa.float64(), mask=null_mask),
+    })
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality signals: alpha ratio, digit ratio, token stats + a
     composite quality score in [0,1]."""

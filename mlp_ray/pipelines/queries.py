@@ -203,6 +203,12 @@ def doc_lang_hist(sf_dir: str) -> pd.DataFrame:
                          batch_format="pyarrow").to_pandas())
 
 
+def doc_bpe_tokens(sf_dir: str) -> pd.DataFrame:
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(text.bpe_token_count_batch, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas())
+
+
 def doc_lang_id(sf_dir: str) -> pd.DataFrame:
     return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(text.lang_id_batch, batch_format="pyarrow",
