@@ -102,7 +102,14 @@ class FoldSpec:
         then a cython groupby agg, an ``np.bincount``, or a sorted
         ``drop_duplicates`` pick — no Python-level per-group apply in
         this per-batch hot path."""
-        df = batch.select(self.needed_columns()).to_pandas()
+        return self.partial_df(batch.select(self.needed_columns())
+                               .to_pandas())
+
+    def partial_df(self, df: pd.DataFrame) -> pd.DataFrame:
+        """``partial`` over an existing pandas frame — the multi-sink
+        report pass converts each batch to pandas ONCE and feeds every
+        sink's partial from (a filtered view of) that shared frame."""
+        df = df[self.needed_columns()].copy()
         if df.empty:
             return self._empty_partial()
         for k, lbl in self.key_fillna.items():

@@ -172,3 +172,24 @@ ALL_SINKS = {
     "txn": make_txn,
     "op_stats": make_op_stats,
 }
+
+
+# Pandas equivalents of each sink's Arrow row filter, for the shared
+# one-conversion-per-batch report pass (analyze._analysis_jobs).
+# tests/test_flagship_golden.py asserts equivalence with the Arrow
+# filter fns on a classified fixture batch.
+MASKS_PD = {
+    "main_ops": lambda df: df["r_ops"],
+    "ttl": lambda df: df["r_ops"] & (df["op"] == "ttl_delete"),
+    "query_hash": lambda df: df["r_ops"] & df["query_hash"].notna(),
+    "plan_cache": lambda df: (df["r_ops"] & df["plan_cache_key"].notna()
+                              & df["plan_summary"].notna()),
+    "index_stats": lambda df: df["r_ops"] & df["plan_summary"].notna(),
+    "errors": lambda df: df["r_error"],
+    "txn": lambda df: df["r_txn"],
+    "op_stats": lambda df: df["r_ops"],
+}
+
+# extra columns the pandas masks read beyond the specs' own columns
+MASK_COLS = ["r_ops", "r_error", "r_txn", "op", "query_hash",
+             "plan_cache_key", "plan_summary"]

@@ -364,12 +364,30 @@ def _analysis_jobs(top_k: int = 50, by_shard: bool = False,
             pd.DataFrame()
 
     jobs: dict = {}
-    for name in sink_defs.ALL_SINKS:
-        if name in exclude:
-            continue
-        filter_fn, spec = sink_defs.ALL_SINKS[name](by_shard=by_shard)
+    # ONE pandas conversion per batch shared by every fold sink: the
+    # 8 sinks' needed columns overlap heavily, so converting each
+    # sink's selection separately converted the hot columns 8x
+    fold_specs = {
+        name: sink_defs.ALL_SINKS[name](by_shard=by_shard)[1]
+        for name in sink_defs.ALL_SINKS if name not in exclude}
+    union_cols: list[str] = list(dict.fromkeys(
+        c for s in fold_specs.values() for c in s.needed_columns()))
+    for c in sink_defs.MASK_COLS:
+        if c not in union_cols:
+            union_cols.append(c)
+    shared: dict = {"batch": None, "df": None}
+
+    def shared_df(batch: pa.Table) -> pd.DataFrame:
+        if shared["batch"] is not batch:
+            shared["batch"] = batch
+            shared["df"] = batch.select(union_cols).to_pandas()
+        return shared["df"]
+
+    for name, spec in fold_specs.items():
         jobs[name] = SinkJob(
-            prep=(lambda b, f=filter_fn, s=spec: s.partial(f(b))),
+            prep=(lambda b, n=name, s=spec:
+                  s.partial_df(shared_df(b)[
+                      sink_defs.MASKS_PD[n](shared_df(b))])),
             bucket_merge=spec.merge_bucket,
             finalize=or_empty(lambda df: df),
             bucket_keys=list(spec.keys))
