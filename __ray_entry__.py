@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_slow_planning": Q.flagship_slow_planning,  # T4
         "flagship_ignored_hist": Q.flagship_ignored_hist,  # K6
         "rawlog_main_ops": Q.rawlog_main_ops,            # S2/S3/P1-P3/J2
+        # token-stream ops over the input_hint tokens payload
+        "flagship_token_freq": Q.flagship_token_freq,
+        "flagship_seq_lengths": Q.flagship_seq_lengths,
     }
 
 

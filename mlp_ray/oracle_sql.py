@@ -401,8 +401,28 @@ FROM cl WHERE r_ops
 GROUP BY ALL
 """
 
+# Token-stream oracles over the persisted tokens payload
+_TOKEN_FREQ_SQL = f"""
+SELECT tok AS token, count(*) AS "count"
+FROM (SELECT unnest(tokens) AS tok
+      FROM read_parquet('{FLAGSHIP_ORACLE_PATH}'))
+GROUP BY tok
+ORDER BY "count" DESC, token ASC
+LIMIT 100
+"""
+
+_SEQ_LENGTHS_SQL = f"""
+SELECT CAST(n_tok // 64 AS BIGINT) * 64 AS bin,
+       count(*) AS "count",
+       CAST(sum(n_tok) AS BIGINT) AS tokens
+FROM read_parquet('{FLAGSHIP_ORACLE_PATH}')
+GROUP BY 1 ORDER BY 1
+"""
+
 FLAGSHIP_SQL: dict[str, str] = {
     "rawlog_main_ops": _RAWLOG_MAIN_OPS_SQL,
+    "flagship_token_freq": _TOKEN_FREQ_SQL,
+    "flagship_seq_lengths": _SEQ_LENGTHS_SQL,
     "flagship_main_ops": _main_ops_sql(
         "ns, op, coalesce(app_name, 'unknown') AS app_name"),
     "flagship_main_ops_by_shard": _main_ops_sql(

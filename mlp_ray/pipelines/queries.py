@@ -480,6 +480,30 @@ def flagship_processing_stats(sf_dir: str) -> pd.DataFrame:
     return processing_stats(_flagship_cds(sf_dir))
 
 
+# --- token-stream ops over the flagship tokens payload -----------------
+def flagship_token_freq(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Top-k token frequencies over the flagship corpus's tokens
+    column — bounded-state bincount partials, token-bucketed merge
+    (ops/tokens.py); oracle = DuckDB unnest + GROUP BY."""
+    from ..ops.tokens import token_histogram
+    from ..sources.tokenized import ensure_flagship_parquet
+
+    path = ensure_flagship_parquet(sf_dir)
+    ds = rd.read_parquet(path, columns=["tokens"])
+    return token_histogram(ds, k=k).to_pandas()
+
+
+def flagship_seq_lengths(sf_dir: str) -> pd.DataFrame:
+    """Sequence-length histogram (64-token bins) + token totals over
+    the flagship corpus — the token-budget planning view."""
+    from ..ops.tokens import sequence_length_stats
+    from ..sources.tokenized import ensure_flagship_parquet
+
+    path = ensure_flagship_parquet(sf_dir)
+    ds = rd.read_parquet(path, columns=["n_tok"])
+    return sequence_length_stats(ds)
+
+
 # --- raw JSONL-log ingestion (S2/S3/P1-P3/J2): gzipped mongod logs →
 # parse → classify → main-ops fold, rows-only ---------------------------
 def rawlog_main_ops(sf_dir: str) -> pd.DataFrame:

@@ -89,8 +89,9 @@ def ensure_flagship_parquet(sf_dir: str, seed: int = 42,
     driver-side redaction outputs) for ``sf_dir``; returns ``path``."""
     marker = path + ".src"
     # bump the version suffix whenever synth/schema output changes —
-    # it invalidates the cached oracle parquet
-    key = f"{os.path.abspath(sf_dir)}|seed={seed}|v3"
+    # it invalidates the cached oracle parquet.  v4: the tokens list
+    # column is included (the token-frequency oracle unnests it)
+    key = f"{os.path.abspath(sf_dir)}|seed={seed}|v4"
     if os.path.exists(path) and os.path.exists(marker):
         try:
             with open(marker) as fh:
@@ -101,7 +102,7 @@ def ensure_flagship_parquet(sf_dir: str, seed: int = 42,
             pass
     from ..stages.redact import Redactor
 
-    tbl = events_tok_from_documents(sf_dir, seed=seed, with_tokens=False)
+    tbl = events_tok_from_documents(sf_dir, seed=seed, with_tokens=True)
     tbl = Redactor(enabled=True)(tbl)
     tmp = f"{path}.tmp-{os.getpid()}"
     # small row groups so ray.data.read_parquet splits the single file

@@ -369,3 +369,36 @@ def test_minhash_near_dup_partial_overlap(docs_df):
         inter = np.intersect1d(a, b, assume_unique=True).size
         union = a.size + b.size - inter
         assert abs(r["jaccard"] - round(inter / union, 6)) < 1e-9
+
+
+def test_token_histogram_matches_numpy(ray_session):
+    """Bounded-state token histogram == brute-force numpy bincount."""
+    import pyarrow as pa
+    from mlp_ray.ops.tokens import token_histogram, sequence_length_stats
+
+    rng = np.random.default_rng(3)
+    tok_lists = [rng.integers(0, 97, size=rng.integers(0, 40)).tolist()
+                 for _ in range(3000)]
+    tbl = pa.table({"tokens": pa.array(tok_lists, pa.list_(pa.int32())),
+                    "n_tok": pa.array([len(t) for t in tok_lists],
+                                      pa.int32())})
+    ds = rd.from_arrow(tbl)
+    out = token_histogram(ds, k=None).to_pandas()
+    flat = np.concatenate([np.asarray(t, dtype=np.int64)
+                           for t in tok_lists if t])
+    counts = np.bincount(flat)
+    expect = {int(t): int(c) for t, c in enumerate(counts) if c}
+    got = dict(zip(out["token"], out["count"]))
+    assert got == expect
+    # top-k ordering: count desc, token asc
+    top = token_histogram(ds, k=10).to_pandas()
+    ordered = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(top["token"], top["count"])) == ordered
+
+    sl = sequence_length_stats(ds, bin_width=8)
+    n = np.array([len(t) for t in tok_lists])
+    for _, r in sl.iterrows():
+        m = (n >= r["bin"]) & (n < r["bin"] + 8)
+        assert r["count"] == int(m.sum())
+        assert r["tokens"] == int(n[m].sum())
+    assert sl["count"].sum() == len(tok_lists)
