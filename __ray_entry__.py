@@ -221,6 +221,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_hist": """
             SELECT lang, count(*) AS "count" FROM documents GROUP BY lang
         """,
+        # trim tool over the events props column: on this table's flat
+        # {"k": N} payloads the trim walk reduces to canonical compact
+        # re-serialization (the deep branches — key drops, string/array
+        # truncation — are pinned by tests/test_multimodal_trim.py and
+        # the redact battery)
+        "events_trim_props": """
+            SELECT event_id, props,
+                   '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR)
+                       || '}' AS trimmed
+            FROM events
+        """,
         # BPE-ish pretokenizer count — RE2 pattern shared verbatim with
         # ops/text.py BPE_PATTERN (pyarrow and DuckDB both run RE2, so
         # the regex semantics match exactly)
