@@ -58,6 +58,12 @@ def apply_user_filters(batch: pa.Table, filter_config=None,
     cat = batch["ignored_category"]
     if filter_config is not None:
         ign = filter_config.should_ignore_mask(batch["msg"])
+        # F2/F3 never-drop guards (LogParser.java:902-921): rows that
+        # classified as target operations, and the conn/auth/metadata
+        # rows driver stats depends on, win over the ignore blacklist
+        protected = pc.fill_null(
+            pc.or_(pc.is_valid(batch["op"]), batch["r_conn"]), False)
+        ign = pc.and_(ign, pc.invert(protected))
         newly = pc.and_(ign, pc.invert(r_ignored))
         r_ops = pc.and_(r_ops, pc.invert(ign))
         r_ignored = pc.or_(r_ignored, ign)

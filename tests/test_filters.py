@@ -56,3 +56,28 @@ def test_classify_with_filters(fixture_paths):
         cds.map_batches(lambda t: t.filter(t["r_ops"]),
                         batch_format="pyarrow"), spec).to_pandas()
     assert set(out["ns"]) == {"app.users"}
+
+
+def test_never_drop_guards(fixture_paths):
+    """F2/F3 (LogParser.java:902-921): a blacklist pattern that would
+    match operation or connection rows cannot drop them — target ops
+    and the conn/auth/metadata rows feeding driver stats always win."""
+    hostile = FilterConfig(patterns=["Slow query", "client metadata",
+                                     "Successfully authenticated",
+                                     "Connection accepted",
+                                     "TTLMonitor pass"])
+    base = classify(load_events(fixture_paths))
+    cds = classify(load_events(fixture_paths), filter_config=hostile)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    b0 = pa.concat_tables(base.iter_batches(batch_format="pyarrow",
+                                            batch_size=None))
+    b1 = pa.concat_tables(cds.iter_batches(batch_format="pyarrow",
+                                           batch_size=None))
+    # ops and conn rows survive unchanged
+    assert pc.sum(b0["r_ops"]).as_py() == pc.sum(b1["r_ops"]).as_py()
+    assert pc.sum(b0["r_conn"]).as_py() == pc.sum(b1["r_conn"]).as_py()
+    # the noise pattern still works on CONTROL rows
+    cats = set(pc.unique(b1.filter(b1["r_ignored"])
+                         ["ignored_category"]).to_pylist())
+    assert "TTLMonitor pass" in cats
