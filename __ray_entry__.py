@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_dedup": Q.doc_simhash_dedup,        # rows-only
         "doc_ngram_jaccard": Q.doc_ngram_jaccard,        # rows-only
         "emb_near_dup": Q.emb_near_dup,                  # rows-only
+        "doc_jaccard_pairs": Q.doc_jaccard_pairs,        # exact, oracle
+        "emb_cosine_pairs": Q.emb_cosine_pairs,          # exact, oracle
         # similarity search
         "ann_topk": Q.ann_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,                  # rows-only (approx)
@@ -220,6 +222,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_lang_hist": """
             SELECT lang, count(*) AS "count" FROM documents GROUP BY lang
+        """,
+        # exact all-pairs dedup validation ops (the LSH family's
+        # oracle-grade counterparts; same math re-derived by DuckDB
+        # list_intersect / list_cosine_similarity)
+        "doc_jaccard_pairs": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct([
+                         array_to_string(toks[i:i+2], ' ')
+                         FOR i IN range(1, greatest(len(toks) - 1, 2))
+                     ]) AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM documents))
+            SELECT * FROM (
+              SELECT a.doc_id, b.doc_id AS dup_of,
+                     round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                           len(list_distinct(list_concat(a.grams, b.grams))),
+                           6) AS jaccard
+              FROM s a JOIN s b ON a.doc_id > b.doc_id)
+            WHERE jaccard >= 0.1
+        """,
+        "emb_cosine_pairs": """
+            SELECT * FROM (
+              SELECT a.vec_id, b.vec_id AS dup_of,
+                     round(list_cosine_similarity(
+                         CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+              FROM embeddings a JOIN embeddings b ON a.vec_id > b.vec_id)
+            WHERE cosine >= 0.4
         """,
         # trim tool over the events props column: on this table's flat
         # {"k": N} payloads the trim walk reduces to canonical compact

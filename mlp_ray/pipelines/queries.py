@@ -247,6 +247,21 @@ def emb_near_dup(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def doc_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """EXACT all-pairs word-3-gram Jaccard >= 0.1 (oracle-grade
+    validation variant of the LSH candidates)."""
+    return dedup.exact_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"])).to_pandas()
+
+
+def emb_cosine_pairs(sf_dir: str) -> pd.DataFrame:
+    """EXACT all-pairs embedding cosine >= 0.4 (oracle-grade
+    validation variant of the LSH near-dup)."""
+    return dedup.exact_cosine_pairs(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])).to_pandas()
+
+
 # --- similarity search -------------------------------------------------
 def _query_matrix(sf_dir: str, n: int = 3):
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
