@@ -33,3 +33,38 @@ def test_batch_size_invariance(fixture_paths):
     a = run_fold(filtered, spec, batch_size=1024).to_pandas()
     b = run_fold(filtered, spec, batch_size=16384).to_pandas()
     assert_frames_match(a, b, ["query_hash", "ns", "op"])
+
+
+def test_pair_join_matches_pandas(ray_session):
+    """_attach_pair_values (distributed pair-value join) == a plain
+    pandas double-merge, for random pairs over random signatures and
+    ANY block layout."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from mlp_ray.ops import dedup
+
+    rng = np.random.default_rng(11)
+    n_docs = 80
+    sigs = {i: rng.integers(0, 4, size=16, dtype=np.uint64)
+            for i in range(n_docs)}
+    # random candidate pairs (doc_id > dup_of), with duplicates to
+    # exercise the in-join dedup
+    raw = [(int(a), int(b))
+           for a, b in rng.integers(0, n_docs, size=(120, 2))
+           if a > b]
+    raw += raw[:10]
+    pairs_df = pd.DataFrame(raw, columns=["doc_id", "dup_of"])
+    vals_df = pd.DataFrame({
+        "doc_id": list(sigs), 
+        "value": [s.tobytes() for s in sigs.values()]})
+    # many tiny blocks on both sides
+    pairs_ds = rd.from_pandas(pairs_df).repartition(7)
+    vals_ds = rd.from_pandas(vals_df).repartition(5)
+    out = dedup._attach_pair_values(vals_ds, pairs_ds,
+                                    dedup._est_jaccard).to_pandas()
+    expect = {(a, b): float((sigs[a] == sigs[b]).mean())
+              for a, b in set(raw)}
+    got = {(int(r["doc_id"]), int(r["dup_of"])): float(r["score"])
+           for _, r in out.iterrows()}
+    assert got == expect
