@@ -400,7 +400,13 @@ def _as_sketch(h) -> np.ndarray:
 
 
 def _p95_of_sketches(s: pd.Series):
-    hists = [_as_sketch(h) for h in s if h is not None]
+    """Quantile from the merged histogram with numpy-'linear' RANK
+    interpolation: the order statistics at floor/ceil of
+    h = (n-1)·0.95 are located by bin and interpolated by the
+    fractional rank.  Returning the ceil-rank bin alone left a
+    between-order-statistics gap (~10% on heavy-tailed small groups);
+    interpolating bounds the error by ~bin width instead."""
+    hists = [_as_sketch(x) for x in s if x is not None]
     if not hists:
         return np.nan
     h = np.sum(hists, axis=0)
@@ -408,8 +414,14 @@ def _p95_of_sketches(s: pd.Series):
     if total == 0:
         return np.nan
     cum = np.cumsum(h)
-    b = int(np.searchsorted(cum, 0.95 * total))
-    return float(_sketch_value(b))
+    pos = (total - 1) * 0.95
+    lo_rank = int(np.floor(pos)) + 1      # 1-based rank of lower stat
+    hi_rank = min(lo_rank + 1, total)
+    b_lo = int(np.searchsorted(cum, lo_rank))
+    b_hi = int(np.searchsorted(cum, hi_rank))
+    v_lo = float(_sketch_value(b_lo))
+    v_hi = float(_sketch_value(b_hi))
+    return v_lo + (pos - np.floor(pos)) * (v_hi - v_lo)
 
 
 def _union_countmaps(s: pd.Series) -> str:

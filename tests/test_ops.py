@@ -185,14 +185,12 @@ def test_p95_sketch_close_to_exact(fixture_paths, ray_session):
     assert len(m) == len(exact) > 0
     rel = ((m["p95_duration_ms_s"] - m["p95_duration_ms_e"]).abs()
            / m["p95_duration_ms_e"].clip(lower=1.0))
-    # bin width bounds the value error at ~0.7%; the dominant term on
-    # these ~500-row groups is RANK quantization (sketch returns the
-    # ceil-rank order statistic, exact interpolates between
-    # neighbours), and heavy-tailed durations make adjacent order
-    # statistics ~10% apart near the tail — so: typical error tiny,
-    # worst case bounded by the next order statistic's gap
-    assert rel.median() < 0.02, rel.describe()
-    assert rel.max() < 0.15, m[rel > 0.15]
+    # the sketch readout rank-interpolates between the floor/ceil
+    # order-statistic bins (numpy 'linear' semantics), so the error is
+    # bounded by ~bin width (0.7%) rather than the between-order-
+    # statistics gap that heavy tails open up (~10% before)
+    assert rel.median() < 0.01, rel.describe()
+    assert rel.max() < 0.03, m[rel > 0.03]
 
 
 def test_salted_two_level_fold_equals_single_level(fixture_paths,
