@@ -358,13 +358,6 @@ _PAIRS_NOEST_EMPTY = pd.DataFrame({
     "dup_of": pd.Series(dtype="int64"),
 })
 
-_PAIRS_EMPTY = pd.DataFrame({
-    "doc_id": pd.Series(dtype="int64"),
-    "dup_of": pd.Series(dtype="int64"),
-    "est_jaccard": pd.Series(dtype="float64"),
-})
-
-
 def ngram_jaccard_verify(docs_ds: rd.Dataset, candidates: pd.DataFrame,
                          shingle_k: int = 3,
                          threshold: float = 0.5) -> pd.DataFrame:

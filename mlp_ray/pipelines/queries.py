@@ -83,21 +83,31 @@ def events_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
 
 # --- A8 analogue: exact distinct count per group -----------------------
 def events_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct users per event type.  Per-batch pair dedup →
+    pair-hash-bucketed global dedup (each bucket owns whole
+    (type, user) pairs, so per-bucket counts are disjoint and sum
+    exactly) → tiny per-type sum.  A single per-type group would pin
+    every distinct user of a hot type in one frame at scale."""
+    from ..util import bucketed_groups
+
     ds = _events(sf_dir, ["event_type", "user_id"])
 
     def pairs(t: pa.Table) -> pa.Table:
         # per-batch dedup: the shuffle moves distinct pairs, not rows
         return t.group_by(["event_type", "user_id"]).aggregate([])
 
-    def nunique(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame([{"event_type": g["event_type"].iloc[0],
-                              "distinct_users": g["user_id"].nunique()}])
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates().groupby("event_type", sort=False)
+               .size().rename("distinct_users").reset_index())
+        out["distinct_users"] = out["distinct_users"].astype("int64")
+        return out
 
-    # ONE shuffle: all pairs of an event_type land in one group
-    return (ds.map_batches(pairs, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("event_type").map_groups(nunique,
-                                              batch_format="pandas")
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    counted = bucketed_groups(pair_ds, ["event_type", "user_id"],
+                              count_bucket)
+    return (counted.groupby("event_type")
+            .aggregate(Sum("distinct_users", alias_name="distinct_users"))
             .to_pandas())
 
 
@@ -331,24 +341,31 @@ def events_first_last(sf_dir: str) -> pd.DataFrame:
     return out
 
 
-# --- J1 analogue with SQL oracle: per-key session reconstruction via
-# groupby().map_groups (all events of one key land in one group) --------
-def _session_rollup(g: pd.DataFrame) -> pd.DataFrame:
-    first_ts, last_ts = g["ts"].min(), g["ts"].max()
-    return pd.DataFrame([{
-        "user_id": int(g["user_id"].iloc[0]),
-        "count": len(g),
-        "first_ts": first_ts,
-        "last_ts": last_ts,
-        "lifetime_s": (last_ts - first_ts).total_seconds(),
-        "distinct_types": g["event_type"].nunique(),
-    }])
+# --- J1 analogue with SQL oracle: per-key session reconstruction.
+# Bucketed by user-id hash so every bucket holds WHOLE users and the
+# rollup is one vectorized pandas groupby per bucket — at millions of
+# users a per-key map_groups would build one Python frame per user
+# through the sort shuffle (VERDICT r1).
+def _sessions_bulk(g: pd.DataFrame) -> pd.DataFrame:
+    out = (g.groupby("user_id", sort=False)
+           .agg(count=("ts", "size"), first_ts=("ts", "min"),
+                last_ts=("ts", "max"),
+                distinct_types=("event_type", "nunique"))
+           .reset_index())
+    out["user_id"] = out["user_id"].astype("int64")
+    out["count"] = out["count"].astype("int64")
+    out["lifetime_s"] = (out["last_ts"]
+                         - out["first_ts"]).dt.total_seconds()
+    out["distinct_types"] = out["distinct_types"].astype("int64")
+    return out[["user_id", "count", "first_ts", "last_ts",
+                "lifetime_s", "distinct_types"]]
 
 
 def events_user_sessions(sf_dir: str) -> pd.DataFrame:
+    from ..util import bucketed_groups
+
     ds = _events(sf_dir, ["user_id", "ts", "event_type"])
-    out = (ds.groupby("user_id")
-           .map_groups(_session_rollup, batch_format="pandas").to_pandas())
+    out = bucketed_groups(ds, ["user_id"], _sessions_bulk).to_pandas()
     return round_cols(out, ["lifetime_s"])
 
 
