@@ -16,9 +16,11 @@ first/last/arg-max-sample semantics are re-expressed Ray-Data-first:
     ~50% of rows) cost one partial row per block instead of half the
     dataset — the skew mitigation the north rule asks for.
 
-  phase 2 (``merge``): ``groupby(keys).map_groups`` merges partials —
-    sums of sums, min of mins, concat of value arrays → exact p95
-    (numpy linear interpolation == DuckDB ``quantile_cont``).
+  phase 2 (``merge``): a key-HASH-bucketed groupby merges partials —
+    each bucket task reduces ALL of its groups with one vectorized
+    pandas pass (``merge_bucket``) — sums of sums, min of mins,
+    concat of value arrays → exact p95 (numpy linear interpolation ==
+    DuckDB ``quantile_cont``).
 
 Determinism (FIXTURES.md §4): "first"/"last"/sample fields are
 resolved by ``doc_id`` order (min doc_id first-wins; arg-max by
