@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": Q.ann_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,                  # rows-only (approx)
+        "ann_lsh_topk": Q.ann_lsh_topk,                  # rows-only (approx)
         # multimodal plumbing (decode stub; rows-only)
         "media_features": Q.media_features,
         "media_resize": Q.media_resize,

@@ -199,3 +199,68 @@ def ivf_topk(ds: rd.Dataset, queries: np.ndarray, query_ids,
     partial = ds.map_batches(score, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(_global_topk(k),
                                                   batch_format="pandas")
+
+
+# --- hyperplane-LSH bucketed variant -----------------------------------
+class LshScorer(BruteForceScorer):
+    """Bucket-limited scorer: a vector is a candidate for a query iff
+    they share a sign-LSH bucket in ANY of ``n_tables`` independent
+    hyperplane tables (recall = 1-(1-p)^L like the near-dup stage);
+    candidates are scored exactly."""
+
+    def __init__(self, queries, query_ids, k, planes):
+        super().__init__(queries, query_ids, k)
+        self.h = np.asarray(planes, dtype=np.float64)  # (L, nbits, dim)
+        self.pows = (1 << np.arange(self.h.shape[1])).astype(np.int64)
+        # (nq, L) query bucket codes
+        self.q_codes = np.stack([
+            ((self.q @ self.h[t].T) > 0) @ self.pows
+            for t in range(self.h.shape[0])], axis=1)
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        x = _normalize(_stack(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        codes = np.stack([((x @ self.h[t].T) > 0) @ self.pows
+                          for t in range(self.h.shape[0])], axis=1)
+        out = []
+        for j, qid in enumerate(self.query_ids):
+            mask = (codes == self.q_codes[j]).any(axis=1)
+            if not mask.any():
+                continue
+            s = round_half_away(x[mask] @ self.q[j], 6)
+            sub_ids = ids[mask]
+            order = np.lexsort((sub_ids, -s))[: self.k]
+            for i in order:
+                out.append({"query_id": int(qid),
+                            "vec_id": int(sub_ids[i]),
+                            "score": float(s[i])})
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        df = pd.DataFrame(out)
+        df["query_id"] = df["query_id"].astype("int64")
+        df["vec_id"] = df["vec_id"].astype("int64")
+        return df
+
+
+def lsh_topk(ds: rd.Dataset, queries: np.ndarray, query_ids, *,
+             dim: int, k: int = 10, nbits: int = 6, n_tables: int = 8,
+             seed: int = 42) -> rd.Dataset:
+    """Approximate top-k via multi-table sign-LSH candidate pruning —
+    the bucketed alternative to IVF: no training pass, per-batch work
+    drops to the candidate fraction (~L/2^nbits of the corpus)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, nbits, dim))
+    ref = ray.put((np.asarray(queries, dtype=np.float64),
+                   np.asarray(query_ids, dtype=np.int64), planes))
+
+    def score(batch: pa.Table, _ref=ref, _k=k):
+        def build():
+            qs, qi, pl = ray.get(_ref)
+            return LshScorer(qs, qi, _k, pl)
+        return _cached_scorer((_ref, _k, "lsh"), build)(batch)
+
+    partial = ds.map_batches(score, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(_global_topk(k),
+                                                  batch_format="pandas")

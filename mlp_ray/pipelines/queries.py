@@ -300,6 +300,14 @@ def ann_ivf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
             .to_pandas().rename(columns={"rank": "rnk"}))
 
 
+def ann_lsh_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    qm, qids = _query_matrix(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return (ann.lsh_topk(ds, qm, qids, dim=qm.shape[1], k=k)
+            .to_pandas().rename(columns={"rank": "rnk"}))
+
+
 # --- trim tool ---------------------------------------------------------
 def events_trim_props(sf_dir: str) -> pd.DataFrame:
     return (_events(sf_dir, ["event_id", "props"])

@@ -400,3 +400,19 @@ def test_token_histogram_matches_numpy(ray_session):
         assert r["count"] == int(m.sum())
         assert r["tokens"] == int(n[m].sum())
     assert sl["count"].sum() == len(tok_lists)
+
+
+def test_lsh_topk_recall(emb_ds, emb_df):
+    """Multi-table sign-LSH top-k recalls most of the exact top-5 and
+    always the self-match."""
+    x = np.stack(emb_df["embedding"].to_numpy())
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qids = [0, 1, 2]
+    out = ann.lsh_topk(emb_ds, xn[qids], qids, dim=x.shape[1],
+                       k=5).to_pandas()
+    bf = ann.brute_force_topk(emb_ds, xn[qids], qids, k=5).to_pandas()
+    for qid in qids:
+        got = set(out[out["query_id"] == qid]["vec_id"])
+        exact = set(bf[bf["query_id"] == qid]["vec_id"])
+        assert qid in got          # the self-match always collides
+        assert len(got & exact) >= 3, (qid, got, exact)
