@@ -55,12 +55,8 @@ def _empty_payload() -> pd.DataFrame:
 
 def _key_buckets(df: pd.DataFrame, keys: list[str],
                  num_buckets: int) -> np.ndarray:
-    h = np.zeros(len(df), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for c in keys:
-            h = h * np.uint64(31) + pd.util.hash_pandas_object(
-                df[c], index=False).to_numpy().astype(np.uint64)
-    return (h % num_buckets).astype(np.int64)
+    from ..util import key_hash_buckets
+    return key_hash_buckets(df, keys, num_buckets)
 
 
 def run_multi_fold(cds, jobs: dict[str, SinkJob], *,

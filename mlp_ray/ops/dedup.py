@@ -50,27 +50,10 @@ def _cached_stage(key, factory):
 
 def _bucketed(ds: rd.Dataset, key_cols: list[str], merge,
               num_buckets: int = _NUM_BUCKETS) -> rd.Dataset:
-    """groupby a hash bucket of ``key_cols`` and run ``merge`` over the
-    WHOLE bucket — ``merge`` sees every row of every key in its bucket
-    and reduces them with vectorized pandas, so the per-group work is
-    one cython groupby per bucket instead of one Python frame per key."""
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            df["_bucket"] = pd.Series(dtype="int64")
-            return df
-        h = np.zeros(len(df), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for c in key_cols:
-                h = h * np.uint64(31) + pd.util.hash_pandas_object(
-                    df[c], index=False).to_numpy().astype(np.uint64)
-        df["_bucket"] = (h % num_buckets).astype("int64")
-        return df
-
-    def run(g: pd.DataFrame) -> pd.DataFrame:
-        return merge(g.drop(columns=["_bucket"]))
-
-    return (ds.map_batches(add_bucket, batch_format="pandas")
-            .groupby("_bucket").map_groups(run, batch_format="pandas"))
+    """Alias for the shared bucketed-vectorized-merge helper
+    (util.bucketed_groups) with this module's bucket-count default."""
+    from ..util import bucketed_groups
+    return bucketed_groups(ds, key_cols, merge, num_buckets=num_buckets)
 
 
 def _best_pair_per_doc(pairs: rd.Dataset, id_col: str, sort_cols: list[str],
@@ -292,10 +275,15 @@ def minhash_lsh_candidates(ds: rd.Dataset, *, num_hashes: int = 64,
                              lambda: MinHasher(num_hashes, shingle_k,
                                                seed))(batch)
 
+    # materialized: both the band stage and the signature-value join
+    # consume sigs — without this the shingle+64-hash stage (the
+    # pipeline's most expensive map) and the upstream read would
+    # execute twice, once per lazy branch.  The table is narrow
+    # (doc_id + 64×uint64), bounded object-store cost.
     sigs = ds.map_batches(
         functools.partial(minhash_task, num_hashes=num_hashes,
                           shingle_k=shingle_k, seed=seed),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     banded = sigs.map_batches(lambda b: _band_rows(b, bands, rows),
                               batch_format="pyarrow")
 

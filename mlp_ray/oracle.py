@@ -55,11 +55,14 @@ def classify_df(df: pd.DataFrame, redact: bool = True) -> pd.DataFrame:
     op[write_other] = ("write_" + opk.fillna("unknown"))[write_other]
     op[is_ttl] = "ttl_delete"
     # INDEX subcategories (processIndexOperation LogParserTask.java:755-767)
+    # — assignments in REVERSE precedence so the last write mirrors the
+    # engine case_when's FIRST match ("Index build" wins over "Index
+    # drop" when a msg contains both)
     idx_msg = df["msg"].fillna("")
     op[is_index_other] = "index_other"
     op[is_index_other & df["msg"].isna()] = "index_maintenance"
-    op[is_index_other & idx_msg.str.contains("Index build")] = "index_build"
     op[is_index_other & idx_msg.str.contains("Index drop")] = "index_drop"
+    op[is_index_other & idx_msg.str.contains("Index build")] = "index_build"
     df["op"] = op
 
     is_upd = op.isin(["update", "update_w"])

@@ -350,12 +350,24 @@ def _est_input_bytes(paths, ds) -> int | None:
     total = 0
     for f in files:
         try:
-            sz = os.path.getsize(f)
+            if os.path.isdir(f):
+                # a directory entry's own size (~4 KB) would defeat the
+                # gate — sum the files under it instead
+                for root, _dirs, names in os.walk(f):
+                    for n in names:
+                        total += _one_file_bytes(os.path.join(root, n))
+            else:
+                total += _one_file_bytes(f)
         except OSError:
             return None
-        # compressed text expands ~8× into memory
-        total += sz * 8 if f.endswith((".gz", ".zip")) else sz
     return total
+
+
+def _one_file_bytes(f: str) -> int:
+    import os
+    sz = os.path.getsize(f)
+    # compressed text expands ~8× into memory
+    return sz * 8 if f.endswith((".gz", ".zip")) else sz
 
 
 def _analysis_jobs(top_k: int = 50, by_shard: bool = False,

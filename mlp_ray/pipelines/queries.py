@@ -448,10 +448,13 @@ def _flagship_sink(sf_dir: str, sink: str, *,
     filtered = _flagship_cds(sf_dir).map_batches(
         filter_fn, batch_format="pyarrow", zero_copy_batch=True)
     out = run_fold(filtered, spec, merge="driver").to_pandas()
-    if "err_code" in spec.col_dtypes:
-        out["first_err_code"] = out["first_err_code"].astype("int64")
-    if "txn_retry_counter" in spec.col_dtypes:
-        out["txn_retry_counter"] = out["txn_retry_counter"].astype("int64")
+    # match DuckDB's CAST(... AS BIGINT): int64 while non-null, float64
+    # with NaN if a group ever lacks the value (codeName-only errors
+    # would otherwise crash the Int64→int64 cast)
+    for c in ("first_err_code", "txn_retry_counter"):
+        if c in out.columns:
+            out[c] = out[c].astype(
+                "int64" if out[c].notna().all() else "float64")
     return _round_floats(out)
 
 

@@ -36,8 +36,7 @@ def hash_tokenize(texts: list[str]) -> pa.ListArray:
                                     pa.array(flat, pa.int32()))
 
 
-def events_tok_from_documents(sf_dir: str, seed: int = 42,
-                              with_tokens: bool = True) -> pa.Table:
+def events_tok_from_documents(sf_dir: str, seed: int = 42) -> pa.Table:
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "source"])
     docs = docs.sort_by("doc_id")
@@ -45,23 +44,10 @@ def events_tok_from_documents(sf_dir: str, seed: int = 42,
     attrs = synth.generate_events_tok(n, seed=seed, tok_mean=4)
     doc_id = pa.array([f"doc{int(d):012d}" for d in
                        docs["doc_id"].to_pylist()], pa.string())
-    tbl = attrs
-    if with_tokens:
-        tokens = hash_tokenize(docs["text"].to_pylist())
-        n_tok = pa.array([len(tokens[i]) for i in range(n)], pa.int32())
-        tbl = tbl.set_column(tbl.schema.get_field_index("tokens"),
-                             "tokens", tokens)
-    else:
-        # token COUNT without the hash loop: hash_tokenize splits on
-        # whitespace, so the count is just the split length
-        import pyarrow.compute as pc
-        trimmed = pc.utf8_trim_whitespace(docs["text"])
-        n_tok = pc.cast(pc.list_value_length(
-            pc.split_pattern_regex(trimmed, r"\s+")), pa.int32())
-        # split of "" yields [''] (len 1) while "".split() is []; the
-        # documents fixture has no empty/whitespace-only texts, and the
-        # oracle never aggregates n_tok, so the edge stays theoretical
-        tbl = tbl.drop_columns(["tokens"])
+    tokens = hash_tokenize(docs["text"].to_pylist())
+    n_tok = pa.array([len(tokens[i]) for i in range(n)], pa.int32())
+    tbl = attrs.set_column(attrs.schema.get_field_index("tokens"),
+                           "tokens", tokens)
     for name, col in (("doc_id", doc_id), ("n_tok", n_tok),
                       ("source", docs["source"].combine_chunks())):
         tbl = tbl.set_column(tbl.schema.get_field_index(name), name,
@@ -102,7 +88,7 @@ def ensure_flagship_parquet(sf_dir: str, seed: int = 42,
             pass
     from ..stages.redact import Redactor
 
-    tbl = events_tok_from_documents(sf_dir, seed=seed, with_tokens=True)
+    tbl = events_tok_from_documents(sf_dir, seed=seed)
     tbl = Redactor(enabled=True)(tbl)
     tmp = f"{path}.tmp-{os.getpid()}"
     # small row groups so ray.data.read_parquet splits the single file

@@ -143,7 +143,9 @@ _COMMAND_SCALARS = {
     "allowDiskUse", "bypassDocumentValidation", "ordered", "upsert",
     "multi", "new", "remove", "$db", "lsid.id", "$readPreference.mode",
     "readConcern.level", "writeConcern.w", "writeConcern.wtimeout",
-    "writeConcern.j", "comment",
+    "writeConcern.j",
+    # NOT preserved: `comment` — user-supplied free text, not a
+    # control knob; it falls through to string redaction
 }
 
 PRESERVE_PATHS = frozenset(

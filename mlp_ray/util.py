@@ -35,12 +35,7 @@ def bucketed_groups(ds, key_cols: list[str], fn, num_buckets: int = 64):
         if df.empty:
             df["_bucket"] = pd.Series(dtype="int64")
             return df
-        h = np.zeros(len(df), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for c in key_cols:
-                h = h * np.uint64(31) + pd.util.hash_pandas_object(
-                    df[c], index=False).to_numpy().astype(np.uint64)
-        df["_bucket"] = (h % num_buckets).astype("int64")
+        df["_bucket"] = key_hash_buckets(df, key_cols, num_buckets)
         return df
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
@@ -48,3 +43,18 @@ def bucketed_groups(ds, key_cols: list[str], fn, num_buckets: int = 64):
 
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("_bucket").map_groups(run, batch_format="pandas"))
+
+
+def key_hash_buckets(df, key_cols: list[str], num_buckets: int):
+    """Deterministic bucket id per row from a combined hash of
+    ``key_cols`` — THE shared bucket hash (bucketed_groups, the
+    multifold key-bucket split, and the dedup bucket merges all use
+    this one implementation)."""
+    import pandas as pd
+
+    h = np.zeros(len(df), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in key_cols:
+            h = h * np.uint64(31) + pd.util.hash_pandas_object(
+                df[c], index=False).to_numpy().astype(np.uint64)
+    return (h % num_buckets).astype("int64")

@@ -289,3 +289,14 @@ class TestWholeLogMessageRedaction:
         assert '"who":"xxx"' in out
         assert '"durationMillis":5' in out
         assert trim.trim_json_str("plain secret", redactor=self.r) == '"xxx"'
+
+
+def test_command_comment_is_redacted():
+    """`comment` is user-supplied free text, never a control knob —
+    the whole-message walk must redact it (review finding r2)."""
+    r = Redactor(enabled=True)
+    doc = {"attr": {"command": {"find": "users",
+                                "comment": "lookup for jane@corp.com"}}}
+    out = r.redact_log_message(doc)
+    assert out["attr"]["command"]["comment"] == "xxx"
+    assert out["attr"]["command"]["find"] == "users"
