@@ -86,7 +86,8 @@ def cmd_route(args):
     _init_ray(args.cpus)
     from .pipelines import route
     lin = route.route_partitioned(args.inputs, args.out,
-                                  redact=not args.no_redact)
+                                  redact=not args.no_redact,
+                                  raw_logs=args.raw_logs)
     print(lin.to_string())
 
 
@@ -182,6 +183,9 @@ def main(argv=None):
 
     sp = sub.add_parser("route")
     common(sp)
+    sp.add_argument("--raw-logs", action="store_true",
+                    help="inputs are JSONL mongod logs (.gz ok): parse "
+                         "inline in the fused route task")
     sp.set_defaults(fn=cmd_route)
 
     sp = sub.add_parser("trim")

@@ -281,11 +281,38 @@ def invalidate_partitions(out_dir: str, pids) -> None:
                     os.remove(p)
 
 
+def _fused_raw_route_task(batch, **kw):
+    """Raw-log variant of the fused route task: parse the JSONL lines
+    first (path column rides through for partition identity), then the
+    same classify→redact→enrich→write chain."""
+    from ..sources.rawlog import parse_batch
+    return _fused_route_task(parse_batch(batch), **kw)
+
+
 def _route_wave(wave: list[str], out_dir: str, *, redact, concurrency,
                 batch_size, filter_config, ns_filter, use_actors,
-                override_num_blocks) -> pd.DataFrame:
+                override_num_blocks, raw_logs=False) -> pd.DataFrame:
     """One streaming pipeline over one wave of input partitions."""
     t0 = time.perf_counter()
+    if raw_logs:
+        from ..sources import rawlog
+        import functools
+        ds = rawlog.read_raw_logs(wave,
+                                  override_num_blocks=override_num_blocks)
+        lineage_ds = ds.map_batches(
+            functools.partial(_fused_raw_route_task, out_dir=out_dir,
+                              redact=redact, filter_config=filter_config,
+                              ns_filter=ns_filter),
+            batch_format="pyarrow", batch_size=batch_size)
+        lin = lineage_ds.to_pandas()
+        wall_ms = (time.perf_counter() - t0) * 1000.0
+        lin = (lin[lin["sink"] != "none"]
+               .groupby(["partition_id", "sink"], as_index=False)
+               .agg(rows_out=("rows_out", "sum"),
+                    bytes_out=("bytes_out", "sum"),
+                    batches=("rows_out", "size")))
+        lin["wall_ms"] = wall_ms
+        return lin
     ds = rd.read_parquet(wave, columns=ATTR_COLUMNS + ["tokens", "n_tok"],
                          include_paths=True,
                          override_num_blocks=override_num_blocks)
@@ -342,7 +369,8 @@ def route_partitioned(input_files: list[str], out_dir: str, *,
                       filter_config=None, ns_filter=None,
                       use_actors: bool = False,
                       commit_every: int | None = None,
-                      override_num_blocks: int | None = None) -> pd.DataFrame:
+                      override_num_blocks: int | None = None,
+                      raw_logs: bool = False) -> pd.DataFrame:
     """Route every not-yet-completed input partition; returns lineage
     (one row per partition × sink).
 
@@ -381,7 +409,8 @@ def route_partitioned(input_files: list[str], out_dir: str, *,
                           concurrency=concurrency, batch_size=batch_size,
                           filter_config=filter_config, ns_filter=ns_filter,
                           use_actors=use_actors,
-                          override_num_blocks=override_num_blocks)
+                          override_num_blocks=override_num_blocks,
+                          raw_logs=raw_logs)
         _commit_wave(wave, lin, out_dir)
         lins.append(lin)
     return pd.concat(lins, ignore_index=True)

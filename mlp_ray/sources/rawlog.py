@@ -247,6 +247,10 @@ def parse_batch(batch: pa.Table) -> pa.Table:
             out[name] = pa.array(vals, typ)
     cols_out = {name: out[name] for name in sch.names}
     cols_out["parse_status"] = pa.array(status, pa.string())
+    if "path" in batch.column_names:
+        # carried through for partition-keyed routing (route.py reads
+        # batch["path"] to derive the resume partition id)
+        cols_out["path"] = pa.array(paths, pa.string())
     return pa.table(cols_out)
 
 

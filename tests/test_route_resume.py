@@ -102,3 +102,41 @@ def test_crash_midrun_resumes_committed_waves(fixture_paths, tmp_path,
     cdf = oracle.classify_df(oracle.load(fixture_paths))
     assert _routed_doc_ids(out, "slow_ops") == sorted(
         cdf.loc[cdf["r_ops"], "doc_id"])
+
+
+def test_route_raw_logs_end_to_end(tmp_path):
+    """Raw JSONL logs route straight to partitioned sinks (parse fused
+    into the route task); the manifest resumes by log file, and the
+    routed ops match a direct parse+classify fold."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from mlp_ray.sources import rawlog
+    from mlp_ray.pipelines import route
+    from mlp_ray.stages.classify import classify_batch
+    import pyarrow as pa
+
+    logs = rawlog.write_raw_log_fixture(str(tmp_path / "logs"), 2000,
+                                        seed=13, n_shards=2)
+    out = str(tmp_path / "routed")
+    lin = route.route_partitioned(logs, out, raw_logs=True)
+    assert set(lin["sink"]) >= {"slow_ops", "errors", "conn"}
+    # resume: nothing left to do
+    lin2 = route.route_partitioned(logs, out, raw_logs=True)
+    assert lin2.empty
+    # routed ops equal the direct path
+    routed = route.read_sink(out, "slow_ops",
+                             columns=["ns", "op", "duration_ms"]).to_pandas()
+    ds = rawlog.read_raw_logs(logs)
+    direct_tbl = pa.concat_tables(
+        ds.map_batches(rawlog.parse_batch, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    cb = classify_batch(direct_tbl)
+    direct = cb.filter(cb["r_ops"]).select(["ns", "op",
+                                            "duration_ms"]).to_pandas()
+    a = (routed.groupby(["ns", "op"], dropna=False)["duration_ms"]
+         .agg(["size", "sum"]).reset_index()
+         .sort_values(["ns", "op"]).reset_index(drop=True))
+    b = (direct.groupby(["ns", "op"], dropna=False)["duration_ms"]
+         .agg(["size", "sum"]).reset_index()
+         .sort_values(["ns", "op"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
