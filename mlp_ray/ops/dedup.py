@@ -27,6 +27,7 @@ import ray
 import ray.data as rd
 
 from .text import md5_hash_batch
+from ..util import round_half_away
 
 _MERSENNE = (1 << 61) - 1
 _NUM_BUCKETS = 64
@@ -622,31 +623,19 @@ _EMB_EMPTY = pd.DataFrame({
 # DuckDB oracle computes the same thing from list_intersect /
 # list_cosine_similarity).  Broadcast-once + per-batch comparison, the
 # ann.brute_force_topk pattern.
-def _word_grams(text: str, k: int) -> list[str]:
-    toks = text.strip().split()
-    if len(toks) < k:
-        return [" ".join(toks)]
-    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-
-
-def _gram_hashes(text: str, k: int) -> np.ndarray:
-    return np.unique(np.fromiter(
-        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                        "big") for g in _word_grams(text or "", k)),
-        dtype=np.uint64))
-
-
 def exact_jaccard_pairs(docs_ds: rd.Dataset, *, shingle_k: int = 3,
                         threshold: float = 0.1) -> rd.Dataset:
     """All doc pairs with word-``k``-gram Jaccard ≥ threshold —
-    EXACT and quadratic by definition (every pair is examined once);
-    the distinct-gram sets are broadcast once via ray.put and each
-    batch compares its docs against all lower ids."""
+    EXACT and quadratic by definition (every pair is examined once).
+    The distinct-gram sets (same ``_shingle_hashes`` scheme the LSH
+    scale path uses) are computed ONCE, broadcast via ray.put, and the
+    compare pass maps over doc ids only — no recomputation, no second
+    full read of the text column."""
     side = docs_ds.map_batches(
         lambda b: pd.DataFrame({
             "doc_id": b["doc_id"].to_numpy(zero_copy_only=False)
             .astype(np.int64),
-            "blob": [_gram_hashes(t, shingle_k).tobytes()
+            "blob": [_shingle_hashes(t or "", shingle_k).tobytes()
                      for t in b["text"].to_pylist()]}),
         batch_format="pyarrow").to_pandas()
     ids = side["doc_id"].to_numpy()
@@ -655,41 +644,55 @@ def exact_jaccard_pairs(docs_ds: rd.Dataset, *, shingle_k: int = 3,
                    [np.frombuffer(b, dtype=np.uint64)
                     for b in side["blob"].to_numpy()[order]]))
 
+    _EMPTY = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "dup_of": pd.Series(dtype="int64"),
+                           "jaccard": pd.Series(dtype="float64")})
+
     def compare(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return _EMPTY.copy()
         all_ids, all_sets = ray.get(ref)
         out = []
-        for did, text in zip(batch["doc_id"].to_pylist(),
-                             batch["text"].to_pylist()):
-            mine = _gram_hashes(text, shingle_k)
-            hi = np.searchsorted(all_ids, did)
+        for did in batch["doc_id"].to_pylist():
+            hi = int(np.searchsorted(all_ids, did))
+            mine = all_sets[hi]  # own set from the broadcast side
             for j in range(hi):
                 other = all_sets[j]
                 inter = np.intersect1d(mine, other,
                                        assume_unique=True).size
                 union = mine.size + other.size - inter
-                jac = round(inter / union, 6) if union else 0.0
+                jac = (float(round_half_away(inter / union, 6))
+                       if union else 0.0)
                 if jac >= threshold:
                     out.append((int(did), int(all_ids[j]), jac))
         if not out:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "dup_of": pd.Series(dtype="int64"),
-                                 "jaccard": pd.Series(dtype="float64")})
+            return _EMPTY.copy()
         return pd.DataFrame(out, columns=["doc_id", "dup_of", "jaccard"])
 
-    return docs_ds.map_batches(compare, batch_format="pyarrow")
+    # narrow second pass: ids only
+    id_ds = docs_ds.map_batches(lambda b: b.select(["doc_id"]),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return id_ds.map_batches(compare, batch_format="pyarrow")
 
 
 def exact_cosine_pairs(ds: rd.Dataset, *, threshold: float = 0.4) -> rd.Dataset:
     """All embedding pairs with cosine ≥ threshold — exact quadratic
-    validation op (normalized matrix broadcast once; per-batch
-    matmul against all lower ids)."""
+    validation op (normalized matrix broadcast once; the compare pass
+    maps over vec ids only and reads each row's vector from the
+    broadcast)."""
     side = ds.map_batches(
         lambda b: pd.DataFrame({
             "vec_id": b["vec_id"].to_numpy(zero_copy_only=False)
             .astype(np.int64),
-            "emb": list(np.stack([np.asarray(e, dtype=np.float64)
-                                  for e in b["embedding"].to_pylist()]))}),
+            "emb": [np.asarray(e, dtype=np.float64)
+                    for e in b["embedding"].to_pylist()]}),
         batch_format="pyarrow").to_pandas()
+    _EMPTY = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                           "dup_of": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    if side.empty:
+        return rd.from_pandas(_EMPTY)
     ids = side["vec_id"].to_numpy()
     order = np.argsort(ids)
     mat = np.stack(side["emb"].to_numpy()[order])
@@ -698,23 +701,23 @@ def exact_cosine_pairs(ds: rd.Dataset, *, threshold: float = 0.4) -> rd.Dataset:
     ref = ray.put((ids[order], mat))
 
     def compare(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return _EMPTY.copy()
         all_ids, all_mat = ray.get(ref)
         bids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        x = np.stack([np.asarray(e, dtype=np.float64)
-                      for e in batch["embedding"].to_pylist()])
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        sims = x @ all_mat.T
+        pos = np.searchsorted(all_ids, bids)
+        sims = all_mat[pos] @ all_mat.T
         out = []
         for r, did in enumerate(bids):
-            hi = np.searchsorted(all_ids, did)
-            s = np.round(sims[r, :hi], 6)
+            hi = int(pos[r])
+            s = round_half_away(sims[r, :hi], 6)
             hits = np.flatnonzero(s >= threshold)
             out += [(int(did), int(all_ids[j]), float(s[j]))
                     for j in hits]
         if not out:
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
-                                 "dup_of": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
+            return _EMPTY.copy()
         return pd.DataFrame(out, columns=["vec_id", "dup_of", "cosine"])
 
-    return ds.map_batches(compare, batch_format="pyarrow")
+    id_ds = ds.map_batches(lambda b: b.select(["vec_id"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    return id_ds.map_batches(compare, batch_format="pyarrow")

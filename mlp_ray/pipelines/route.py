@@ -66,7 +66,10 @@ ROUTES: dict[str, tuple[str, list[str]]] = {
 
 
 def _partition_id(path: str) -> str:
-    return os.path.splitext(os.path.basename(path))[0]
+    # zip members carry "archive.zip!member" paths — the resume unit is
+    # the ARCHIVE file, so strip the member suffix before deriving the
+    # partition id (writer, manifest, and stale-cleanup must agree)
+    return os.path.splitext(os.path.basename(path.split("!", 1)[0]))[0]
 
 
 class RouterWriter:
@@ -289,45 +292,43 @@ def _fused_raw_route_task(batch, **kw):
     return _fused_route_task(parse_batch(batch), **kw)
 
 
+class FusedRawRouteStage(FusedRouteStage):
+    """Actor-pool raw-log variant (use_actors=True with raw inputs)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.rawlog import parse_batch
+        return super().__call__(parse_batch(batch))
+
+
 def _route_wave(wave: list[str], out_dir: str, *, redact, concurrency,
                 batch_size, filter_config, ns_filter, use_actors,
                 override_num_blocks, raw_logs=False) -> pd.DataFrame:
     """One streaming pipeline over one wave of input partitions."""
+    import functools
+
     t0 = time.perf_counter()
     if raw_logs:
         from ..sources import rawlog
-        import functools
         ds = rawlog.read_raw_logs(wave,
                                   override_num_blocks=override_num_blocks)
-        lineage_ds = ds.map_batches(
-            functools.partial(_fused_raw_route_task, out_dir=out_dir,
-                              redact=redact, filter_config=filter_config,
-                              ns_filter=ns_filter),
-            batch_format="pyarrow", batch_size=batch_size)
-        lin = lineage_ds.to_pandas()
-        wall_ms = (time.perf_counter() - t0) * 1000.0
-        lin = (lin[lin["sink"] != "none"]
-               .groupby(["partition_id", "sink"], as_index=False)
-               .agg(rows_out=("rows_out", "sum"),
-                    bytes_out=("bytes_out", "sum"),
-                    batches=("rows_out", "size")))
-        lin["wall_ms"] = wall_ms
-        return lin
-    ds = rd.read_parquet(wave, columns=ATTR_COLUMNS + ["tokens", "n_tok"],
-                         include_paths=True,
-                         override_num_blocks=override_num_blocks)
+        stage_cls, task_fn = FusedRawRouteStage, _fused_raw_route_task
+    else:
+        ds = rd.read_parquet(wave,
+                             columns=ATTR_COLUMNS + ["tokens", "n_tok"],
+                             include_paths=True,
+                             override_num_blocks=override_num_blocks)
+        stage_cls, task_fn = FusedRouteStage, _fused_route_task
     if use_actors:
         lineage_ds = ds.map_batches(
-            FusedRouteStage, batch_format="pyarrow", batch_size=batch_size,
+            stage_cls, batch_format="pyarrow", batch_size=batch_size,
             concurrency=concurrency,
             fn_constructor_kwargs={"out_dir": out_dir, "redact": redact,
                                    "filter_config": filter_config,
                                    "ns_filter": ns_filter},
         )
     else:
-        import functools
         lineage_ds = ds.map_batches(
-            functools.partial(_fused_route_task, out_dir=out_dir,
+            functools.partial(task_fn, out_dir=out_dir,
                               redact=redact, filter_config=filter_config,
                               ns_filter=ns_filter),
             batch_format="pyarrow", batch_size=batch_size)

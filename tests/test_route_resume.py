@@ -140,3 +140,30 @@ def test_route_raw_logs_end_to_end(tmp_path):
          .agg(["size", "sum"]).reset_index()
          .sort_values(["ns", "op"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_route_raw_zip_partition_identity(tmp_path):
+    """Zip inputs resume by ARCHIVE: member paths normalize to the
+    archive's partition id, so manifest, writer dirs, and stale
+    cleanup agree (review finding r2-2)."""
+    import gzip as gz
+    import zipfile
+    from mlp_ray.pipelines import route
+    from mlp_ray.sources import rawlog
+    import pyarrow as pa
+
+    lines = rawlog.render_lines(
+        __import__("mlp_ray.synth", fromlist=["x"]).generate_events_tok(
+            400, seed=21, tok_mean=8))
+    zpath = tmp_path / "cluster0-shard-07-00.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("a.log", "\n".join(lines[:200]) + "\n")
+        zf.writestr("b.log.gz",
+                    gz.compress(("\n".join(lines[200:]) + "\n").encode()))
+    out = str(tmp_path / "routed")
+    lin = route.route_partitioned([str(zpath)], out, raw_logs=True)
+    assert set(lin["partition_id"]) == {"cluster0-shard-07-00"}
+    import os
+    parts = os.listdir(os.path.join(out, "slow_ops"))
+    assert parts == ["part=cluster0-shard-07-00"]
+    assert route.route_partitioned([str(zpath)], out, raw_logs=True).empty
