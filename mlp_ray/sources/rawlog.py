@@ -562,8 +562,13 @@ def write_raw_log_fixture(out_dir: str, n_rows: int, *, seed: int = 42,
             buf_lines.append(ln)
         data = ("\n".join(buf_lines) + "\n").encode()
         opener = gzip.open if compress else open
-        with opener(path, "wb") as fh:
+        # atomic: two processes racing on the shared fixture path both
+        # write identical deterministic content, but an interleaved
+        # in-place write could corrupt — tmp + rename can't
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with opener(tmp, "wb") as fh:
             fh.write(data)
+        os.replace(tmp, path)
         paths.append(path)
     return paths
 
