@@ -624,7 +624,8 @@ _EMB_EMPTY = pd.DataFrame({
 # list_cosine_similarity).  Broadcast-once + per-batch comparison, the
 # ann.brute_force_topk pattern.
 def exact_jaccard_pairs(docs_ds: rd.Dataset, *, shingle_k: int = 3,
-                        threshold: float = 0.1) -> rd.Dataset:
+                        threshold: float = 0.1,
+                        max_side: int = 200_000) -> rd.Dataset:
     """All doc pairs with word-``k``-gram Jaccard ≥ threshold —
     EXACT and quadratic by definition (every pair is examined once).
     The distinct-gram sets (same ``_shingle_hashes`` scheme the LSH
@@ -638,6 +639,13 @@ def exact_jaccard_pairs(docs_ds: rd.Dataset, *, shingle_k: int = 3,
             "blob": [_shingle_hashes(t or "", shingle_k).tobytes()
                      for t in b["text"].to_pylist()]}),
         batch_format="pyarrow").to_pandas()
+    if len(side) > max_side:
+        raise ValueError(
+            f"exact_jaccard_pairs examines every pair (O(n^2)) and "
+            f"broadcasts all gram sets — {len(side)} docs exceeds "
+            f"max_side={max_side}. Use minhash_lsh_candidates + "
+            "ngram_jaccard_verify at corpus scale; this op is the "
+            "oracle-grade validation variant.")
     ids = side["doc_id"].to_numpy()
     order = np.argsort(ids)
     ref = ray.put((ids[order],
@@ -676,7 +684,8 @@ def exact_jaccard_pairs(docs_ds: rd.Dataset, *, shingle_k: int = 3,
     return id_ds.map_batches(compare, batch_format="pyarrow")
 
 
-def exact_cosine_pairs(ds: rd.Dataset, *, threshold: float = 0.4) -> rd.Dataset:
+def exact_cosine_pairs(ds: rd.Dataset, *, threshold: float = 0.4,
+                       max_side: int = 200_000) -> rd.Dataset:
     """All embedding pairs with cosine ≥ threshold — exact quadratic
     validation op (normalized matrix broadcast once; the compare pass
     maps over vec ids only and reads each row's vector from the
@@ -693,6 +702,13 @@ def exact_cosine_pairs(ds: rd.Dataset, *, threshold: float = 0.4) -> rd.Dataset:
                            "cosine": pd.Series(dtype="float64")})
     if side.empty:
         return rd.from_pandas(_EMPTY)
+    if len(side) > max_side:
+        raise ValueError(
+            f"exact_cosine_pairs examines every pair (O(n^2)) and "
+            f"broadcasts the full matrix — {len(side)} vectors exceeds "
+            f"max_side={max_side}. Use embedding_near_dup (multi-table "
+            "LSH) at corpus scale; this op is the oracle-grade "
+            "validation variant.")
     ids = side["vec_id"].to_numpy()
     order = np.argsort(ids)
     mat = np.stack(side["emb"].to_numpy()[order])
