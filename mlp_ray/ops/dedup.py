@@ -655,6 +655,8 @@ def exact_jaccard_pairs(docs_ds: rd.Dataset, *, shingle_k: int = 3,
     _EMPTY = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                            "dup_of": pd.Series(dtype="int64"),
                            "jaccard": pd.Series(dtype="float64")})
+    if side.empty:
+        return rd.from_pandas(_EMPTY)
 
     def compare(batch: pa.Table) -> pd.DataFrame:
         if batch.num_rows == 0:
@@ -663,6 +665,9 @@ def exact_jaccard_pairs(docs_ds: rd.Dataset, *, shingle_k: int = 3,
         out = []
         for did in batch["doc_id"].to_pylist():
             hi = int(np.searchsorted(all_ids, did))
+            if hi >= len(all_ids) or all_ids[hi] != did:
+                continue  # id absent from the side pass: skip, never
+                #           compare with another doc's gram set
             mine = all_sets[hi]  # own set from the broadcast side
             for j in range(hi):
                 other = all_sets[j]
@@ -677,11 +682,11 @@ def exact_jaccard_pairs(docs_ds: rd.Dataset, *, shingle_k: int = 3,
             return _EMPTY.copy()
         return pd.DataFrame(out, columns=["doc_id", "dup_of", "jaccard"])
 
-    # narrow second pass: ids only
-    id_ds = docs_ds.map_batches(lambda b: b.select(["doc_id"]),
-                                batch_format="pyarrow",
-                                zero_copy_batch=True)
-    return id_ds.map_batches(compare, batch_format="pyarrow")
+    # narrow second pass: select_columns is visible to the planner, so
+    # the projection pushes into the read (a lambda map would re-read
+    # the text column just to drop it)
+    return (docs_ds.select_columns(["doc_id"])
+            .map_batches(compare, batch_format="pyarrow"))
 
 
 def exact_cosine_pairs(ds: rd.Dataset, *, threshold: float = 0.4,
@@ -722,6 +727,12 @@ def exact_cosine_pairs(ds: rd.Dataset, *, threshold: float = 0.4,
         all_ids, all_mat = ray.get(ref)
         bids = batch["vec_id"].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(all_ids, bids)
+        # ids absent from the side pass must not alias another row
+        valid = (pos < len(all_ids)) & (all_ids[np.minimum(
+            pos, len(all_ids) - 1)] == bids)
+        bids, pos = bids[valid], pos[valid]
+        if not len(bids):
+            return _EMPTY.copy()
         sims = all_mat[pos] @ all_mat.T
         out = []
         for r, did in enumerate(bids):
@@ -734,6 +745,5 @@ def exact_cosine_pairs(ds: rd.Dataset, *, threshold: float = 0.4,
             return _EMPTY.copy()
         return pd.DataFrame(out, columns=["vec_id", "dup_of", "cosine"])
 
-    id_ds = ds.map_batches(lambda b: b.select(["vec_id"]),
-                           batch_format="pyarrow", zero_copy_batch=True)
-    return id_ds.map_batches(compare, batch_format="pyarrow")
+    return (ds.select_columns(["vec_id"])
+            .map_batches(compare, batch_format="pyarrow"))

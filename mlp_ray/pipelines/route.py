@@ -68,8 +68,13 @@ ROUTES: dict[str, tuple[str, list[str]]] = {
 def _partition_id(path: str) -> str:
     # zip members carry "archive.zip!member" paths — the resume unit is
     # the ARCHIVE file, so strip the member suffix before deriving the
-    # partition id (writer, manifest, and stale-cleanup must agree)
-    return os.path.splitext(os.path.basename(path.split("!", 1)[0]))[0]
+    # partition id (writer, manifest, and stale-cleanup must agree).
+    # Only the ".zip!" form is a member marker: a '!' elsewhere in a
+    # directory or file name must NOT collapse distinct inputs into a
+    # shared partition id.
+    if ".zip!" in path:
+        path = path.split(".zip!", 1)[0] + ".zip"
+    return os.path.splitext(os.path.basename(path))[0]
 
 
 class RouterWriter:

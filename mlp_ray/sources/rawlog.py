@@ -561,13 +561,17 @@ def write_raw_log_fixture(out_dir: str, n_rows: int, *, seed: int = 42,
                 buf_lines.append(f"plain text noise line {k}")
             buf_lines.append(ln)
         data = ("\n".join(buf_lines) + "\n").encode()
-        opener = gzip.open if compress else open
-        # atomic: two processes racing on the shared fixture path both
-        # write identical deterministic content, but an interleaved
-        # in-place write could corrupt — tmp + rename can't
+        # atomic + byte-deterministic: tmp + rename prevents torn
+        # in-place writes under racing processes, and mtime=0 keeps the
+        # gzip header (which otherwise embeds wall-clock) reproducible
         tmp = f"{path}.tmp-{os.getpid()}"
-        with opener(tmp, "wb") as fh:
-            fh.write(data)
+        if compress:
+            with open(tmp, "wb") as raw:
+                with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as fh:
+                    fh.write(data)
+        else:
+            with open(tmp, "wb") as fh:
+                fh.write(data)
         os.replace(tmp, path)
         paths.append(path)
     return paths
@@ -581,9 +585,18 @@ RAWLOG_FIXTURE_DIR = "/tmp/mlp_rawlog_fixture_v2"
 
 def ensure_rawlog_fixture(n_rows: int = 8000, seed: int = 11,
                           n_shards: int = 2) -> list[str]:
-    if not os.path.isdir(RAWLOG_FIXTURE_DIR) \
-            or not os.listdir(RAWLOG_FIXTURE_DIR):
+    def _complete_files():
+        if not os.path.isdir(RAWLOG_FIXTURE_DIR):
+            return []
+        # a killed writer can leave .tmp-<pid> residue: never treat it
+        # as fixture content (the oracle globs *.log.gz only)
+        return sorted(os.path.join(RAWLOG_FIXTURE_DIR, f)
+                      for f in os.listdir(RAWLOG_FIXTURE_DIR)
+                      if ".tmp-" not in f)
+
+    files = _complete_files()
+    if len(files) != n_shards:
         write_raw_log_fixture(RAWLOG_FIXTURE_DIR, n_rows, seed=seed,
                               n_shards=n_shards)
-    return sorted(os.path.join(RAWLOG_FIXTURE_DIR, f)
-                  for f in os.listdir(RAWLOG_FIXTURE_DIR))
+        files = _complete_files()
+    return files
