@@ -109,13 +109,20 @@ def brute_force_topk(ds: rd.Dataset, queries: np.ndarray,
 # --- IVF ---------------------------------------------------------------
 def train_centroids(ds: rd.Dataset, n_centroids: int, *, iters: int = 3,
                     seed: int = 42, sample_limit: int = 4096) -> np.ndarray:
-    """Deterministic mini k-means: init from a hash-sampled subset, then
-    ``iters`` Lloyd rounds where assignment+partial sums run as
-    map_batches and only (centroid, sum, count) partials are collected."""
-    first = ds.limit(n_centroids).take_batch(n_centroids,
+    """Deterministic mini k-means: init by a seeded draw from the first
+    ``sample_limit`` vectors (spread beats taking the first
+    ``n_centroids`` rows, which are often one file's neighborhood),
+    then ``iters`` Lloyd rounds where assignment+partial sums run as
+    map_batches and only (centroid, sum, count) partials are
+    collected."""
+    pool = ds.limit(sample_limit).take_batch(sample_limit,
                                              batch_format="pyarrow")
-    cent = _normalize(np.stack([np.asarray(e, dtype=np.float64)
-                                for e in first["embedding"].to_pylist()]))
+    x = _normalize(np.stack([np.asarray(e, dtype=np.float64)
+                             for e in pool["embedding"].to_pylist()]))
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(len(x), size=min(n_centroids, len(x)),
+                      replace=False)
+    cent = x[np.sort(pick)]
     for _ in range(iters):
         c_ref = ray.put(cent)
 
