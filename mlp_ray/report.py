@@ -184,48 +184,172 @@ def write_json_report(results: dict[str, pd.DataFrame], path: str,
     return rep
 
 
+# Self-contained interactivity (no external libs): type-aware column
+# sorting with ↕/↑/↓ indicators, a per-table substring filter box, and
+# collapsible sections — the reference's interactive surface
+# (HtmlReportGenerator.java:202-275 styles, sortTable/filterTable JS)
+# re-expressed, not transliterated.  Long cells (sample messages,
+# count-map JSON) render as <details> accordions with pretty-printed
+# JSON, mirroring the reference's pretty-print accordion rows
+# (HtmlReportGenerator.java:507-566).
+_HTML_CSS = """
+body{font-family:-apple-system,'Segoe UI',sans-serif;margin:20px;
+     background:#f7f9f8;color:#1c2d2a}
+h1{font-size:22px} h2{font-size:17px;margin:0}
+.sec{background:#fff;border:1px solid #d9e2e0;border-radius:6px;
+     padding:12px 16px;margin-bottom:18px}
+.sec-head{display:flex;align-items:center;gap:10px;cursor:pointer}
+.sec-head .arrow::before{content:'\\25BC';font-size:11px;opacity:.6}
+.sec.closed .arrow::before{content:'\\25B6'}
+.sec.closed .sec-body{display:none}
+.filter{padding:6px 8px;border:1px solid #b8c4c2;border-radius:4px;
+        width:240px;margin:8px 8px 4px 0}
+.count{font-size:12px;opacity:.65}
+table{border-collapse:collapse;margin-top:8px;font-size:13px;width:100%}
+td,th{border:1px solid #d0d7d5;padding:3px 8px;text-align:right;
+      font-family:ui-monospace,monospace}
+td.s,th.s{text-align:left}
+th{background:#eef3f2;cursor:pointer;user-select:none;position:sticky;top:0}
+th::after{content:' \\2195';font-size:11px;opacity:.45}
+th.asc::after{content:' \\2191';opacity:1}
+th.desc::after{content:' \\2193';opacity:1}
+tr:nth-child(even) td{background:#fbfdfc}
+details{max-width:480px} details>summary{cursor:pointer;list-style:none;
+  white-space:nowrap;overflow:hidden;text-overflow:ellipsis;opacity:.85}
+details[open]>summary{white-space:normal;opacity:.5}
+details pre{text-align:left;white-space:pre-wrap;margin:4px 0;
+            max-height:300px;overflow:auto;background:#f2f5f4;padding:6px}
+"""
+
+_HTML_JS = """
+function cellVal(tr,i){var td=tr.cells[i];if(!td)return'';
+  var d=td.querySelector('details pre');return d?d.textContent:td.textContent;}
+function sortTable(th){
+  var table=th.closest('table'),i=th.cellIndex,
+      rows=Array.from(table.tBodies[0].rows),
+      dir=th.classList.contains('asc')?-1:1;
+  table.tHead.querySelectorAll('th').forEach(
+      function(h){h.classList.remove('asc','desc');});
+  th.classList.add(dir===1?'asc':'desc');
+  var numeric=rows.every(function(r){var v=cellVal(r,i).trim();
+      return v===''||v==='None'||!isNaN(parseFloat(v));});
+  rows.sort(function(a,b){
+    var x=cellVal(a,i).trim(),y=cellVal(b,i).trim();
+    if(numeric){
+      var fx=parseFloat(x),fy=parseFloat(y);
+      if(isNaN(fx))return isNaN(fy)?0:1;
+      if(isNaN(fy))return -1;
+      return dir*(fx-fy);
+    }
+    return dir*x.localeCompare(y);
+  });
+  rows.forEach(function(r){table.tBodies[0].appendChild(r);});
+}
+function filterTable(inp){
+  var box=inp.closest('.tbl'),q=inp.value.toLowerCase(),shown=0,
+      rows=box.querySelector('table').tBodies[0].rows;
+  Array.from(rows).forEach(function(r){
+    var hit=q===''||r.textContent.toLowerCase().indexOf(q)>=0;
+    r.style.display=hit?'':'none';if(hit)shown++;});
+  box.querySelector('.count').textContent=
+      shown+' / '+rows.length+' rows';
+}
+function toggleSec(h){h.closest('.sec').classList.toggle('closed');}
+document.addEventListener('click',function(e){
+  var th=e.target.closest('th');if(th)sortTable(th);});
+"""
+
+# cells longer than this render as a pretty-print accordion
+_LONG_CELL = 80
+
+
+def _html_cell(v: Any) -> tuple[str, bool]:
+    """Render one cell → (inner html, is_string_like)."""
+    import html as _html
+
+    if isinstance(v, (dict, list)):
+        s = json.dumps(v, sort_keys=True)
+    else:
+        s = "" if v is None else str(v)
+    string_like = not isinstance(v, (int, float)) or isinstance(v, bool)
+    if len(s) > _LONG_CELL:
+        try:
+            pretty = json.dumps(json.loads(s), indent=2, sort_keys=True)
+        except (ValueError, TypeError):
+            pretty = s
+        return ("<details><summary>" + _html.escape(s[:_LONG_CELL]) +
+                "…</summary><pre>" + _html.escape(pretty) +
+                "</pre></details>"), True
+    return _html.escape(s), string_like
+
+
 def write_html_report(results: dict[str, pd.DataFrame], path: str,
                       *, top: int = 100, **kw) -> None:
-    """K4 (minimal): static HTML tables per section — same data as the
-    JSON report (HtmlReportGenerator.java:131-186 section order spirit;
-    the reference's 2.8 kLoC interactive report is out of scope per
-    SURVEY.md §2.1 K4, JSON/CSV parity is authoritative)."""
+    """K4: interactive single-file HTML report — sortable columns
+    (type-aware, with sort-direction indicators), per-table filter
+    inputs with live row counts, collapsible sections, and
+    pretty-print accordions for long cells; same data/section order as
+    the JSON report (HtmlReportGenerator.java:131-186 sections,
+    :202-275 interactive styles, :467-566 filter/accordion controls —
+    re-expressed as self-contained vanilla JS, no CDN/libs)."""
     import html as _html
 
     rep = build_report(results, **kw)
     parts = ["<!doctype html><meta charset='utf-8'>",
              "<title>mlp_ray report</title>",
-             "<style>body{font-family:monospace}table{border-collapse:"
-             "collapse}td,th{border:1px solid #999;padding:2px 6px;"
-             "text-align:right}th{background:#eee}</style>",
+             f"<style>{_HTML_CSS}</style>",
              "<h1>mlp_ray analysis report</h1>"]
+    meta = rep.get("metadata")
+    if isinstance(meta, dict):
+        parts.append("<p class='count'>" + " · ".join(
+            f"{_html.escape(str(k))}: {_html.escape(str(v))}"
+            for k, v in meta.items()) + "</p>")
 
     def table(rows: list[dict]) -> str:
         if not rows:
-            return "<p>(empty)</p>"
+            return "<p class='count'>(empty)</p>"
         cols = list(rows[0])
-        h = "".join(f"<th>{_html.escape(str(c))}</th>" for c in cols)
+        rows = rows[:top]
+        rendered = [[_html_cell(r.get(c)) for c in cols] for r in rows]
+        # a column is left-aligned iff any of its cells is string-like
+        is_s = [any(row[j][1] for row in rendered)
+                for j in range(len(cols))]
+        h = "".join(
+            f"<th{' class=s' if is_s[j] else ''}>{_html.escape(str(c))}</th>"
+            for j, c in enumerate(cols))
         body = "".join(
             "<tr>" + "".join(
-                f"<td>{_html.escape(str(r.get(c, '')))}</td>" for c in cols)
-            + "</tr>" for r in rows[:top])
-        return f"<table><tr>{h}</tr>{body}</table>"
+                f"<td{' class=s' if is_s[j] else ''}>{cell}</td>"
+                for j, (cell, _) in enumerate(row)) + "</tr>"
+            for row in rendered)
+        return ("<div class='tbl'>"
+                "<input class='filter' placeholder='Filter rows…' "
+                "oninput='filterTable(this)'>"
+                f"<span class='count'>{len(rows)} rows</span>"
+                f"<table><thead><tr>{h}</tr></thead>"
+                f"<tbody>{body}</tbody></table></div>")
 
     for section, payload in rep.items():
         if section == "metadata":
             continue
-        parts.append(f"<h2>{_html.escape(section)}</h2>")
+        inner = []
         if isinstance(payload, dict):
             summary = {k: v for k, v in payload.items()
                        if not isinstance(v, list)}
             if summary:
-                parts.append(table([{k: json.dumps(v) if isinstance(v, dict)
-                                     else v for k, v in summary.items()}]))
+                inner.append(table([summary]))
             for v in payload.values():
                 if isinstance(v, list):
-                    parts.append(table(v))
+                    inner.append(table(v))
         elif isinstance(payload, list):
-            parts.append(table(payload))
+            inner.append(table(payload))
+        parts.append(
+            "<div class='sec'>"
+            "<div class='sec-head' onclick='toggleSec(this)'>"
+            f"<span class='arrow'></span><h2>{_html.escape(section)}</h2>"
+            "</div><div class='sec-body'>" + "".join(inner) +
+            "</div></div>")
+    parts.append(f"<script>{_HTML_JS}</script>")
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
         fh.write("\n".join(parts))

@@ -119,5 +119,57 @@ def test_html_report(results, tmp_path):
     for section in ("mainOperations", "queryHashAnalysis", "indexStats",
                     "errorCodes", "driverStats"):
         assert f"<h2>{section}</h2>" in html
-    # table rows rendered and escaped
-    assert "<table>" in html and "<script" not in html
+    # interactive surface (K4, HtmlReportGenerator.java:202-275):
+    # sortable headers, per-table filter inputs, collapsible sections —
+    # all self-contained (vanilla JS, no external URLs)
+    assert "<table>" in html
+    assert "sortTable" in html and "filterTable" in html
+    assert "class='filter'" in html and "toggleSec" in html
+    assert "http://" not in html and "https://" not in html
+
+
+def test_html_report_sort_js(results, tmp_path):
+    """Exercise the embedded sortTable JS under node with a minimal DOM
+    shim: numeric-aware ascending sort (None last) and string
+    asc/desc toggling — the K4 interactive contract
+    (HtmlReportGenerator.java:222-224 sort indicators)."""
+    import shutil
+    import subprocess
+
+    node = shutil.which("node")
+    if node is None:
+        pytest.skip("node not available")
+    p = tmp_path / "report.html"
+    report.write_html_report(results, str(p))
+    js = p.read_text().split("<script>")[1].split("</script>")[0]
+    shim = """
+global.document={addEventListener(){}};
+%s
+function mkCell(t){return {textContent:t,querySelector:()=>null};}
+function mkRow(vals){return {cells:vals.map(mkCell)};}
+const rows=[mkRow(['b','2.5']),mkRow(['a','10']),mkRow(['c','None'])];
+const tbody={rows,out:[],appendChild(r){this.out.push(r);}};
+const ths=[];
+function mkTh(i){const th={cellIndex:i,cls:new Set(),
+  classList:{contains:(c)=>th.cls.has(c),add:(c)=>th.cls.add(c),
+             remove:(c)=>th.cls.delete(c)},
+  closest:()=>table};ths.push(th);return th;}
+const table={tBodies:[tbody],
+  tHead:{querySelectorAll:()=>({forEach(f){ths.forEach(f)}})}};
+const th0=mkTh(0),th1=mkTh(1);
+sortTable(th1);
+console.log(JSON.stringify(tbody.out.map(r=>r.cells[1].textContent)));
+tbody.out=[];
+sortTable(th0);
+console.log(JSON.stringify(tbody.out.map(r=>r.cells[0].textContent)));
+tbody.out=[];
+sortTable(th0);
+console.log(JSON.stringify(tbody.out.map(r=>r.cells[0].textContent)));
+""" % js
+    out = subprocess.run([node, "-"], input=shim, text=True,
+                         capture_output=True, timeout=60)
+    assert out.returncode == 0, out.stderr
+    lines = out.stdout.strip().splitlines()
+    assert lines[0] == '["2.5","10","None"]'   # numeric asc, None last
+    assert lines[1] == '["a","b","c"]'         # string asc
+    assert lines[2] == '["c","b","a"]'         # toggle desc
