@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token-stream ops over the input_hint tokens payload
         "flagship_token_freq": Q.flagship_token_freq,
         "flagship_seq_lengths": Q.flagship_seq_lengths,
+        "flagship_pack_plan": Q.flagship_pack_plan,      # prefix-sum scan
+        "flagship_pack_greedy": Q.flagship_pack_greedy,  # rows-only
     }
 
 

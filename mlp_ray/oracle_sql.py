@@ -419,10 +419,28 @@ FROM read_parquet('{FLAGSHIP_ORACLE_PATH}')
 GROUP BY 1 ORDER BY 1
 """
 
+# pack_plan (ops/pack.py): exclusive prefix sum over the total doc_id
+# order — exactly a window SUM; the query compares the per-bin rollup
+_PACK_PLAN_SQL = f"""
+WITH c AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumb
+  FROM read_parquet('{FLAGSHIP_ORACLE_PATH}'))
+SELECT CAST(cumb // 2048 AS BIGINT) AS pack_bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS start_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
 FLAGSHIP_SQL: dict[str, str] = {
     "rawlog_main_ops": _RAWLOG_MAIN_OPS_SQL,
     "flagship_token_freq": _TOKEN_FREQ_SQL,
     "flagship_seq_lengths": _SEQ_LENGTHS_SQL,
+    "flagship_pack_plan": _PACK_PLAN_SQL,
     "flagship_main_ops": _main_ops_sql(
         "ns, op, coalesce(app_name, 'unknown') AS app_name"),
     "flagship_main_ops_by_shard": _main_ops_sql(

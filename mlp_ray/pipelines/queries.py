@@ -547,6 +547,32 @@ def flagship_seq_lengths(sf_dir: str) -> pd.DataFrame:
     return sequence_length_stats(ds)
 
 
+def flagship_pack_plan(sf_dir: str, cap: int = 2048) -> pd.DataFrame:
+    """Token-budget chunking plan (ops/pack.pack_plan — distributed
+    two-pass prefix-sum scan), compared as the per-bin rollup; oracle
+    = DuckDB window SUM + GROUP BY."""
+    from ..ops.pack import pack_bin_rollup, pack_plan
+    from ..sources.tokenized import ensure_flagship_parquet
+
+    path = ensure_flagship_parquet(sf_dir)
+    ds = rd.read_parquet(path, columns=["doc_id", "n_tok"])
+    return pack_bin_rollup(pack_plan(ds, cap=cap), ["pack_bin"])
+
+
+def flagship_pack_greedy(sf_dir: str, cap: int = 2048) -> pd.DataFrame:
+    """First-fit sequential no-split packing per source (rows-only:
+    the break recursion is not window-SQL-expressible; pack_plan is
+    the exact oracle-attested sibling), as a per-(source, bin)
+    rollup."""
+    from ..ops.pack import pack_bin_rollup, pack_greedy
+    from ..sources.tokenized import ensure_flagship_parquet
+
+    path = ensure_flagship_parquet(sf_dir)
+    ds = rd.read_parquet(path, columns=["doc_id", "n_tok", "source"])
+    return pack_bin_rollup(pack_greedy(ds, cap=cap),
+                           ["source", "pack_bin"])
+
+
 # --- raw JSONL-log ingestion (S2/S3/P1-P3/J2): gzipped mongod logs →
 # parse → classify → main-ops fold, rows-only ---------------------------
 def rawlog_main_ops(sf_dir: str) -> pd.DataFrame:
