@@ -17,8 +17,6 @@ Python frames, no wide columns multiplied through shuffles):
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -29,7 +27,6 @@ import ray.data as rd
 from .text import md5_hash_batch
 from ..util import round_half_away
 
-_MERSENNE = (1 << 61) - 1
 _NUM_BUCKETS = 64
 
 # Per-worker-process cache for the cheap-state hash stages: Ray reuses
@@ -100,16 +97,72 @@ def exact_dedup(ds: rd.Dataset, col: str = "text",
 
 
 # --- MinHash + LSH -----------------------------------------------------
+_GRAM_SEED = np.uint64(0x9E3779B97F4A7C15)
+_GRAM_PRIME = np.uint64(0x100000001B3)
+
+
+def _batch_token_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-split every text and hash ALL tokens of the batch in
+    one C-level pass (``pd.util.hash_array``, fixed key → deterministic
+    across processes).  Returns (flat uint64 token hashes, int64 token
+    counts per text).  This replaces a per-gram ``hashlib.blake2b``
+    Python loop — the dominant per-row compute of the minhash/simhash
+    stages at scale."""
+    toks = [t.split() for t in texts]
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                       count=len(toks))
+    flat = np.array([w for t in toks for w in t], dtype=object)
+    th = (pd.util.hash_array(flat) if len(flat)
+          else np.empty(0, np.uint64))
+    return th, lens
+
+
+def _gram_hashes_from_tokens(th: np.ndarray, lens: np.ndarray,
+                             k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Word-k-gram hashes for every doc, vectorized: a masked
+    multiply-XOR chain over k shifted views of the flat token-hash
+    array.  One gram per window; docs shorter than k contribute ONE
+    gram chaining their available tokens (matching the classic
+    'join all tokens' fallback); empty docs contribute the seed
+    sentinel.  Returns (flat gram hashes, int64 gram offsets per doc,
+    len = n_docs + 1).  Duplicates are NOT removed — minhash doesn't
+    need that; set consumers unique per slice."""
+    grams_per_doc = np.maximum(lens - k + 1, 1)
+    offsets = np.concatenate(([0], np.cumsum(grams_per_doc)))
+    total = int(offsets[-1])
+    doc_tok_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    g_pos = (np.arange(total)
+             - np.repeat(offsets[:-1], grams_per_doc))
+    tok0 = np.repeat(doc_tok_starts, grams_per_doc) + g_pos
+    L_rep = np.repeat(lens, grams_per_doc)
+    h = np.full(total, _GRAM_SEED, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            valid = (g_pos + j) < L_rep
+            idx = np.where(valid, tok0 + j, 0)
+            x = (th[np.minimum(idx, max(len(th) - 1, 0))]
+                 if len(th) else np.zeros(total, np.uint64))
+            h = np.where(valid, (h ^ x) * _GRAM_PRIME, h)
+    return h, offsets
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(np.fromiter(
-        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                        "big") % _MERSENNE for g in grams),
-        dtype=np.uint64, count=len(grams)))
+    """Distinct (sorted) word-k-gram hashes of one text — the gram-set
+    representation shared by the minhash estimate, the exact verify
+    and the all-pairs validation ops."""
+    th, lens = _batch_token_hashes([text])
+    h, _ = _gram_hashes_from_tokens(th, lens, k)
+    return np.unique(h)
+
+
+def _shingle_blobs(texts: list[str], k: int) -> list[bytes]:
+    """Per-doc distinct-gram sets as uint64 byte blobs, with the gram
+    hashing batched across the whole list (only the small per-slice
+    ``np.unique`` remains per doc)."""
+    th, lens = _batch_token_hashes(texts)
+    grams, offsets = _gram_hashes_from_tokens(th, lens, k)
+    return [np.unique(grams[offsets[i]:offsets[i + 1]]).tobytes()
+            for i in range(len(texts))]
 
 
 class MinHasher:
@@ -133,8 +186,26 @@ class MinHasher:
         return prods.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t or "") for t in batch["text"].to_pylist()]
-        arr = pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64()))
+        """Whole-batch signatures with NO per-row Python: one token-hash
+        pass, one masked gram chain, then per hash component one
+        vectorized multiply-shift + ``np.minimum.reduceat`` segment min
+        over doc slices (duplicate grams can't change a min)."""
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": batch["doc_id"],
+                             "sig": pa.array([], pa.list_(pa.uint64()))})
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        th, lens = _batch_token_hashes(texts)
+        grams, offsets = _gram_hashes_from_tokens(th, lens, self.k)
+        n = len(texts)
+        starts = offsets[:-1]
+        sig = np.empty((n, self.num_hashes), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for hcol in range(self.num_hashes):
+                vals = self.a[hcol] * grams + self.b[hcol]
+                sig[:, hcol] = np.minimum.reduceat(vals, starts)
+        arr = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * self.num_hashes),
+            pa.array(sig.reshape(-1)))
         return pa.table({"doc_id": batch["doc_id"], "sig": arr})
 
 
@@ -370,9 +441,7 @@ def ngram_jaccard_verify(docs_ds: rd.Dataset, candidates: pd.DataFrame,
         texts = batch["text"].take(pa.array(keep)).to_pylist()
         return pd.DataFrame({
             "doc_id": ids[keep].astype("int64"),
-            "value": [
-                _shingle_hashes(t or "", shingle_k).tobytes()
-                for t in texts],
+            "value": _shingle_blobs([t or "" for t in texts], shingle_k),
         })
 
     def exact_jaccard(va: pd.Series, vb: pd.Series) -> np.ndarray:
@@ -408,22 +477,36 @@ class SimHasher:
         pass
 
     def simhash(self, text: str) -> int:
-        toks = text.split()
-        if not toks:
-            return 0
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8)
-                            .digest(), "big") for t in toks),
-            dtype=np.uint64, count=len(toks))
-        bits = np.unpackbits(hs.view(np.uint8)).reshape(len(toks), 64)
-        votes = bits.sum(axis=0) * 2 - len(toks)
-        out = np.packbits((votes > 0).astype(np.uint8))
-        return int.from_bytes(out.tobytes(), "big")
+        return int(self._batch([text])[0])
+
+    @staticmethod
+    def _batch(texts: list[str]) -> np.ndarray:
+        """Whole-batch 64-bit simhash, no per-row Python: ONE token-hash
+        pass over the batch, per-doc bit votes via
+        ``np.add.reduceat`` over doc slices.  Bit b is set when more
+        than half the doc's tokens have bit b set (strict majority —
+        votes = 2·ones − n > 0).  Empty docs hash to 0."""
+        th, lens = _batch_token_hashes(texts)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        nz = lens > 0
+        if not nz.any():
+            return out
+        # int32: reduceat keeps its input dtype, and uint8 bit sums
+        # would wrap past 255 tokens per doc
+        bits = (np.unpackbits(th.view(np.uint8))
+                .reshape(len(th), 64).astype(np.int32))
+        starts = (np.concatenate(([0], np.cumsum(lens)))[:-1])[nz]
+        ones = np.add.reduceat(bits, starts, axis=0)
+        mask = (ones * 2 > lens[nz, None]).astype(np.uint8)
+        packed = np.packbits(mask, axis=1)
+        out[nz] = packed.view(">u8").reshape(-1)
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = [self.simhash(t or "") for t in batch["text"].to_pylist()]
+        texts = [t or "" for t in batch["text"].to_pylist()]
         return pa.table({"doc_id": batch["doc_id"],
-                         "simhash": pa.array(vals, pa.uint64())})
+                         "simhash": pa.array(self._batch(texts),
+                                             pa.uint64())})
 
 
 def simhash_candidates(ds: rd.Dataset, *, max_hamming: int = 3) -> rd.Dataset:
@@ -636,8 +719,8 @@ def exact_jaccard_pairs(docs_ds: rd.Dataset, *, shingle_k: int = 3,
         lambda b: pd.DataFrame({
             "doc_id": b["doc_id"].to_numpy(zero_copy_only=False)
             .astype(np.int64),
-            "blob": [_shingle_hashes(t or "", shingle_k).tobytes()
-                     for t in b["text"].to_pylist()]}),
+            "blob": _shingle_blobs([t or "" for t in b["text"].to_pylist()],
+                                   shingle_k)}),
         batch_format="pyarrow").to_pandas()
     if len(side) > max_side:
         raise ValueError(
