@@ -49,6 +49,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": Q.doc_lang_id,
         "doc_fingerprint": Q.doc_fingerprint,            # rows-only
         # dedup
+        # training-data hygiene
+        "doc_pii_scrub": Q.doc_pii_scrub,                # RE2 scrub, oracle
+        "doc_decontaminate": Q.doc_decontaminate,        # bench n-gram overlap
+        "doc_stratified_sample": Q.doc_stratified_sample,  # md5-bucket gate
         "doc_exact_dedup": Q.doc_exact_dedup,
         "doc_minhash_dedup": Q.doc_minhash_dedup,        # rows-only
         "doc_simhash_dedup": Q.doc_simhash_dedup,        # rows-only
@@ -225,6 +229,64 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_lang_hist": """
             SELECT lang, count(*) AS "count" FROM documents GROUP BY lang
+        """,
+        # training-data hygiene (ops/scrub.py). RE2 patterns shared
+        # verbatim with PII_EMAIL / PII_IPV4 / PII_PHONE — pyarrow and
+        # DuckDB both run RE2.  The injection suffix mirrors
+        # inject_pii_batch exactly.
+        "doc_pii_scrub": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@ex.com from 10.'
+                          || CAST(doc_id % 200 AS VARCHAR) || '.3.'
+                          || CAST(doc_id % 250 AS VARCHAR) || ' call 555-'
+                          || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+              FROM documents)
+            SELECT doc_id, text,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                       '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ip,
+                   len(regexp_extract_all(text,
+                       '\b\d{3}-\d{4}\b')) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+                       '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+            FROM inj
+        """,
+        # distinct word-5-gram overlap vs the doc_id%53 benchmark
+        # slice; gram construction matches dedup's tokenize-and-chain
+        # (short docs fall back to one all-tokens gram)
+        "doc_decontaminate": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct([
+                         array_to_string(toks[i:i+4], ' ')
+                         FOR i IN range(1, greatest(len(toks) - 3, 2))
+                     ]) AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM documents)),
+            bench AS (
+              SELECT list_distinct(flatten(list(grams))) AS bg
+              FROM g WHERE doc_id % 53 = 0)
+            SELECT doc_id, len(grams) AS n_grams,
+                   len(list_intersect(grams, bg)) AS overlap_grams,
+                   CAST(len(list_intersect(grams, bg)) >= 1 AS BIGINT)
+                       AS contaminated
+            FROM g CROSS JOIN bench
+        """,
+        # md5-bucket per-language sampling gate (md5 == hashlib.md5;
+        # first 8 hex digits as the bucket integer)
+        "doc_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 100 <
+                  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
         """,
         # exact all-pairs dedup validation ops (the LSH family's
         # oracle-grade counterparts; same math re-derived by DuckDB

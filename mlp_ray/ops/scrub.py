@@ -1,0 +1,163 @@
+"""Training-data hygiene operators: PII scrubbing, benchmark
+decontamination and deterministic stratified sampling.
+
+These extend the reference's redaction surface (the log engine redacts
+query shapes — ``LogRedactionUtil.java:67-232``) to the document/LLM
+side of the pipeline.  All three are streaming ``map_batches`` stages:
+
+- PII scrub: Arrow RE2 kernels (``replace_substring_regex`` /
+  ``count_substring_regex``) — DuckDB's regexp functions run the same
+  RE2 engine, so the oracle shares the pattern strings verbatim.
+- Decontamination: the benchmark side is SMALL by contract (an eval
+  set, not a corpus), so its distinct word-k-gram hashes are collected
+  once, broadcast via ``ray.put`` and probed per batch with
+  ``np.isin`` — no shuffle touches the corpus.
+- Stratified sample: a pure per-row hash gate (md5 bucket vs per-
+  stratum rate) — embarrassingly parallel, deterministic across runs
+  and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from .dedup import _batch_token_hashes, _gram_hashes_from_tokens, \
+    _cached_stage
+
+# RE2 patterns shared VERBATIM with the DuckDB oracle (__ray_entry__):
+# pyarrow's re2 and DuckDB's regexp_* agree on these constructs
+# (\b word boundary, bounded repeats, character classes).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+_PII_RULES = (("email", PII_EMAIL, "<EMAIL>"),
+              ("ip", PII_IPV4, "<IP>"),
+              ("phone", PII_PHONE, "<PHONE>"))
+
+
+def inject_pii_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Deterministically append synthetic PII (one email, one IPv4, one
+    phone fragment derived from the row id) to every text.  The test
+    corpora are PII-free by construction; this derivation step gives
+    the scrub stage real work whose output an oracle can attest.
+    Vectorized via pandas string concat (C loop over object dtype)."""
+    ids = pd.Series(batch[id_col].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+    i = ids.astype(str)
+    suffix = (" contact u" + i + "@ex.com from 10."
+              + (ids % 200).astype(str) + ".3." + (ids % 250).astype(str)
+              + " call 555-" + (1000 + ids % 9000).astype(str))
+    joined = pc.binary_join_element_wise(
+        batch[text_col], pa.array(suffix, pa.string()), "")
+    return batch.set_column(batch.schema.get_field_index(text_col),
+                            text_col, joined)
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Scrub emails → <EMAIL>, IPv4s → <IP>, phone fragments →
+    <PHONE>; per-row match counts (on the pre-scrub text) come along
+    as ``n_email`` / ``n_ip`` / ``n_phone``.  All-Arrow RE2, zero
+    Python per row."""
+    txt = batch[text_col]
+    out = batch
+    for name, pat, repl in _PII_RULES:
+        out = out.append_column(
+            f"n_{name}", pc.cast(pc.count_substring_regex(txt, pat),
+                                 pa.int64()))
+    scrubbed = txt
+    for name, pat, repl in _PII_RULES:
+        scrubbed = pc.replace_substring_regex(scrubbed, pat, repl)
+    return out.append_column("scrubbed", scrubbed)
+
+
+def _distinct_grams_per_doc(texts: list[str], k: int):
+    """(flat distinct (doc, gram-hash) pairs) for a batch: one token-
+    hash pass + masked gram chain (see dedup), then a single lexsort
+    dedupes (doc, gram) pairs across the whole batch — no per-doc
+    Python.  Returns (doc_idx, gram_hash) arrays of the distinct
+    pairs plus n docs."""
+    th, lens = _batch_token_hashes(texts)
+    grams, offsets = _gram_hashes_from_tokens(th, lens, k)
+    n = len(texts)
+    counts = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((grams, doc_idx))
+    d, g = doc_idx[order], grams[order]
+    new = np.ones(len(d), dtype=bool)
+    if len(d) > 1:
+        new[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+    return d[new], g[new], n
+
+
+def benchmark_gram_set(bench_ds: rd.Dataset, *, k: int = 5,
+                       text_col: str = "text") -> np.ndarray:
+    """Sorted distinct gram hashes of the (small) benchmark dataset.
+    Per-batch distinct sets stream back as variable-length rows; the
+    driver-side union is bounded by the benchmark's vocabulary, not
+    the corpus."""
+    def grams(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch[text_col].to_pylist()]
+        _, g, _ = _distinct_grams_per_doc(texts, k)
+        return pa.table({"gram": pa.array(np.unique(g), pa.uint64())})
+
+    parts = bench_ds.map_batches(grams, batch_format="pyarrow").to_pandas()
+    return np.unique(parts["gram"].to_numpy().astype(np.uint64))
+
+
+def decontaminate(docs_ds: rd.Dataset, bench_grams: np.ndarray, *,
+                  k: int = 5, threshold: int = 1,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> rd.Dataset:
+    """Per-doc benchmark-overlap stats: ``n_grams`` distinct word-k-
+    grams, ``overlap_grams`` of them present in the benchmark set,
+    ``contaminated`` = overlap ≥ threshold.  The benchmark set is
+    broadcast once (``ray.put``) and probed with ``np.isin`` inside
+    each batch — the corpus never shuffles."""
+    ref = ray.put(np.asarray(bench_grams, dtype=np.uint64))
+
+    def probe(batch: pa.Table, _ref=ref, _k=k, _thr=threshold):
+        bg = _cached_stage(("decon", _ref), lambda: ray.get(_ref))
+        texts = [t or "" for t in batch[text_col].to_pylist()]
+        d, g, n = _distinct_grams_per_doc(texts, _k)
+        n_grams = np.bincount(d, minlength=n).astype(np.int64)
+        hit = np.isin(g, bg)
+        overlap = np.bincount(d[hit], minlength=n).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_grams": pa.array(n_grams),
+            "overlap_grams": pa.array(overlap),
+            "contaminated": pa.array((overlap >= _thr).astype(np.int64)),
+        })
+
+    return docs_ds.map_batches(probe, batch_format="pyarrow")
+
+
+def stratified_sample(ds: rd.Dataset, rates: dict[str, int], *,
+                      default_rate: int, stratum_col: str = "lang",
+                      id_col: str = "doc_id") -> rd.Dataset:
+    """Deterministic per-stratum downsampling: keep a row iff
+    ``md5(id) mod 100 < rate[stratum]`` (rates are percents).  The
+    gate depends only on row content — identical samples regardless of
+    partitioning, cluster size or execution order, and a resumed run
+    re-selects the same rows.  md5 matches DuckDB's ``md5()`` so the
+    oracle applies the same gate."""
+    import hashlib
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in ids), dtype=np.int64, count=len(ids))
+        strata = batch[stratum_col].to_pylist()
+        thr = np.fromiter((rates.get(s, default_rate) for s in strata),
+                          dtype=np.int64, count=len(strata))
+        return batch.filter(pa.array(buckets < thr))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

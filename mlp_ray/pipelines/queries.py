@@ -19,7 +19,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..aggs.fold import FoldSpec, run_fold
-from ..ops import ann, dedup, text, trim
+from ..ops import ann, dedup, scrub, text, trim
 from ..util import round_cols
 
 
@@ -229,6 +229,41 @@ def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
     return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(text.Fingerprinter, batch_format="pyarrow",
                          concurrency=(1, 4)).to_pandas())
+
+
+# --- training-data hygiene (ops/scrub.py) ------------------------------
+def doc_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """Inject deterministic synthetic PII, then scrub it with the
+    all-Arrow RE2 stage; per-row match counts ride along."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(scrub.inject_pii_batch, batch_format="pyarrow")
+            .map_batches(scrub.pii_scrub_batch, batch_format="pyarrow")
+            .to_pandas())
+
+
+def _bench_docs(ds: rd.Dataset, mod: int = 53) -> rd.Dataset:
+    """The deterministic 'benchmark' slice (doc_id % mod == 0) that the
+    decontamination op treats as the held-out eval set."""
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % mod == 0))
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def doc_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark n-gram decontamination: distinct word-5-gram overlap
+    of every doc against the (small, broadcast) benchmark slice."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bg = scrub.benchmark_gram_set(_bench_docs(docs), k=5)
+    return scrub.decontaminate(docs, bg, k=5).to_pandas()
+
+
+def doc_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-language downsampling (md5-bucket gate):
+    en 50%, de 25%, other languages 10%."""
+    return scrub.stratified_sample(
+        _docs(sf_dir, ["doc_id", "lang"]),
+        {"en": 50, "de": 25}, default_rate=10).to_pandas()
 
 
 # --- dedup -------------------------------------------------------------

@@ -416,3 +416,67 @@ def test_lsh_topk_recall(emb_ds, emb_df):
         exact = set(bf[bf["query_id"] == qid]["vec_id"])
         assert qid in got          # the self-match always collides
         assert len(got & exact) >= 3, (qid, got, exact)
+
+
+# --- training-data hygiene (ops/scrub.py) ------------------------------
+def test_pii_scrub_removes_all_injected_pii(docs_ds):
+    from mlp_ray.ops import scrub
+
+    out = (docs_ds.map_batches(scrub.inject_pii_batch,
+                               batch_format="pyarrow")
+           .map_batches(scrub.pii_scrub_batch, batch_format="pyarrow")
+           .to_pandas())
+    # every row got exactly one of each injected PII kind...
+    assert (out["n_email"] == 1).all()
+    assert (out["n_ip"] == 1).all()
+    assert (out["n_phone"] == 1).all()
+    # ...and the scrubbed text carries placeholders, not the PII
+    assert out["scrubbed"].str.contains("<EMAIL>", regex=False).all()
+    assert out["scrubbed"].str.contains("<IP>", regex=False).all()
+    assert out["scrubbed"].str.contains("<PHONE>", regex=False).all()
+    assert not out["scrubbed"].str.contains("@ex.com", regex=False).any()
+    assert not out["scrubbed"].str.contains("555-", regex=False).any()
+
+
+def test_decontaminate_flags_benchmark_members(docs_ds, docs_df):
+    """Benchmark docs overlap themselves fully; clean docs (no shared
+    5-gram) stay unflagged; counts match a per-doc Python oracle."""
+    from mlp_ray.ops import scrub
+    from mlp_ray.pipelines.queries import _bench_docs
+
+    bg = scrub.benchmark_gram_set(_bench_docs(docs_ds), k=5)
+    out = (scrub.decontaminate(docs_ds, bg, k=5).to_pandas()
+           .set_index("doc_id").sort_index())
+
+    def grams(t):
+        toks = t.split()
+        if len(toks) < 5:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 5]) for i in range(len(toks) - 4)}
+
+    gsets = {r.doc_id: grams(r.text) for r in docs_df.itertuples()}
+    bench = set().union(*(gsets[d] for d in gsets if d % 53 == 0))
+    for d, gs in gsets.items():
+        assert out.loc[d, "n_grams"] == len(gs)
+        assert out.loc[d, "overlap_grams"] == len(gs & bench)
+        assert out.loc[d, "contaminated"] == int(len(gs & bench) >= 1)
+    # benchmark members must always flag themselves
+    assert all(out.loc[d, "contaminated"] == 1
+               for d in gsets if d % 53 == 0)
+
+
+def test_stratified_sample_deterministic_and_gated(docs_ds, docs_df):
+    from mlp_ray.ops import scrub
+
+    rates = {"en": 50, "de": 25}
+    a = scrub.stratified_sample(docs_ds, rates, default_rate=10).to_pandas()
+    b = scrub.stratified_sample(docs_ds, rates, default_rate=10).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["doc_id"] == b["doc_id"]).all()  # deterministic re-run
+    keep = {
+        int(r.doc_id)
+        for r in docs_df.itertuples()
+        if int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        % 100 < rates.get(r.lang, 10)}
+    assert set(a["doc_id"]) == keep
