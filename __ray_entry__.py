@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": Q.doc_pii_scrub,                # RE2 scrub, oracle
         "doc_decontaminate": Q.doc_decontaminate,        # bench n-gram overlap
         "doc_stratified_sample": Q.doc_stratified_sample,  # md5-bucket gate
+        "doc_curate": Q.doc_curate,  # quality→decontam→dedup→sample
         "doc_exact_dedup": Q.doc_exact_dedup,
         "doc_minhash_dedup": Q.doc_minhash_dedup,        # rows-only
         "doc_simhash_dedup": Q.doc_simhash_dedup,        # rows-only
@@ -279,6 +280,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_intersect(grams, bg)) >= 1 AS BIGINT)
                        AS contaminated
             FROM g CROSS JOIN bench
+        """,
+        # full curation composition — stage order is the contract:
+        # dedup canonicals are chosen among quality-passing
+        # uncontaminated docs, the sample gate runs on the deduped
+        # population (pipelines/curate.py)
+        "doc_curate": r"""
+            WITH q AS (
+              SELECT doc_id, lang, text,
+                     round(least(len(regexp_split_to_array(trim(text), '\s+'))
+                                 / 50.0, 1.0) * 0.4
+                           + (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                              * 1.0 / greatest(length(text), 1)) * 0.5
+                           + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                              * 1.0 / greatest(length(text), 1)) * 0.1, 6)
+                         AS quality_score
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_distinct([
+                         array_to_string(toks[i:i+4], ' ')
+                         FOR i IN range(1, greatest(len(toks) - 3, 2))
+                     ]) AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM documents)),
+            bench AS (
+              SELECT list_distinct(flatten(list(grams))) AS bg
+              FROM g WHERE doc_id % 53 = 0),
+            s AS (
+              SELECT q.doc_id, q.lang, q.quality_score, q.text
+              FROM q JOIN g ON q.doc_id = g.doc_id CROSS JOIN bench
+              WHERE q.quality_score >= 0.8
+                AND len(list_intersect(g.grams, bg)) < 1),
+            d AS (
+              SELECT doc_id, lang, quality_score,
+                     row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS rn,
+                     count(*) OVER (PARTITION BY md5(text)) AS dup_count
+              FROM s)
+            SELECT doc_id, lang, quality_score, dup_count
+            FROM d
+            WHERE rn = 1
+              AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 100 <
+                  CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40 ELSE 25 END
         """,
         # md5-bucket per-language sampling gate (md5 == hashlib.md5;
         # first 8 hex digits as the bucket integer)

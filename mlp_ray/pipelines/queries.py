@@ -266,6 +266,17 @@ def doc_stratified_sample(sf_dir: str) -> pd.DataFrame:
         {"en": 50, "de": 25}, default_rate=10).to_pandas()
 
 
+def doc_curate(sf_dir: str) -> pd.DataFrame:
+    """Full curation composition (pipelines/curate.py): quality ≥ 0.8
+    → decontaminate (5-gram, zero-overlap) → exact dedup → stratified
+    sample (en 60 / de 40 / other 25)."""
+    from . import curate as curate_pipeline
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    bg = scrub.benchmark_gram_set(_bench_docs(docs), k=5)
+    return curate_pipeline.curate(docs, bg).to_pandas()
+
+
 # --- dedup -------------------------------------------------------------
 def doc_exact_dedup(sf_dir: str) -> pd.DataFrame:
     return dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()

@@ -480,3 +480,21 @@ def test_stratified_sample_deterministic_and_gated(docs_ds, docs_df):
         if int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
         % 100 < rates.get(r.lang, 10)}
     assert set(a["doc_id"]) == keep
+
+
+def test_curate_invariants(docs_ds, docs_df):
+    """Curation composition: survivors pass every gate, benchmark
+    members never survive (they overlap themselves)."""
+    from mlp_ray.ops import scrub
+    from mlp_ray.pipelines import curate
+    from mlp_ray.pipelines.queries import _bench_docs
+
+    bg = scrub.benchmark_gram_set(_bench_docs(docs_ds), k=5)
+    out = curate.curate(docs_ds, bg).to_pandas()
+    assert set(out.columns) == {"doc_id", "lang", "quality_score",
+                                "dup_count"}
+    assert 0 < len(out) < len(docs_df)
+    assert (out["quality_score"] >= 0.8).all()
+    assert (out["dup_count"] >= 1).all()
+    assert not (out["doc_id"] % 53 == 0).any()  # benchmark docs dropped
+    assert set(out["doc_id"]).issubset(set(docs_df["doc_id"]))
