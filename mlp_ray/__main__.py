@@ -6,6 +6,7 @@
   python -m mlp_ray trim <parquet...> --col props --out DIR [--redact]
                                                    # LogFilter tool
   python -m mlp_ray redact <logs...> --out DIR     # whole-file redaction
+  python -m mlp_ray curate <parquet...> --out DIR  # corpus curation
   python -m mlp_ray synth --rows N --out DIR       # fixture generator
 
 Owns the Ray session (the library itself never calls ray.init).
@@ -139,6 +140,36 @@ def cmd_redact(args):
     print(f"wrote {int(lin['lines'].sum())} redacted lines to {args.out}")
 
 
+def cmd_curate(args):
+    """Corpus curation over a documents table: quality gate →
+    benchmark decontamination → exact dedup → stratified sample,
+    written as partitioned parquet plus an attrition summary."""
+    import ray.data as rd
+
+    from .ops import scrub
+    from .pipelines import curate as curate_pipeline
+
+    _init_ray(args.cpus)
+    docs = rd.read_parquet(args.inputs, columns=["doc_id", "text", "lang"])
+    if args.benchmark:
+        bench = rd.read_parquet(args.benchmark, columns=["doc_id", "text"])
+    else:
+        from .pipelines.queries import _bench_docs
+        bench = _bench_docs(docs)
+    bg = scrub.benchmark_gram_set(bench, k=args.gram_k)
+    rates = dict(kv.split("=") for kv in args.rate)
+    rates = {k: int(v) for k, v in rates.items()}
+    out = curate_pipeline.curate(
+        docs, bg, quality_min=args.quality_min, k=args.gram_k,
+        rates=rates, default_rate=args.default_rate)
+    out.write_parquet(args.out)
+    kept = rd.read_parquet(args.out).count()
+    total = docs.count()
+    print(json.dumps({"input_docs": total, "curated_docs": kept,
+                      "benchmark_grams": int(len(bg)),
+                      "kept_pct": round(100.0 * kept / max(total, 1), 2)}))
+
+
 def cmd_synth(args):
     from .synth import write_events_tok
     paths = write_events_tok(args.out, args.rows, seed=args.seed)
@@ -199,6 +230,20 @@ def main(argv=None):
     sp = sub.add_parser("redact")
     common(sp)
     sp.set_defaults(fn=cmd_redact)
+
+    sp = sub.add_parser("curate")
+    common(sp)
+    sp.add_argument("--benchmark", nargs="+", default=None,
+                    help="parquet of held-out benchmark docs (doc_id, "
+                         "text); defaults to the doc_id%%53 slice of "
+                         "the input")
+    sp.add_argument("--quality-min", type=float, default=0.8)
+    sp.add_argument("--gram-k", type=int, default=5)
+    sp.add_argument("--rate", action="append", default=["en=60", "de=40"],
+                    metavar="LANG=PCT",
+                    help="per-language sample percent (repeatable)")
+    sp.add_argument("--default-rate", type=int, default=25)
+    sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser("synth")
     common(sp, inputs=False)

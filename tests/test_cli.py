@@ -74,6 +74,23 @@ def test_redact_cli_roundtrip(tmp_path):
         assert f'"status": "{leaked}"' not in blob
 
 
+def test_curate_cli(tmp_path):
+    """`curate` runs the quality→decontaminate→dedup→sample composition
+    over a documents table and reports the attrition summary."""
+    out = str(tmp_path / "cur")
+    p = _run("curate", "/root/testdata/sf0.001/documents.parquet",
+             "--out", out, "--rate", "fr=50")
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["input_docs"] == 500
+    assert 0 < summary["curated_docs"] < 500
+    assert summary["benchmark_grams"] > 0
+    import pandas as pd
+    df = pd.read_parquet(out)
+    assert len(df) == summary["curated_docs"]
+    assert {"doc_id", "lang", "quality_score", "dup_count"} <= set(df.columns)
+
+
 def test_analyze_subsystem_gates(fixture_paths, tmp_path):
     """--no-drivers / --no-app-stats skip those subsystems (reference
     gates them behind --drivers / --appNameStats)."""
