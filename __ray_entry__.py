@@ -39,6 +39,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_argmax_sample": Q.events_argmax_sample,  # T7 arg-max sample
         "events_first_last": Q.events_first_last,        # first/last by order
         "events_user_sessions": Q.events_user_sessions,  # J1 map_groups join
+        "events_asof_join": Q.events_asof_join,          # as-of join
+        "events_range_join": Q.events_range_join,        # interval join
+        "events_sliding_window": Q.events_sliding_window,  # sliding agg
+        "doc_repetition": Q.doc_repetition,              # Gopher repetition
         "orders_by_nation": Q.orders_by_nation,          # broadcast lookup join
         "lineitem_pricing": Q.lineitem_pricing,          # generic fold
         # text analysis
@@ -178,6 +182,70 @@ def oracle_sql() -> dict[str, str]:
                          / 1000000.0, 6) AS lifetime_s,
                    count(DISTINCT event_type) AS distinct_types
             FROM events GROUP BY user_id
+        """,
+        "events_asof_join": """
+            WITH m AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS side
+                FROM events WHERE event_type IN ('view', 'purchase')
+            ), w AS (
+                SELECT *,
+                    last_value(CASE WHEN side = 0 THEN event_id END
+                               IGNORE NULLS) OVER
+                        (PARTITION BY user_id ORDER BY ts, side, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS matched_event_id,
+                    last_value(CASE WHEN side = 0 THEN ts END
+                               IGNORE NULLS) OVER
+                        (PARTITION BY user_id ORDER BY ts, side, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS matched_ts
+                FROM m
+            )
+            SELECT event_id, user_id, ts, matched_event_id, matched_ts,
+                   round(date_diff('microsecond', matched_ts, ts)
+                         / 1000000.0, 6) AS lag_s
+            FROM w WHERE side = 1 AND matched_event_id IS NOT NULL
+        """,
+        "events_range_join": """
+            WITH b AS (
+                SELECT date_trunc('day', min(ts)) AS d0,
+                       date_trunc('day', max(ts)) AS d1 FROM events
+            ), w AS (
+                SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                           + INTERVAL 2 HOUR AS window_start FROM b
+            )
+            SELECT w.window_start, e.event_type, count(*) AS n,
+                   round(sum(e.value), 6) AS sum_value
+            FROM w JOIN events e
+              ON e.ts >= w.window_start
+             AND e.ts < w.window_start + INTERVAL 2 HOUR
+            GROUP BY 1, 2
+        """,
+        "events_sliding_window": """
+            SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR
+                       AS window_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k) ks
+            GROUP BY 1, 2
+        """,
+        "doc_repetition": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), f AS (
+                SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2
+            )
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                   count(*) AS distinct_words,
+                   round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6)
+                       AS dup_word_frac,
+                   round(max(c) / CAST(sum(c) AS DOUBLE), 6)
+                       AS top_word_share
+            FROM f GROUP BY doc_id
         """,
         "orders_by_nation": """
             SELECT c.c_nationkey AS nationkey,

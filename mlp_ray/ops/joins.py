@@ -1,0 +1,204 @@
+"""Temporal join operators the Dataset API lacks: distributed as-of
+join, broadcast range (interval) join, and sliding-window aggregation.
+
+These are the training-pipeline join shapes the brief calls out as
+custom operators.  Each documents the partitioning assumption it
+relies on:
+
+- ``asof_join``: ONE hash exchange on the ``by`` key (bucketed — a
+  bucket owns whole key groups); the merge inside a bucket is a single
+  sort + groupby-ffill, no per-key Python frames.  Assumes a bucket
+  (~1/64 of the key space) fits in a worker's heap — the same
+  assumption every keyed groupby makes.
+- ``range_join_broadcast``: the interval side is SMALL (config/window
+  tables); it ships once via ``ray.put`` and every task probes it with
+  ``np.searchsorted`` — no shuffle at all.  Assumes non-overlapping
+  intervals (each row matches at most one).
+- ``sliding_window_agg``: each row expands to ``window/slide`` window
+  assignments *pre-aggregated per batch*, so the shuffle carries
+  (window, key) partials, not multiplied rows.
+
+The nearest reference analogue is the ctx-keyed two-pass driver join
+(mongo-log-parser LogParserTask.java two-pass accumulators); these
+generalize that shape to arbitrary keys/time columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..util import bucketed_groups
+
+
+def _null_series(n: int, typ: pa.DataType):
+    """An all-null pandas column whose Arrow conversion matches
+    ``typ`` — a plain all-NA object column would convert to Arrow
+    ``null`` and break the two-sided union's schema."""
+    if pa.types.is_integer(typ):
+        return pd.array([pd.NA] * n, dtype="Int64")
+    if pa.types.is_floating(typ):
+        return np.full(n, np.nan)
+    if pa.types.is_timestamp(typ):
+        return pd.Series([pd.NaT] * n, dtype=f"datetime64[{typ.unit}]")
+    if pa.types.is_boolean(typ):
+        return pd.array([pd.NA] * n, dtype="boolean")
+    return pd.array([pd.NA] * n, dtype="string")
+
+
+def asof_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
+              by: list[str], attach: list[str], tiebreak: str,
+              num_buckets: int = 64) -> rd.Dataset:
+    """Backward inclusive as-of join (DuckDB ``ASOF JOIN`` semantics,
+    deterministic tie-break).
+
+    For every left row, attach the right-side row with the greatest
+    ``(on, tiebreak)`` among right rows in the same ``by`` group with
+    ``right.on <= left.on``; unmatched left rows drop (inner).  The
+    attached columns come back as ``r_<name>`` (``on`` is always
+    attached as ``r_<on>``).  Integer attach columns are float-promoted
+    by the merge's null fill — cast them back at the consumer.
+
+    Deterministic contract (mirrors the oracle): among right rows with
+    equal ``on``, the one with the larger ``tiebreak`` wins, and a
+    right row at exactly ``left.on`` is eligible.
+    """
+    srcs = list(dict.fromkeys([on, *attach]))
+    acols = [f"r_{c}" for c in srcs]
+    ls, rs = left.schema(), right.schema()
+    ltypes = dict(zip(ls.names, ls.types))
+    rtypes = dict(zip(rs.names, rs.types))
+
+    def _nullable(s: pd.Series) -> pd.Series:
+        # real-valued columns that the OTHER side null-fills must use
+        # the same nullable dtype, or the union's blocks disagree
+        # (int64 vs Int64) and Ray warns on every bundle
+        if pd.api.types.is_integer_dtype(s):
+            return s.astype("Int64")
+        if pd.api.types.is_bool_dtype(s):
+            return s.astype("boolean")
+        if s.dtype == object:
+            return s.astype("string")
+        return s
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_side"] = np.int8(1)
+        df["_tb"] = (df[tiebreak].to_numpy() if tiebreak in df
+                     else np.zeros(len(df), np.int64))
+        for c in ltypes:
+            if c not in by and c != on:
+                df[c] = _nullable(df[c])
+        for c, src in zip(acols, srcs):
+            df[c] = _null_series(len(df), rtypes[src])
+        return df
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({k: df[k] for k in by})
+        out[on] = df[on]
+        out["_side"] = np.int8(0)
+        out["_tb"] = df[tiebreak].to_numpy()
+        for c, src in zip(acols, srcs):
+            out[c] = _nullable(df[src])
+        # left-only columns null-filled with the LEFT side's types so
+        # the union's Arrow schemas agree
+        for c in ltypes:
+            if c not in out:
+                out[c] = _null_series(len(df), ltypes[c])
+        return out
+
+    lt = left.map_batches(tag_left, batch_format="pandas")
+    order = [*ltypes, "_side", "_tb", *acols]
+    rt = right.map_batches(
+        lambda df: tag_right(df)[order], batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # stable sort: right rows (side 0) precede left rows at equal
+        # `on` (inclusive match); among equal-`on` right rows the
+        # larger tiebreak sorts last, so ffill picks it
+        g = g.sort_values([on, "_side", "_tb"], kind="mergesort")
+        g[acols] = g.groupby(by, sort=False)[acols].ffill()
+        out = g[(g["_side"] == 1) & g[f"r_{on}"].notna()]
+        return out.drop(columns=["_side", "_tb"]).reset_index(drop=True)
+
+    return bucketed_groups(lt.union(rt), by, merge,
+                           num_buckets=num_buckets)
+
+
+def range_join_broadcast(ds: rd.Dataset, intervals: pd.DataFrame, *,
+                         on: str, start_col: str = "start",
+                         end_col: str = "end") -> rd.Dataset:
+    """Inner interval join against a SMALL interval table: keep rows
+    with ``start <= row.on < end`` and attach every non-bound interval
+    column as ``w_<name>`` (plus ``w_<start_col>``).
+
+    The interval side broadcasts once (``ray.put``); each task probes
+    the sorted starts with ``np.searchsorted`` — zero shuffle.
+    Intervals must be non-overlapping (each row matches at most one);
+    a ValueError guards that assumption.
+    """
+    iv = intervals.sort_values(start_col, kind="mergesort").reset_index(
+        drop=True)
+    starts = iv[start_col].to_numpy()
+    ends = iv[end_col].to_numpy()
+    if (ends[:-1] > starts[1:]).any():
+        raise ValueError("range_join_broadcast requires non-overlapping "
+                         "intervals")
+    extra = [c for c in iv.columns if c not in (start_col, end_col)]
+    ref = ray.put((starts, ends, iv[extra]))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        s, e, ex = ray.get(ref)
+        vals = df[on].to_numpy()
+        idx = np.searchsorted(s, vals, side="right") - 1
+        ok = (idx >= 0) & (vals < e[np.clip(idx, 0, None)])
+        out = df[ok].reset_index(drop=True)
+        hit = idx[ok]
+        out[f"w_{start_col}"] = s[hit]
+        for c in ex.columns:
+            out[f"w_{c}"] = ex[c].to_numpy()[hit]
+        return out
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
+def sliding_window_agg(ds: rd.Dataset, *, on: str, keys: list[str],
+                       value_col: str, window_us: int,
+                       slide_us: int) -> rd.Dataset:
+    """Sliding-window count + sum per ``(window_start, *keys)``: a row
+    at time t belongs to every window start in ``(t - window, t]``
+    aligned to ``slide``.
+
+    Each batch expands rows into (window, key) assignments and
+    PRE-AGGREGATES them before the shuffle, so the exchange carries at
+    most ``windows x keys`` partial rows per batch instead of
+    ``window/slide`` copies of every row.
+    """
+    from ray.data.aggregate import Sum
+
+    nw = window_us // slide_us
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[on].to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = (ts // slide_us) * slide_us
+        rep = pd.DataFrame({
+            "window_start": np.concatenate(
+                [base - k * slide_us for k in range(nw)]),
+            **{k: np.tile(df[k].to_numpy(), nw) for k in keys},
+            "_v": np.tile(df[value_col].to_numpy(), nw),
+        })
+        out = (rep.groupby(["window_start", *keys], sort=False)
+               .agg(n=("_v", "size"), sum_value=("_v", "sum"))
+               .reset_index())
+        out["window_start"] = out["window_start"].astype("datetime64[us]")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (ds.map_batches(partials, batch_format="pandas")
+            .groupby(["window_start", *keys])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_value", alias_name="sum_value")))

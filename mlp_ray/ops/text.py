@@ -221,3 +221,42 @@ def md5_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     hashes = [hashlib.md5((s or "").encode()).hexdigest()
               for s in batch[col].to_pylist()]
     return batch.append_column("text_hash", pa.array(hashes, pa.string()))
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> "pd.DataFrame":
+    """Gopher-style word-repetition metrics per document: total /
+    distinct word counts, duplicate-word fraction and the hottest
+    word's share (Rae et al. 2021 'Scaling Language Models' repetition
+    filters, word granularity).
+
+    Row-local and vectorized: one split kernel, one pandas groupby over
+    the exploded (doc, word) pairs — no per-document Python.  Splits on
+    single spaces (DuckDB ``string_split(text, ' ')`` contract, empty
+    segments counted) so the oracle matches exactly.
+    """
+    import pandas as pd
+
+    la = pc.split_pattern(batch[text_col], pattern=" ")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    parent = la.value_parent_indices().to_numpy()
+    pairs = pd.DataFrame({
+        "i": parent,
+        "w": la.flatten().to_numpy(zero_copy_only=False),
+    })
+    freq = pairs.groupby(["i", "w"], sort=False).size()
+    g = freq.groupby(level=0, sort=False)
+    n_words = g.sum()
+    distinct = g.size()
+    top = g.max()
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    idx = n_words.index.to_numpy()
+    nw = n_words.to_numpy(dtype=np.int64)
+    dw = distinct.to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "doc_id": doc_ids[idx],
+        "n_words": nw,
+        "distinct_words": dw,
+        "dup_word_frac": round_half_away(1.0 - dw / nw),
+        "top_word_share": round_half_away(top.to_numpy(np.float64) / nw),
+    })

@@ -423,6 +423,81 @@ def events_user_sessions(sf_dir: str) -> pd.DataFrame:
     return round_cols(out, ["lifetime_s"])
 
 
+# --- temporal joins / windowed aggregates ------------------------------
+def events_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each purchase matched to the most recent prior
+    (inclusive) view by the same user.  Distributed backward as-of
+    (one hash exchange on user_id, sort+ffill inside buckets);
+    deterministic max-event-id tie-break mirrored by the oracle's
+    window formulation."""
+    from ..ops import joins
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def typed(t: pa.Table, typ: str) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], typ)).drop(["event_type"])
+
+    left = ds.map_batches(lambda t: typed(t, "purchase"),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    right = ds.map_batches(lambda t: typed(t, "view"),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    out = joins.asof_join(left, right, on="ts", by=["user_id"],
+                          attach=["event_id"], tiebreak="event_id").to_pandas()
+    out = out.rename(columns={"r_ts": "matched_ts",
+                              "r_event_id": "matched_event_id"})
+    out["matched_event_id"] = out["matched_event_id"].astype("int64")
+    out["lag_s"] = (out["ts"] - out["matched_ts"]).dt.total_seconds()
+    out = round_cols(out, ["lag_s"])
+    return out[["event_id", "user_id", "ts", "matched_event_id",
+                "matched_ts", "lag_s"]]
+
+
+def events_range_join(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: events falling inside the daily
+    02:00-04:00 maintenance window, counted per (window, type).  The
+    tiny window table broadcasts once; every task probes it with
+    searchsorted — zero shuffle before the final small groupby."""
+    from ..ops import joins
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+    r = ds.aggregate(Min("ts"), Max("ts"))
+    days = pd.date_range(pd.Timestamp(r["min(ts)"]).normalize(),
+                         pd.Timestamp(r["max(ts)"]).normalize(), freq="D")
+    iv = pd.DataFrame({"start": days + pd.Timedelta(hours=2),
+                       "end": days + pd.Timedelta(hours=4)})
+    matched = joins.range_join_broadcast(ds, iv, on="ts")
+    out = (matched.map_batches(
+               lambda df: df.rename(columns={"w_start": "window_start"})
+               [["window_start", "event_type", "value"]],
+               batch_format="pandas")
+           .groupby(["window_start", "event_type"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value"))
+           .to_pandas())
+    return round_cols(out, ["sum_value"])
+
+
+def events_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window aggregate: 6-hour window sliding by 1 hour,
+    count + sum(value) per (window_start, event_type); window
+    assignments pre-aggregated per batch before the shuffle."""
+    from ..ops import joins
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+    out = joins.sliding_window_agg(
+        ds, on="ts", keys=["event_type"], value_col="value",
+        window_us=6 * 3_600_000_000, slide_us=3_600_000_000).to_pandas()
+    return round_cols(out, ["sum_value"])
+
+
+def doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style word-repetition quality metrics per document
+    (row-local, fully vectorized)."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(text.repetition_batch, batch_format="pyarrow")
+            .to_pandas())
+
+
 # --- multimodal plumbing (decode stub + frame sampling; rows-only) -----
 def media_features(sf_dir: str) -> pd.DataFrame:
     from ..ops.multimodal import MediaDecoder, synth_media_table

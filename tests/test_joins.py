@@ -1,0 +1,127 @@
+"""Edge semantics of the temporal join operators: as-of inclusivity and
+tie-breaks, range-join bounds and the non-overlap guard, sliding-window
+membership."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from mlp_ray.ops import joins
+
+TS = pd.Timestamp("2024-01-01")
+
+
+def _ds(rows, columns):
+    df = pd.DataFrame(rows, columns=columns)
+    if "ts" in df:
+        df["ts"] = df["ts"].astype("datetime64[us]")
+    return rd.from_pandas(df)
+
+
+def _asof(left_rows, right_rows):
+    left = _ds(left_rows, ["event_id", "ts", "user_id"])
+    right = _ds(right_rows, ["event_id", "ts", "user_id"])
+    out = joins.asof_join(left, right, on="ts", by=["user_id"],
+                          attach=["event_id"], tiebreak="event_id",
+                          num_buckets=4).to_pandas()
+    out["r_event_id"] = out["r_event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def test_asof_backward_inclusive_and_ties():
+    h = pd.Timedelta(hours=1)
+    out = _asof(
+        # left: one exactly-at-match, one after, one before any right
+        [[10, TS + 2 * h, 1], [11, TS + 3 * h, 1], [12, TS - 5 * h, 1]],
+        # right: two rows at the same ts (tie -> max event_id wins),
+        # one later row that must not match backward
+        [[1, TS + 2 * h, 1], [2, TS + 2 * h, 1], [3, TS + 10 * h, 1]])
+    # unmatched left row 12 dropped (inner)
+    assert list(out["event_id"]) == [10, 11]
+    # inclusive at-ts match; tie broken to the larger right event_id
+    assert list(out["r_event_id"]) == [2, 2]
+
+
+def test_asof_respects_by_groups():
+    h = pd.Timedelta(hours=1)
+    out = _asof(
+        [[10, TS + 2 * h, 1], [20, TS + 2 * h, 2]],
+        [[1, TS + 1 * h, 1], [2, TS + 1 * h, 2], [3, TS, 2]])
+    assert dict(zip(out["event_id"], out["r_event_id"])) == {10: 1, 20: 2}
+
+
+def test_asof_users_spread_across_buckets():
+    """Many users through a small bucket count: every user still joins
+    only against its own rows."""
+    h = pd.Timedelta(hours=1)
+    lefts = [[100 + u, TS + 2 * h, u] for u in range(40)]
+    rights = [[u, TS + 1 * h, u] for u in range(40)]
+    out = _asof(lefts, rights)
+    assert len(out) == 40
+    assert (out["r_event_id"] == out["user_id"]).all()
+
+
+def test_range_join_bounds_and_attach():
+    iv = pd.DataFrame({
+        "start": pd.to_datetime(["2024-01-01 02:00", "2024-01-02 02:00"]),
+        "end": pd.to_datetime(["2024-01-01 04:00", "2024-01-02 04:00"]),
+        "tag": ["w1", "w2"]})
+    rows = pd.DataFrame({
+        "ts": pd.to_datetime([
+            "2024-01-01 01:59:59",  # before -> drop
+            "2024-01-01 02:00:00",  # start inclusive -> w1
+            "2024-01-01 03:59:59",  # inside -> w1
+            "2024-01-01 04:00:00",  # end exclusive -> drop
+            "2024-01-02 02:30:00",  # -> w2
+        ]).astype("datetime64[us]"), "v": range(5)})
+    out = (joins.range_join_broadcast(rd.from_pandas(rows), iv, on="ts")
+           .to_pandas().sort_values("v"))
+    assert list(out["v"]) == [1, 2, 4]
+    assert list(out["w_tag"]) == ["w1", "w1", "w2"]
+
+
+def test_range_join_rejects_overlap():
+    iv = pd.DataFrame({"start": [0, 5], "end": [6, 10]})
+    with pytest.raises(ValueError, match="non-overlapping"):
+        joins.range_join_broadcast(
+            rd.from_pandas(pd.DataFrame({"x": [1]})), iv, on="x")
+
+
+def test_sliding_window_membership():
+    """A single event belongs to exactly window/slide windows, the
+    newest being its own slide bucket."""
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 05:30:00"]).astype("datetime64[us]"),
+        "k": ["a"], "v": [2.0]})
+    out = (joins.sliding_window_agg(
+        rd.from_pandas(df), on="ts", keys=["k"], value_col="v",
+        window_us=6 * 3_600_000_000, slide_us=3_600_000_000)
+        .to_pandas().sort_values("window_start").reset_index(drop=True))
+    assert len(out) == 6
+    starts = pd.to_datetime(out["window_start"])
+    assert starts.iloc[-1] == pd.Timestamp("2024-01-01 05:00:00")
+    assert starts.iloc[0] == pd.Timestamp("2024-01-01 00:00:00")
+    assert (out["n"] == 1).all() and (out["sum_value"] == 2.0).all()
+
+
+def test_sliding_window_partial_preaggregation():
+    """Two same-key rows in one slide bucket pre-aggregate before the
+    shuffle and sum correctly after it."""
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 05:10:00", "2024-01-01 05:50:00",
+                              "2024-01-01 06:10:00"]).astype("datetime64[us]"),
+        "k": ["a", "a", "a"], "v": [1.0, 2.0, 4.0]})
+    out = (joins.sliding_window_agg(
+        rd.from_pandas(df), on="ts", keys=["k"], value_col="v",
+        window_us=2 * 3_600_000_000, slide_us=3_600_000_000)
+        .to_pandas().set_index("window_start").sort_index())
+    # membership = window starts in (t - window, t] aligned to slide:
+    # 05:10 -> {05:00, 04:00}; 05:50 -> {05:00, 04:00};
+    # 06:10 -> {06:00, 05:00}
+    w4, w5, w6 = (pd.Timestamp("2024-01-01 04:00:00"),
+                  pd.Timestamp("2024-01-01 05:00:00"),
+                  pd.Timestamp("2024-01-01 06:00:00"))
+    assert out.loc[w4, "n"] == 2 and out.loc[w4, "sum_value"] == 3.0
+    assert out.loc[w5, "n"] == 3 and out.loc[w5, "sum_value"] == 7.0
+    assert out.loc[w6, "n"] == 1 and out.loc[w6, "sum_value"] == 4.0
