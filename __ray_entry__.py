@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": Q.events_sliding_window,  # sliding agg
         "doc_repetition": Q.doc_repetition,              # Gopher repetition
         "orders_by_nation": Q.orders_by_nation,          # broadcast lookup join
+        "orders_lineitem_join": Q.orders_lineitem_join,  # large-large hash join
         "lineitem_pricing": Q.lineitem_pricing,          # generic fold
         # text analysis
         "doc_token_stats": Q.doc_token_stats,
@@ -252,6 +253,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS order_count,
                    round(sum(o.o_totalprice), 2) AS total_revenue
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "orders_lineitem_join": """
+            SELECT o.o_orderpriority, count(*) AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
         """,
         "lineitem_pricing": """

@@ -35,17 +35,29 @@ import ray.data as rd
 from ..util import bucketed_groups
 
 
-def _null_series(n: int, typ: pa.DataType):
+def _null_series(n: int, typ):
     """An all-null pandas column whose Arrow conversion matches
     ``typ`` — a plain all-NA object column would convert to Arrow
-    ``null`` and break the two-sided union's schema."""
-    if pa.types.is_integer(typ):
+    ``null`` and break the two-sided union's schema.  ``typ`` may be
+    an Arrow DataType (Arrow-block datasets, e.g. parquet reads) or a
+    numpy/pandas dtype (pandas-block datasets, e.g. from_pandas)."""
+    if isinstance(typ, pa.DataType):
+        if pa.types.is_integer(typ):
+            return pd.array([pd.NA] * n, dtype="Int64")
+        if pa.types.is_floating(typ):
+            return np.full(n, np.nan)
+        if pa.types.is_timestamp(typ):
+            return pd.Series([pd.NaT] * n, dtype=f"datetime64[{typ.unit}]")
+        if pa.types.is_boolean(typ):
+            return pd.array([pd.NA] * n, dtype="boolean")
+        return pd.array([pd.NA] * n, dtype="string")
+    if pd.api.types.is_integer_dtype(typ):
         return pd.array([pd.NA] * n, dtype="Int64")
-    if pa.types.is_floating(typ):
+    if pd.api.types.is_float_dtype(typ):
         return np.full(n, np.nan)
-    if pa.types.is_timestamp(typ):
-        return pd.Series([pd.NaT] * n, dtype=f"datetime64[{typ.unit}]")
-    if pa.types.is_boolean(typ):
+    if pd.api.types.is_datetime64_any_dtype(typ):
+        return pd.Series([pd.NaT] * n, dtype=typ)
+    if pd.api.types.is_bool_dtype(typ):
         return pd.array([pd.NA] * n, dtype="boolean")
     return pd.array([pd.NA] * n, dtype="string")
 
@@ -126,6 +138,73 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
         return out.drop(columns=["_side", "_tb"]).reset_index(drop=True)
 
     return bucketed_groups(lt.union(rt), by, merge,
+                           num_buckets=num_buckets)
+
+
+def hash_join(left: rd.Dataset, right: rd.Dataset, *, on: list[str],
+              right_on: list[str] | None = None, how: str = "inner",
+              num_buckets: int = 64) -> rd.Dataset:
+    """Distributed equi-join of two LARGE datasets: both sides shuffle
+    ONCE by the key-hash bucket; each bucket owns whole key groups and
+    joins them with a single vectorized ``pd.merge`` — no per-key
+    Python frames.
+
+    This is the both-sides-large path; when one side is small, prefer
+    the broadcast-lookup pattern (``ray.put`` + probe inside
+    ``map_batches``, see ``queries.orders_by_nation``) which skips the
+    shuffle entirely.  Non-key column names must be disjoint.  ``how``
+    is ``inner`` or ``left``; integer right columns come back nullable
+    under ``left`` (cast at the consumer).
+    """
+    right_on = list(on) if right_on is None else list(right_on)
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    ls, rs = left.schema(), right.schema()
+    ltypes = dict(zip(ls.names, ls.types))
+    rtypes = {o: t for o, t in zip(
+        [dict(zip(right_on, on)).get(c, c) for c in rs.names],
+        rs.types)}
+    lonly = [c for c in ltypes if c not in on]
+    ronly = [c for c in rtypes if c not in on]
+    overlap = set(lonly) & set(ronly)
+    if overlap:
+        raise ValueError(f"non-key columns collide: {sorted(overlap)}")
+    order = [*on, *lonly, *ronly, "_side"]
+
+    def _nullable(s: pd.Series) -> pd.Series:
+        if pd.api.types.is_integer_dtype(s):
+            return s.astype("Int64")
+        if pd.api.types.is_bool_dtype(s):
+            return s.astype("boolean")
+        if s.dtype == object:
+            return s.astype("string")
+        return s
+
+    def tag(df: pd.DataFrame, side: int, rename: dict,
+            other: dict) -> pd.DataFrame:
+        df = df.rename(columns=rename).copy()
+        df["_side"] = np.int8(side)
+        for c in df.columns:
+            if c not in on and c != "_side":
+                df[c] = _nullable(df[c])
+        for c, t in other.items():
+            df[c] = _null_series(len(df), t)
+        return df[order]
+
+    lt = left.map_batches(
+        lambda df: tag(df, 1, {}, {c: rtypes[c] for c in ronly}),
+        batch_format="pandas")
+    rt = right.map_batches(
+        lambda df: tag(df, 0, dict(zip(right_on, on)),
+                       {c: ltypes[c] for c in lonly}),
+        batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["_side"] == 1, [*on, *lonly]]
+        r = g.loc[g["_side"] == 0, [*on, *ronly]]
+        return l.merge(r, on=list(on), how=how)
+
+    return bucketed_groups(lt.union(rt), list(on), merge,
                            num_buckets=num_buckets)
 
 

@@ -498,6 +498,36 @@ def doc_repetition(sf_dir: str) -> pd.DataFrame:
             .to_pandas())
 
 
+def orders_lineitem_join(sf_dir: str) -> pd.DataFrame:
+    """Large-large hash equi-join (orders x lineitem): both sides
+    shuffle once by the orderkey bucket, each bucket merges whole key
+    groups vectorized; revenue rolled up per priority after the join.
+    Contrast with orders_by_nation's broadcast-lookup path for a small
+    build side."""
+    from ..ops import joins
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    j = joins.hash_join(orders, li, on=["o_orderkey"],
+                        right_on=["l_orderkey"])
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"].astype(str),
+            "rev": df["l_extendedprice"].to_numpy()
+                   * (1.0 - df["l_discount"].to_numpy())})
+
+    out = (j.map_batches(rev, batch_format="pandas")
+           .groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n_items"),
+                      Sum("rev", alias_name="revenue"))
+           .to_pandas())
+    return round_cols(out, ["revenue"], ndigits=2)
+
+
 # --- multimodal plumbing (decode stub + frame sampling; rows-only) -----
 def media_features(sf_dir: str) -> pd.DataFrame:
     from ..ops.multimodal import MediaDecoder, synth_media_table

@@ -125,3 +125,36 @@ def test_sliding_window_partial_preaggregation():
     assert out.loc[w4, "n"] == 2 and out.loc[w4, "sum_value"] == 3.0
     assert out.loc[w5, "n"] == 3 and out.loc[w5, "sum_value"] == 7.0
     assert out.loc[w6, "n"] == 1 and out.loc[w6, "sum_value"] == 4.0
+
+
+def test_hash_join_inner_and_left():
+    l = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3], "lv": ["a", "b", "c"]}))
+    r = rd.from_pandas(pd.DataFrame(
+        {"rk": [1, 1, 2, 9], "rv": [10, 11, 20, 90]}))
+    inner = (joins.hash_join(l, r, on=["k"], right_on=["rk"],
+                             num_buckets=4)
+             .to_pandas().sort_values(["k", "rv"]).reset_index(drop=True))
+    assert list(inner["k"]) == [1, 1, 2]
+    assert list(inner["rv"].astype("int64")) == [10, 11, 20]
+    left = (joins.hash_join(l, r, on=["k"], right_on=["rk"], how="left",
+                            num_buckets=4)
+            .to_pandas().sort_values(["k", "rv"]).reset_index(drop=True))
+    assert list(left["k"]) == [1, 1, 2, 3]
+    assert left["rv"].isna().tolist() == [False, False, False, True]
+
+
+def test_hash_join_rejects_column_collision():
+    l = rd.from_pandas(pd.DataFrame({"k": [1], "v": [1]}))
+    r = rd.from_pandas(pd.DataFrame({"k": [1], "v": [2]}))
+    with pytest.raises(ValueError, match="collide"):
+        joins.hash_join(l, r, on=["k"])
+
+
+def test_hash_join_keys_spread_across_buckets():
+    n = 50
+    l = rd.from_pandas(pd.DataFrame({"k": np.arange(n), "lv": np.arange(n)}))
+    r = rd.from_pandas(pd.DataFrame({"k": np.arange(n), "rv": np.arange(n) * 2}))
+    out = joins.hash_join(l, r, on=["k"], num_buckets=8).to_pandas()
+    assert len(out) == n
+    assert (out["rv"].astype("int64") == out["k"] * 2).all()
