@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": Q.doc_repetition,              # Gopher repetition
         "orders_by_nation": Q.orders_by_nation,          # broadcast lookup join
         "orders_lineitem_join": Q.orders_lineitem_join,  # large-large hash join
+        "customers_no_urgent_orders": Q.customers_no_urgent_orders,  # anti join
+        "doc_chunk": Q.doc_chunk,                        # overlap chunking
+        "doc_len_quantiles": Q.doc_len_quantiles,        # per-lang fold
         "lineitem_pricing": Q.lineitem_pricing,          # generic fold
         # text analysis
         "doc_token_stats": Q.doc_token_stats,
@@ -261,6 +264,31 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
+        """,
+        "customers_no_urgent_orders": """
+            SELECT c.c_nationkey, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY 1
+        """,
+        "doc_chunk": """
+            SELECT doc_id, k AS chunk_id,
+                   substr(text, k * 180 + 1, 200) AS chunk_text
+            FROM documents,
+            LATERAL (SELECT unnest(generate_series(0,
+                CAST(floor(greatest(length(text) - 1, 0) / 180) AS INT)))
+                AS k) t
+        """,
+        "doc_len_quantiles": """
+            SELECT lang, count(*) AS "count",
+                   round(min(n_chars), 6) AS min_n_chars,
+                   round(max(n_chars), 6) AS max_n_chars,
+                   round(avg(n_chars), 6) AS avg_n_chars,
+                   round(CAST(quantile_cont(n_chars, 0.95) AS DOUBLE), 6)
+                       AS p95_n_chars
+            FROM documents GROUP BY lang
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -153,17 +153,21 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, *, on: list[str],
     the broadcast-lookup pattern (``ray.put`` + probe inside
     ``map_batches``, see ``queries.orders_by_nation``) which skips the
     shuffle entirely.  Non-key column names must be disjoint.  ``how``
-    is ``inner`` or ``left``; integer right columns come back nullable
-    under ``left`` (cast at the consumer).
+    is ``inner``, ``left``, ``semi`` or ``anti``; integer right columns
+    come back nullable under ``left`` (cast at the consumer).  Under
+    ``semi``/``anti`` the right side ships ONLY its (deduplicated)
+    keys through the shuffle and contributes no output columns.
     """
     right_on = list(on) if right_on is None else list(right_on)
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     ls, rs = left.schema(), right.schema()
     ltypes = dict(zip(ls.names, ls.types))
     rtypes = {o: t for o, t in zip(
         [dict(zip(right_on, on)).get(c, c) for c in rs.names],
         rs.types)}
+    if how in ("semi", "anti"):
+        rtypes = {c: rtypes[c] for c in on}
     lonly = [c for c in ltypes if c not in on]
     ronly = [c for c in rtypes if c not in on]
     overlap = set(lonly) & set(ronly)
@@ -183,6 +187,10 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, *, on: list[str],
     def tag(df: pd.DataFrame, side: int, rename: dict,
             other: dict) -> pd.DataFrame:
         df = df.rename(columns=rename).copy()
+        if side == 0 and how in ("semi", "anti"):
+            # existence is all that matters: pre-dedup the keys per
+            # batch so the shuffle ships distinct keys, not rows
+            df = df[on].drop_duplicates()
         df["_side"] = np.int8(side)
         for c in df.columns:
             if c not in on and c != "_side":
@@ -202,6 +210,10 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, *, on: list[str],
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g.loc[g["_side"] == 1, [*on, *lonly]]
         r = g.loc[g["_side"] == 0, [*on, *ronly]]
+        if how in ("semi", "anti"):
+            hit = (pd.MultiIndex.from_frame(l[on])
+                   .isin(pd.MultiIndex.from_frame(r[on].drop_duplicates())))
+            return l[hit if how == "semi" else ~hit].reset_index(drop=True)
         return l.merge(r, on=list(on), how=how)
 
     return bucketed_groups(lt.union(rt), list(on), merge,

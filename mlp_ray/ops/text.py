@@ -260,3 +260,42 @@ def repetition_batch(batch: pa.Table, text_col: str = "text") -> "pd.DataFrame":
         "dup_word_frac": round_half_away(1.0 - dw / nw),
         "top_word_share": round_half_away(top.to_numpy(np.float64) / nw),
     })
+
+
+def chunk_batch(batch: pa.Table, text_col: str = "text",
+                size: int = 200, stride: int = 180) -> pa.Table:
+    """Overlapping fixed-size character chunking for training-data
+    prep: doc -> ceil(max(len-1,0)/stride)+1 chunks of up to ``size``
+    code points starting every ``stride`` (so consecutive chunks
+    overlap by ``size - stride``).
+
+    Vectorized as one ``utf8_slice_codeunits`` kernel per chunk
+    ordinal: iteration k slices EVERY doc that still has a k-th chunk,
+    so the Python loop runs max-chunks times, not once per row.
+    Indices are code points (matches DuckDB ``substr`` character
+    semantics; identical for ASCII corpora).
+    """
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lens = pc.fill_null(pc.utf8_length(text), -1).to_numpy(
+        zero_copy_only=False)
+    counts = np.where(lens < 0, 0,
+                      np.maximum(lens - 1, 0) // stride + 1)
+    parts = []
+    ids = batch["doc_id"]
+    for k in range(int(counts.max()) if len(counts) else 0):
+        m = pa.array(counts > k)
+        sub_ids = ids.filter(m)
+        chunk = pc.utf8_slice_codeunits(
+            text.filter(m), k * stride, k * stride + size)
+        parts.append(pa.table({
+            "doc_id": sub_ids,
+            "chunk_id": pa.array(
+                np.full(len(sub_ids), k, np.int64)),
+            "chunk_text": chunk}))
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "chunk_id": pa.array([], pa.int64()),
+                         "chunk_text": pa.array([], pa.string())})
+    return pa.concat_tables(parts)

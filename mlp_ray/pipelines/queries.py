@@ -528,6 +528,47 @@ def orders_lineitem_join(sf_dir: str) -> pd.DataFrame:
     return round_cols(out, ["revenue"], ndigits=2)
 
 
+def customers_no_urgent_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join (customers with no 1-URGENT order), counted per
+    nation: the right side is predicate-filtered at the read and ships
+    only deduplicated keys through the one key-bucketed exchange."""
+    from ..ops import joins
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                   .select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = joins.hash_join(cust, urgent, on=["c_custkey"],
+                        right_on=["o_custkey"], how="anti")
+    return (j.groupby("c_nationkey")
+            .aggregate(Count(alias_name="n_customers")).to_pandas())
+
+
+def doc_chunk(sf_dir: str) -> pd.DataFrame:
+    """Overlapping character chunking of every document (200-char
+    chunks every 180) — row-local flat-map, vectorized per chunk
+    ordinal."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(text.chunk_batch, batch_format="pyarrow")
+            .to_pandas())
+
+
+def doc_len_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-language document-length stats through the generic fold
+    (exact p95 matching DuckDB quantile_cont)."""
+    spec = FoldSpec(keys=["lang"],
+                    metrics={"n_chars": ("min", "max", "avg", "p95")},
+                    order_col="doc_id")
+    out = run_fold(_docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+                   spec, merge="driver").to_pandas()
+    return round_cols(out, ["min_n_chars", "max_n_chars", "avg_n_chars",
+                            "p95_n_chars"])
+
+
 # --- multimodal plumbing (decode stub + frame sampling; rows-only) -----
 def media_features(sf_dir: str) -> pd.DataFrame:
     from ..ops.multimodal import MediaDecoder, synth_media_table

@@ -158,3 +158,17 @@ def test_hash_join_keys_spread_across_buckets():
     out = joins.hash_join(l, r, on=["k"], num_buckets=8).to_pandas()
     assert len(out) == n
     assert (out["rv"].astype("int64") == out["k"] * 2).all()
+
+
+def test_hash_join_semi_anti():
+    l = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]}))
+    r = rd.from_pandas(pd.DataFrame({"k": [1, 1, 3, 3]}))
+    semi = (joins.hash_join(l, r, on=["k"], how="semi", num_buckets=4)
+            .to_pandas().sort_values("k"))
+    # semi: matched left rows once each (right dupes don't multiply)
+    assert list(semi["k"]) == [1, 3]
+    assert list(semi["lv"].astype("int64")) == [10, 30]
+    anti = (joins.hash_join(l, r, on=["k"], how="anti", num_buckets=4)
+            .to_pandas())
+    assert list(anti["k"]) == [2]
+    assert list(anti["lv"].astype("int64")) == [20]
