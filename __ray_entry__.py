@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent_orders": Q.customers_no_urgent_orders,  # anti join
         "doc_chunk": Q.doc_chunk,                        # overlap chunking
         "doc_len_quantiles": Q.doc_len_quantiles,        # per-lang fold
+        "doc_unigram_logprob": Q.doc_unigram_logprob,    # unigram LM score
         "lineitem_pricing": Q.lineitem_pricing,          # generic fold
         # text analysis
         "doc_token_stats": Q.doc_token_stats,
@@ -280,6 +281,23 @@ def oracle_sql() -> dict[str, str]:
             LATERAL (SELECT unnest(generate_series(0,
                 CAST(floor(greatest(length(text) - 1, 0) / 180) AS INT)))
                 AS k) t
+        """,
+        "doc_unigram_logprob": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), cnt AS (
+                SELECT word, count(*) AS c FROM w GROUP BY word
+            ), tot AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt
+            ), topk AS (
+                SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT 20
+            )
+            SELECT w.doc_id, count(*) AS n_tokens,
+                   round(avg(ln(coalesce(t.c, 1) / tot.n)), 6)
+                       AS avg_logprob
+            FROM w LEFT JOIN topk t USING (word), tot
+            GROUP BY w.doc_id
         """,
         "doc_len_quantiles": """
             SELECT lang, count(*) AS "count",

@@ -299,3 +299,83 @@ def chunk_batch(batch: pa.Table, text_col: str = "text",
                          "chunk_id": pa.array([], pa.int64()),
                          "chunk_text": pa.array([], pa.string())})
     return pa.concat_tables(parts)
+
+
+def unigram_logprob(docs_ds, k: int = 20, text_col: str = "text"):
+    """Unigram language-model quality score (perplexity-filter style):
+    two passes over the corpus.
+
+    Pass 1 builds corpus unigram counts — per-batch (word, count)
+    partials, ONE vocabulary-keyed groupby, then top-k selection with
+    per-batch pruning (events_topk pattern), so the driver only ever
+    holds k rows + the scalar total.  Pass 2 broadcasts the k-word
+    log-prob table via ``ray.put`` and scores every document with a
+    vectorized lookup + segment mean; out-of-vocabulary tokens take
+    the 1/N floor.
+
+    Deterministic top-k tie-break: (count DESC, word ASC) — mirrored
+    by the DuckDB oracle.  The only corpus-wide exchange is the
+    (word, count) partial shuffle, bounded by vocabulary size.
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd  # noqa: F401  (kept for symmetry with callers)
+    from ray.data.aggregate import Sum
+
+    def word_partials(t: pa.Table) -> pd.DataFrame:
+        la = pc.split_pattern(t[text_col], pattern=" ")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        words = la.flatten().to_numpy(zero_copy_only=False)
+        out = (pd.Series(words).value_counts().rename_axis("word")
+               .rename("c").reset_index())
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    counts = (docs_ds.map_batches(word_partials, batch_format="pyarrow")
+              .groupby("word").aggregate(Sum("c", alias_name="c"))
+              .materialize())  # bounded by vocabulary size, not corpus
+    total = float(counts.aggregate(Sum("c", alias_name="n"))["n"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["c", "word"],
+                              ascending=[False, True]).head(k)
+
+    top = (counts.map_batches(local_topk, batch_format="pandas")
+           .to_pandas().sort_values(["c", "word"],
+                                    ascending=[False, True]).head(k))
+    logp = ray.put(dict(zip(top["word"],
+                            np.log(top["c"].to_numpy() / total))))
+    floor = float(np.log(1.0 / total))
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        lp = _cached_obj(("unigram-logp", logp), logp)
+        la = pc.split_pattern(t[text_col], pattern=" ")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        parent = la.value_parent_indices().to_numpy()
+        words = pd.Series(la.flatten().to_numpy(zero_copy_only=False))
+        vals = words.map(lp).fillna(floor).to_numpy()
+        n_tok = np.bincount(parent, minlength=t.num_rows)
+        sums = np.bincount(parent, weights=vals, minlength=t.num_rows)
+        mask = n_tok > 0
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[mask]
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_tokens": n_tok[mask].astype(np.int64),
+            "avg_logprob": round_half_away(sums[mask] / n_tok[mask]),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+_OBJ_CACHE: dict = {}
+
+
+def _cached_obj(key, ref):
+    """Per-worker plasma-deref cache: ray.get once per worker process,
+    not once per batch."""
+    import ray
+    if key not in _OBJ_CACHE:
+        _OBJ_CACHE[key] = ray.get(ref)
+    return _OBJ_CACHE[key]

@@ -569,6 +569,14 @@ def doc_len_quantiles(sf_dir: str) -> pd.DataFrame:
                             "p95_n_chars"])
 
 
+def doc_unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Unigram LM quality score (perplexity-filter style): corpus
+    counts -> broadcast top-20 log-prob table -> per-doc mean token
+    log-prob with an OOV floor."""
+    return text.unigram_logprob(
+        _docs(sf_dir, ["doc_id", "text"]), k=20).to_pandas()
+
+
 # --- multimodal plumbing (decode stub + frame sampling; rows-only) -----
 def media_features(sf_dir: str) -> pd.DataFrame:
     from ..ops.multimodal import MediaDecoder, synth_media_table

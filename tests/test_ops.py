@@ -498,3 +498,36 @@ def test_curate_invariants(docs_ds, docs_df):
     assert (out["dup_count"] >= 1).all()
     assert not (out["doc_id"] % 53 == 0).any()  # benchmark docs dropped
     assert set(out["doc_id"]).issubset(set(docs_df["doc_id"]))
+
+
+def test_unigram_logprob_known_values():
+    """Tiny corpus with a known distribution: in-vocab tokens score
+    ln(count/N), OOV tokens take the ln(1/N) floor."""
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a b", "a b c", "z z z"]})
+    out = (text.unigram_logprob(rd.from_pandas(df), k=2)
+           .to_pandas().set_index("doc_id").sort_index())
+    # counts: a=3, z=3, b=2, c=1 -> N=9; top-2 by (c DESC, word ASC) = a, z
+    n = 9.0
+    la, lz, floor = np.log(3 / n), np.log(3 / n), np.log(1 / n)
+    exp1 = (la + la + floor) / 3          # a a b  (b is OOV)
+    exp2 = (la + floor + floor) / 3       # a b c
+    exp3 = lz                             # z z z
+    assert list(out["n_tokens"]) == [3, 3, 3]
+    np.testing.assert_allclose(
+        out["avg_logprob"].to_numpy(), [exp1, exp2, exp3], atol=1e-6)
+
+
+def test_chunk_batch_overlap_roundtrip():
+    """Chunks cover the doc, respect size/stride, and overlap by
+    size - stride; short docs give one chunk."""
+    import pyarrow as pa
+
+    tbl = pa.table({"doc_id": [1, 2], "text": ["abcdefghij", "xy"]})
+    out = text.chunk_batch(tbl, size=4, stride=3).to_pandas()
+    d1 = out[out["doc_id"] == 1].sort_values("chunk_id")
+    # len 10, stride 3 -> chunks at 0,3,6,9
+    assert list(d1["chunk_text"]) == ["abcd", "defg", "ghij", "j"]
+    d2 = out[out["doc_id"] == 2]
+    assert list(d2["chunk_text"]) == ["xy"]
