@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk": Q.doc_chunk,                        # overlap chunking
         "doc_len_quantiles": Q.doc_len_quantiles,        # per-lang fold
         "doc_unigram_logprob": Q.doc_unigram_logprob,    # unigram LM score
+        "events_running_total": Q.events_running_total,  # window analytics
+        "events_pivot": Q.events_pivot,                  # pivot counts
         "lineitem_pricing": Q.lineitem_pricing,          # generic fold
         # text analysis
         "doc_token_stats": Q.doc_token_stats,
@@ -281,6 +283,26 @@ def oracle_sql() -> dict[str, str]:
             LATERAL (SELECT unnest(generate_series(0,
                 CAST(floor(greatest(length(text) - 1, 0) / 180) AS INT)))
                 AS k) t
+        """,
+        "events_running_total": """
+            SELECT event_id, ts, user_id, round(value, 6) AS value,
+                   round(sum(value) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       6) AS running_sum,
+                   row_number() OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view
+            FROM events GROUP BY user_id
         """,
         "doc_unigram_logprob": """
             WITH w AS (

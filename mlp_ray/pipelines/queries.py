@@ -577,6 +577,53 @@ def doc_unigram_logprob(sf_dir: str) -> pd.DataFrame:
         _docs(sf_dir, ["doc_id", "text"]), k=20).to_pandas()
 
 
+def _running_bulk(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-user ordered analytics over a whole bucket: one sort, then
+    vectorized groupby cumsum/cumcount — the distributed analogue of
+    SUM/ROW_NUMBER OVER (PARTITION BY user ORDER BY ts, event_id)."""
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    gb = g.groupby("user_id", sort=False)
+    g["running_sum"] = gb["value"].cumsum()
+    g["rn"] = gb.cumcount() + 1
+    return g.reset_index(drop=True)
+
+
+def events_running_total(sf_dir: str) -> pd.DataFrame:
+    """Ordered per-key window analytics (running sum + row number):
+    bucketed by user so each bucket sorts and scans its keys once;
+    identical within-group addition order to the oracle makes the
+    cumulative float sums exact."""
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    out = bucketed_groups(ds, ["user_id"], _running_bulk).to_pandas()
+    return round_cols(out, ["value", "running_sum"])
+
+
+def events_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot: per-user event-type counts as columns.  Per-batch
+    crosstab partials shuffle (user x 5 ints), then one sum per
+    column."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        for t in types:
+            if t not in ct:
+                ct[t] = 0
+        ct = ct[types].rename(columns={t: f"n_{t}" for t in types})
+        ct.columns.name = None
+        return ct.astype("int64").reset_index()
+
+    out = (ds.map_batches(partials, batch_format="pandas")
+           .groupby("user_id")
+           .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}")
+                        for t in types])
+           .to_pandas())
+    return out
+
+
 # --- multimodal plumbing (decode stub + frame sampling; rows-only) -----
 def media_features(sf_dir: str) -> pd.DataFrame:
     from ..ops.multimodal import MediaDecoder, synth_media_table
