@@ -152,7 +152,9 @@ def run_queries() -> dict[str, float]:
 
     names = ["events_main_agg", "events_topk", "events_distinct_users",
              "orders_by_nation", "lineitem_pricing", "doc_token_stats",
-             "doc_exact_dedup", "doc_minhash_dedup", "ann_topk"]
+             "doc_exact_dedup", "doc_minhash_dedup", "ann_topk",
+             "events_asof_join", "orders_lineitem_join",
+             "events_sliding_window", "doc_unigram_logprob"]
     out = {}
     for n in names:
         t0 = time.perf_counter()

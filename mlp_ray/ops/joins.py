@@ -62,6 +62,23 @@ def _null_series(n: int, typ):
     return pd.array([pd.NA] * n, dtype="string")
 
 
+def _arrow_type(typ) -> pa.DataType:
+    """Normalize a ``Dataset.schema()`` entry (Arrow type for
+    Arrow-block datasets, numpy/pandas dtype for pandas-block ones) to
+    an Arrow type, for exact ``pa.nulls`` fills."""
+    if isinstance(typ, pa.DataType):
+        return typ
+    if pd.api.types.is_integer_dtype(typ):
+        return pa.int64()
+    if pd.api.types.is_float_dtype(typ):
+        return pa.float64()
+    if pd.api.types.is_datetime64_any_dtype(typ):
+        return pa.timestamp(np.datetime_data(typ)[0])
+    if pd.api.types.is_bool_dtype(typ):
+        return pa.bool_()
+    return pa.string()
+
+
 def asof_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
               by: list[str], attach: list[str], tiebreak: str,
               num_buckets: int = 64) -> rd.Dataset:
@@ -162,8 +179,8 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, *, on: list[str],
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     ls, rs = left.schema(), right.schema()
-    ltypes = dict(zip(ls.names, ls.types))
-    rtypes = {o: t for o, t in zip(
+    ltypes = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
+    rtypes = {o: _arrow_type(t) for o, t in zip(
         [dict(zip(right_on, on)).get(c, c) for c in rs.names],
         rs.types)}
     if how in ("semi", "anti"):
@@ -174,38 +191,34 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, *, on: list[str],
     if overlap:
         raise ValueError(f"non-key columns collide: {sorted(overlap)}")
     order = [*on, *lonly, *ronly, "_side"]
+    types = {**ltypes, **rtypes, "_side": pa.int8()}
 
-    def _nullable(s: pd.Series) -> pd.Series:
-        if pd.api.types.is_integer_dtype(s):
-            return s.astype("Int64")
-        if pd.api.types.is_bool_dtype(s):
-            return s.astype("boolean")
-        if s.dtype == object:
-            return s.astype("string")
-        return s
-
-    def tag(df: pd.DataFrame, side: int, rename: dict,
-            other: dict) -> pd.DataFrame:
-        df = df.rename(columns=rename).copy()
+    # tagging, null-filling and the bucket hash all stay in Arrow so
+    # the exchange sorts zero-copy Arrow blocks — shuffling pandas
+    # blocks here measured ~5x slower on a 750k-row join
+    def tag(t: pa.Table, side: int, rename: dict) -> pa.Table:
+        t = t.rename_columns([rename.get(c, c) for c in t.column_names])
         if side == 0 and how in ("semi", "anti"):
             # existence is all that matters: pre-dedup the keys per
             # batch so the shuffle ships distinct keys, not rows
-            df = df[on].drop_duplicates()
-        df["_side"] = np.int8(side)
-        for c in df.columns:
-            if c not in on and c != "_side":
-                df[c] = _nullable(df[c])
-        for c, t in other.items():
-            df[c] = _null_series(len(df), t)
-        return df[order]
+            t = t.select(on).group_by(on).aggregate([])
+        n = t.num_rows
+        cols = {c: (t[c] if c in t.column_names else pa.nulls(n, types[c]))
+                for c in order}
+        cols["_side"] = pa.array(np.full(n, side, np.int8))
+        out = pa.table(cols)
+        from ..util import key_hash_buckets
+        b = key_hash_buckets(out.select(on).to_pandas(), on, num_buckets)
+        return out.append_column("_bucket", pa.array(b))
 
-    lt = left.map_batches(
-        lambda df: tag(df, 1, {}, {c: rtypes[c] for c in ronly}),
-        batch_format="pandas")
+    lt = left.map_batches(lambda t: tag(t, 1, {}),
+                          batch_format="pyarrow")
     rt = right.map_batches(
-        lambda df: tag(df, 0, dict(zip(right_on, on)),
-                       {c: ltypes[c] for c in lonly}),
-        batch_format="pandas")
+        lambda t: tag(t, 0, dict(zip(right_on, on))),
+        batch_format="pyarrow")
+
+    int_like = [c for c, t in types.items()
+                if c != "_side" and pa.types.is_integer(t)]
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g.loc[g["_side"] == 1, [*on, *lonly]]
@@ -213,11 +226,20 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, *, on: list[str],
         if how in ("semi", "anti"):
             hit = (pd.MultiIndex.from_frame(l[on])
                    .isin(pd.MultiIndex.from_frame(r[on].drop_duplicates())))
-            return l[hit if how == "semi" else ~hit].reset_index(drop=True)
-        return l.merge(r, on=list(on), how=how)
+            out = l[hit if how == "semi" else ~hit].reset_index(drop=True)
+        else:
+            out = l.merge(r, on=list(on), how=how)
+        # the union's cross-side nulls float-promoted int columns in
+        # the pandas conversion; restore them where no nulls remain
+        for c in int_like:
+            if c in out and out[c].dtype != np.int64 \
+                    and not out[c].isna().any():
+                out[c] = out[c].astype("int64")
+        return out
 
-    return bucketed_groups(lt.union(rt), list(on), merge,
-                           num_buckets=num_buckets)
+    return (lt.union(rt).groupby("_bucket")
+            .map_groups(lambda g: merge(g.drop(columns=["_bucket"])),
+                        batch_format="pandas"))
 
 
 def range_join_broadcast(ds: rd.Dataset, intervals: pd.DataFrame, *,
