@@ -28,38 +28,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 
-from ..util import bucketed_groups
-
-
-def _null_series(n: int, typ):
-    """An all-null pandas column whose Arrow conversion matches
-    ``typ`` — a plain all-NA object column would convert to Arrow
-    ``null`` and break the two-sided union's schema.  ``typ`` may be
-    an Arrow DataType (Arrow-block datasets, e.g. parquet reads) or a
-    numpy/pandas dtype (pandas-block datasets, e.g. from_pandas)."""
-    if isinstance(typ, pa.DataType):
-        if pa.types.is_integer(typ):
-            return pd.array([pd.NA] * n, dtype="Int64")
-        if pa.types.is_floating(typ):
-            return np.full(n, np.nan)
-        if pa.types.is_timestamp(typ):
-            return pd.Series([pd.NaT] * n, dtype=f"datetime64[{typ.unit}]")
-        if pa.types.is_boolean(typ):
-            return pd.array([pd.NA] * n, dtype="boolean")
-        return pd.array([pd.NA] * n, dtype="string")
-    if pd.api.types.is_integer_dtype(typ):
-        return pd.array([pd.NA] * n, dtype="Int64")
-    if pd.api.types.is_float_dtype(typ):
-        return np.full(n, np.nan)
-    if pd.api.types.is_datetime64_any_dtype(typ):
-        return pd.Series([pd.NaT] * n, dtype=typ)
-    if pd.api.types.is_bool_dtype(typ):
-        return pd.array([pd.NA] * n, dtype="boolean")
-    return pd.array([pd.NA] * n, dtype="string")
 
 
 def _arrow_type(typ) -> pa.DataType:
@@ -96,54 +69,44 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
     equal ``on``, the one with the larger ``tiebreak`` wins, and a
     right row at exactly ``left.on`` is eligible.
     """
+    from ..util import key_hash_buckets
+
     srcs = list(dict.fromkeys([on, *attach]))
     acols = [f"r_{c}" for c in srcs]
     ls, rs = left.schema(), right.schema()
-    ltypes = dict(zip(ls.names, ls.types))
-    rtypes = dict(zip(rs.names, rs.types))
-
-    def _nullable(s: pd.Series) -> pd.Series:
-        # real-valued columns that the OTHER side null-fills must use
-        # the same nullable dtype, or the union's blocks disagree
-        # (int64 vs Int64) and Ray warns on every bundle
-        if pd.api.types.is_integer_dtype(s):
-            return s.astype("Int64")
-        if pd.api.types.is_bool_dtype(s):
-            return s.astype("boolean")
-        if s.dtype == object:
-            return s.astype("string")
-        return s
-
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_side"] = np.int8(1)
-        df["_tb"] = (df[tiebreak].to_numpy() if tiebreak in df
-                     else np.zeros(len(df), np.int64))
-        for c in ltypes:
-            if c not in by and c != on:
-                df[c] = _nullable(df[c])
-        for c, src in zip(acols, srcs):
-            df[c] = _null_series(len(df), rtypes[src])
-        return df
-
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({k: df[k] for k in by})
-        out[on] = df[on]
-        out["_side"] = np.int8(0)
-        out["_tb"] = df[tiebreak].to_numpy()
-        for c, src in zip(acols, srcs):
-            out[c] = _nullable(df[src])
-        # left-only columns null-filled with the LEFT side's types so
-        # the union's Arrow schemas agree
-        for c in ltypes:
-            if c not in out:
-                out[c] = _null_series(len(df), ltypes[c])
-        return out
-
-    lt = left.map_batches(tag_left, batch_format="pandas")
+    ltypes = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
+    rtypes = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}
     order = [*ltypes, "_side", "_tb", *acols]
-    rt = right.map_batches(
-        lambda df: tag_right(df)[order], batch_format="pandas")
+    types = {**ltypes, "_side": pa.int8(), "_tb": pa.int64(),
+             **{c: rtypes[s] for c, s in zip(acols, srcs)}}
+
+    # the union stays in Arrow (typed pa.nulls fills) so the bucket
+    # exchange sorts zero-copy Arrow blocks; pandas only per bucket
+    def tag(t: pa.Table, side: int) -> pa.Table:
+        n = t.num_rows
+        vals = dict(zip(t.column_names, t.columns))
+        cols = {}
+        for c in order:
+            if c == "_side":
+                cols[c] = pa.array(np.full(n, side, np.int8))
+            elif c == "_tb":
+                tb = vals.get(tiebreak)
+                cols[c] = (pc.cast(tb, pa.int64()) if tb is not None
+                           else pa.array(np.zeros(n, np.int64)))
+            elif side == 1:
+                cols[c] = vals.get(c, pa.nulls(n, types[c]))
+            else:
+                src = (dict(zip(acols, srcs))[c] if c in acols
+                       else (c if c in by or c == on else None))
+                cols[c] = (vals[src] if src is not None
+                           else pa.nulls(n, types[c]))
+        out = pa.table(cols)
+        b = key_hash_buckets(out.select(by).to_pandas(), by, num_buckets)
+        return out.append_column("_bucket", pa.array(b))
+
+    lt = left.map_batches(lambda t: tag(t, 1), batch_format="pyarrow")
+    rt = right.map_batches(lambda t: tag(t, 0), batch_format="pyarrow")
+    int_acols = [c for c in acols if pa.types.is_integer(types[c])]
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         # stable sort: right rows (side 0) precede left rows at equal
@@ -152,10 +115,15 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
         g = g.sort_values([on, "_side", "_tb"], kind="mergesort")
         g[acols] = g.groupby(by, sort=False)[acols].ffill()
         out = g[(g["_side"] == 1) & g[f"r_{on}"].notna()]
-        return out.drop(columns=["_side", "_tb"]).reset_index(drop=True)
+        out = out.drop(columns=["_side", "_tb"]).reset_index(drop=True)
+        for c in int_acols:  # un-promote ints the null fill floated
+            if not out[c].isna().any():
+                out[c] = out[c].astype("int64")
+        return out
 
-    return bucketed_groups(lt.union(rt), by, merge,
-                           num_buckets=num_buckets)
+    return (lt.union(rt).groupby("_bucket")
+            .map_groups(lambda g: merge(g.drop(columns=["_bucket"])),
+                        batch_format="pandas"))
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, *, on: list[str],
