@@ -514,17 +514,26 @@ def orders_lineitem_join(sf_dir: str) -> pd.DataFrame:
     j = joins.hash_join(orders, li, on=["o_orderkey"],
                         right_on=["l_orderkey"])
 
-    def rev(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "o_orderpriority": df["o_orderpriority"].astype(str),
-            "rev": df["l_extendedprice"].to_numpy()
-                   * (1.0 - df["l_discount"].to_numpy())})
+    def rev_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # pre-aggregate per batch: the global exchange carries a few
+        # (priority, count, sum) rows per block, not the joined rows
+        rev = df["l_extendedprice"].to_numpy() \
+            * (1.0 - df["l_discount"].to_numpy())
+        out = (pd.DataFrame({"o_orderpriority":
+                             df["o_orderpriority"].astype(str),
+                             "rev": rev})
+               .groupby("o_orderpriority", sort=False)
+               .agg(n_items=("rev", "size"), revenue=("rev", "sum"))
+               .reset_index())
+        out["n_items"] = out["n_items"].astype("int64")
+        return out
 
-    out = (j.map_batches(rev, batch_format="pandas")
+    out = (j.map_batches(rev_partials, batch_format="pandas")
            .groupby("o_orderpriority")
-           .aggregate(Count(alias_name="n_items"),
-                      Sum("rev", alias_name="revenue"))
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("revenue", alias_name="revenue"))
            .to_pandas())
+    out["n_items"] = out["n_items"].astype("int64")
     return round_cols(out, ["revenue"], ndigits=2)
 
 
