@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_logprob": Q.doc_unigram_logprob,    # unigram LM score
         "events_running_total": Q.events_running_total,  # window analytics
         "events_pivot": Q.events_pivot,                  # pivot counts
+        "events_distinct_users_approx":
+            Q.events_distinct_users_approx,              # HLL sketch
         "lineitem_pricing": Q.lineitem_pricing,          # generic fold
         # text analysis
         "doc_token_stats": Q.doc_token_stats,

@@ -633,6 +633,16 @@ def events_pivot(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def events_distinct_users_approx(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog approximate distinct users per type — the
+    bounded-state alternative to events_distinct_users' exact pair
+    shuffle (rows-only; recall-tested against the exact op)."""
+    from ..ops import sketch
+
+    ds = _events(sf_dir, ["event_type", "user_id"])
+    return sketch.hll_distinct(ds, key="event_type", value="user_id")
+
+
 # --- multimodal plumbing (decode stub + frame sampling; rows-only) -----
 def media_features(sf_dir: str) -> pd.DataFrame:
     from ..ops.multimodal import MediaDecoder, synth_media_table

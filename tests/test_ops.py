@@ -531,3 +531,29 @@ def test_chunk_batch_overlap_roundtrip():
     assert list(d1["chunk_text"]) == ["abcd", "defg", "ghij", "j"]
     d2 = out[out["doc_id"] == 2]
     assert list(d2["chunk_text"]) == ["xy"]
+
+
+def test_hll_distinct_accuracy():
+    """HLL register sketch: exact on the small-range linear-counting
+    path, <5% relative error on the raw-estimate path (100k distinct),
+    and merge-invariant across batch splits."""
+    from mlp_ray.ops import sketch
+
+    # small range: 150 distinct -> linear counting, near-exact
+    small = pd.DataFrame({
+        "k": ["a"] * 450, "v": np.tile(np.arange(150), 3)})
+    out = sketch.hll_distinct(rd.from_pandas(small), key="k", value="v")
+    assert abs(out["approx_distinct"][0] - 150) <= 3
+
+    # raw-estimate path: 100k distinct with duplicates, split across
+    # many blocks so merge actually runs
+    big = pd.DataFrame({
+        "k": np.repeat(["x", "y"], 150_000),
+        "v": np.concatenate([np.arange(100_000), np.arange(50_000),
+                             np.arange(100_000) + 10**9,
+                             np.arange(50_000) + 10**9])})
+    ds = rd.from_pandas(big).repartition(8)
+    out = (sketch.hll_distinct(ds, key="k", value="v")
+           .set_index("k")["approx_distinct"])
+    for k in ("x", "y"):
+        assert abs(out[k] - 100_000) / 100_000 < 0.05, out[k]
