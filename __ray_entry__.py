@@ -51,6 +51,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_logprob": Q.doc_unigram_logprob,    # unigram LM score
         "events_running_total": Q.events_running_total,  # window analytics
         "events_pivot": Q.events_pivot,                  # pivot counts
+        "events_rollup": Q.events_rollup,                # grouping sets
+        "events_group_sample": Q.events_group_sample,    # per-group sample
+        "events_dedup_latest": Q.events_dedup_latest,    # upsert compaction
+        "doc_tfidf": Q.doc_tfidf,                        # tf-idf top terms
+        "emb_dup_clusters": Q.emb_dup_clusters,          # connected comps
         "events_distinct_users_approx":
             Q.events_distinct_users_approx,              # HLL sketch
         "lineitem_pricing": Q.lineitem_pricing,          # generic fold
@@ -295,6 +300,68 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER
                        (PARTITION BY user_id ORDER BY ts, event_id) AS rn
             FROM events
+        """,
+        "events_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(CAST(CAST(date_trunc('day', ts) AS TIMESTAMP)
+                                 AS VARCHAR), 'ALL') AS day,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY ROLLUP(event_type, CAST(date_trunc('day', ts)
+                                             AS TIMESTAMP))
+        """,
+        "events_group_sample": """
+            SELECT event_type, event_id, rn FROM (
+                SELECT event_type, event_id,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                    event_id) AS rn
+                FROM events) WHERE rn <= 3
+        """,
+        "events_dedup_latest": """
+            SELECT user_id, event_id, ts, event_type,
+                   round(value, 6) AS value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "doc_tfidf": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2
+            ), df AS (
+                SELECT word, count(*) AS df FROM tf GROUP BY 1
+            ), n AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+            )
+            SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+                SELECT tf.doc_id, tf.word AS term, tf.tf, df.df,
+                       round(tf.tf * ln(n.n / df.df), 6) AS tfidf,
+                       row_number() OVER (PARTITION BY tf.doc_id
+                           ORDER BY round(tf.tf * ln(n.n / df.df), 6)
+                                    DESC, tf.word) AS rnk
+                FROM tf JOIN df USING (word), n) WHERE rnk <= 3
+        """,
+        # transitive closure of the emb_cosine_pairs graph: cluster_id
+        # = min vec_id reachable (the engine's hash-min fixed point)
+        "emb_dup_clusters": """
+            WITH RECURSIVE p AS (
+              SELECT a.vec_id AS u, b.vec_id AS v
+              FROM embeddings a JOIN embeddings b ON a.vec_id > b.vec_id
+              WHERE round(list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4),
+            edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+            nodes AS (SELECT DISTINCT u AS n FROM edges),
+            reach(n, lbl) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.n = e.v
+            )
+            SELECT n AS vec_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY n
         """,
         "events_pivot": """
             SELECT user_id,

@@ -139,6 +139,45 @@ def decontaminate(docs_ds: rd.Dataset, bench_grams: np.ndarray, *,
     return docs_ds.map_batches(probe, batch_format="pyarrow")
 
 
+def group_sample(ds: rd.Dataset, *, group_col: str, id_col: str,
+                 k: int = 3) -> rd.Dataset:
+    """Deterministic k-row sample PER GROUP: the k rows whose
+    ``md5(id)`` hex digests sort first (tie-break id ASC) — a
+    shuffle-light, order-independent stand-in for per-group reservoir
+    sampling (same contract as ``stratified_sample``: identical output
+    at any parallelism, after any resume).
+
+    State is bounded by construction: every batch prunes itself to k
+    rows per group before the exchange, so the group-bucketed merge
+    sees at most k·blocks rows per group, never the group.  Returns
+    (group, id, rn) with rn = 1..k in hash order.  The md5 hex key is
+    the DuckDB-oracle-pinned ordering (md5 == hashlib.md5)."""
+    import hashlib
+
+    def keyed_prune(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            group_col: batch[group_col].to_pylist(),
+            id_col: ids,
+            "_h": [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+        })
+        return (df.sort_values(["_h", id_col], kind="mergesort")
+                .groupby(group_col, sort=False).head(k))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["_h", id_col], kind="mergesort")
+             .groupby(group_col, sort=False).head(k)
+             .sort_values([group_col, "_h", id_col], kind="mergesort"))
+        g["rn"] = (g.groupby(group_col, sort=False).cumcount() + 1) \
+            .astype("int64")
+        return g.drop(columns=["_h"]).reset_index(drop=True)
+
+    from ..util import bucketed_groups
+
+    partials = ds.map_batches(keyed_prune, batch_format="pyarrow")
+    return bucketed_groups(partials, [group_col], merge)
+
+
 def stratified_sample(ds: rd.Dataset, rates: dict[str, int], *,
                       default_rate: int, stratum_col: str = "lang",
                       id_col: str = "doc_id") -> rd.Dataset:

@@ -369,6 +369,66 @@ def unigram_logprob(docs_ds, k: int = 20, text_col: str = "text"):
     return docs_ds.map_batches(score, batch_format="pyarrow")
 
 
+def tfidf_topk(docs_ds, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id"):
+    """Top-``k`` TF-IDF terms per document: (doc_id, term, tf, df,
+    tfidf, rnk) with tfidf = tf · ln(N/df).
+
+    The distributed shape matters more than the math: document rows
+    are batch-atomic, so per-batch (doc, word, tf) rows are globally
+    unique — the document-frequency "join" is then ONE word-bucketed
+    exchange where df is just the bucket-local group size (no separate
+    df table, no broadcast of a corpus-sized vocabulary, unlike
+    ``unigram_logprob`` whose broadcast is valid only because it keeps
+    k words).  A second doc-bucketed exchange ranks terms per doc.
+    Ranking compares the 6-decimal-rounded score (tie-break term ASC),
+    mirrored by the DuckDB oracle, so float association can't flip
+    adjacent ranks.  Splits on single spaces (``string_split`` oracle
+    contract, as repetition_batch)."""
+    import pandas as pd
+
+    def tf_rows(t: pa.Table) -> pd.DataFrame:
+        la = pc.split_pattern(t[text_col], pattern=" ")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        parent = la.value_parent_indices().to_numpy()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = pd.DataFrame({
+            "doc_id": ids[parent],
+            "term": la.flatten().to_numpy(zero_copy_only=False)})
+        out = (pairs.groupby(["doc_id", "term"], sort=False)
+               .size().rename("tf").reset_index())
+        out["tf"] = out["tf"].astype("int64")
+        return out
+
+    tf = docs_ds.map_batches(tf_rows, batch_format="pyarrow")
+    n_docs = float(docs_ds.count())
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        # whole words co-locate in a bucket and (doc, term) rows are
+        # unique → df(term) = its row count here
+        g = g.copy()
+        g["df"] = (g.groupby("term", sort=False)["term"]
+                   .transform("size").astype("int64"))
+        return g
+
+    def rank_doc_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["tfidf"] = round_half_away(
+            g["tf"].to_numpy(dtype=np.float64)
+            * np.log(n_docs / g["df"].to_numpy(dtype=np.float64)))
+        g = g.sort_values(["doc_id", "tfidf", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rnk"] = (g.groupby("doc_id", sort=False).cumcount() + 1) \
+            .astype("int64")
+        return g[g["rnk"] <= k].reset_index(drop=True)
+
+    from ..util import bucketed_groups
+
+    with_df = bucketed_groups(tf, ["term"], attach_df)
+    return bucketed_groups(with_df, ["doc_id"], rank_doc_bucket)
+
+
 _OBJ_CACHE: dict = {}
 
 

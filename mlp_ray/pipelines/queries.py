@@ -633,6 +633,92 @@ def events_pivot(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def events_rollup(sf_dir: str) -> pd.DataFrame:
+    """Multi-level (GROUPING SETS) aggregate — count + sum(value) per
+    (event_type, day), per event_type, and grand total — computed from
+    ONE distributed pass: the finest-level groupby is the only corpus
+    exchange; the coarser levels re-aggregate its small result (the
+    standard rollup trick — never N passes over the input)."""
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "day", pc.floor_temporal(t["ts"], unit="day"))
+
+    fine = (ds.map_batches(add_day, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "day"])
+            .aggregate(Count(alias_name="n"),
+                       Sum("value", alias_name="sum_value"))
+            .to_pandas())
+    # match DuckDB CAST(TIMESTAMP AS VARCHAR): '2024-01-01 00:00:00'
+    fine["day"] = pd.to_datetime(fine["day"]).dt.strftime(
+        "%Y-%m-%d %H:%M:%S")
+    by_type = (fine.groupby("event_type", as_index=False)
+               .agg(n=("n", "sum"), sum_value=("sum_value", "sum")))
+    by_type["day"] = "ALL"
+    total = pd.DataFrame([{"event_type": "ALL", "day": "ALL",
+                           "n": fine["n"].sum(),
+                           "sum_value": fine["sum_value"].sum()}])
+    out = pd.concat([fine, by_type, total], ignore_index=True)[
+        ["event_type", "day", "n", "sum_value"]]
+    out["n"] = out["n"].astype("int64")
+    return round_cols(out, ["sum_value"])
+
+
+def events_group_sample(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Deterministic k-row sample per event type (md5-hash order —
+    per-group reservoir-sampling stand-in, bounded partial state)."""
+    return scrub.group_sample(_events(sf_dir, ["event_id", "event_type"]),
+                              group_col="event_type", id_col="event_id",
+                              k=k).to_pandas()
+
+
+def events_dedup_latest(sf_dir: str) -> pd.DataFrame:
+    """CDC-style upsert compaction: the LATEST whole row per user
+    (max ts, tie max event_id).  Per-batch prune to one row per user →
+    user-bucketed merge — the exchange carries at most one row per
+    (user, block), never the history."""
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                          "value"])
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["ts", "event_id"], ascending=False,
+                               kind="mergesort")
+                .drop_duplicates("user_id").reset_index(drop=True))
+
+    partials = ds.map_batches(latest, batch_format="pandas")
+    out = bucketed_groups(partials, ["user_id"], latest).to_pandas()
+    out = out[["user_id", "event_id", "ts", "event_type", "value"]]
+    return round_cols(out, ["value"])
+
+
+def doc_tfidf(sf_dir: str) -> pd.DataFrame:
+    """Top-3 TF-IDF terms per document (corpus df via one word-bucketed
+    exchange; rank on the rounded score)."""
+    return text.tfidf_topk(_docs(sf_dir, ["doc_id", "text"]),
+                           k=3).to_pandas()
+
+
+def emb_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Duplicate CLUSTERS: cosine≥0.4 pair graph → distributed
+    connected components (hash-min label propagation over narrow
+    label/edge exchanges).  Edges here come from the exact all-pairs
+    validation op so the DuckDB oracle (recursive CTE) sees the same
+    graph; at corpus scale the same components op consumes
+    embedding_near_dup / minhash candidates instead."""
+    from ..ops import graph
+
+    pairs = dedup.exact_cosine_pairs(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]), threshold=0.4)
+    out = graph.connected_components(
+        pairs, left="vec_id", right="dup_of").to_pandas()
+    return out.rename(columns={"node": "vec_id"})
+
+
 def events_distinct_users_approx(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog approximate distinct users per type — the
     bounded-state alternative to events_distinct_users' exact pair
