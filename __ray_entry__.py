@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedup_latest": Q.events_dedup_latest,    # upsert compaction
         "doc_tfidf": Q.doc_tfidf,                        # tf-idf top terms
         "emb_dup_clusters": Q.emb_dup_clusters,          # connected comps
+        "doc_dup_clusters": Q.doc_dup_clusters,          # minhash→components
         "events_distinct_users_approx":
             Q.events_distinct_users_approx,              # HLL sketch
         "lineitem_pricing": Q.lineitem_pricing,          # generic fold
@@ -395,8 +396,12 @@ def oracle_sql() -> dict[str, str]:
                    round(min(n_chars), 6) AS min_n_chars,
                    round(max(n_chars), 6) AS max_n_chars,
                    round(avg(n_chars), 6) AS avg_n_chars,
+                   round(CAST(quantile_cont(n_chars, 0.50) AS DOUBLE), 6)
+                       AS p50_n_chars,
                    round(CAST(quantile_cont(n_chars, 0.95) AS DOUBLE), 6)
-                       AS p95_n_chars
+                       AS p95_n_chars,
+                   round(CAST(quantile_cont(n_chars, 0.99) AS DOUBLE), 6)
+                       AS p99_n_chars
             FROM documents GROUP BY lang
         """,
         "lineitem_pricing": """

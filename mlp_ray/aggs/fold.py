@@ -38,17 +38,35 @@ volume grows with the data.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# any "pNN[.N]" stat token is a quantile (p50, p95, p99, p99.9) — they
+# all read from the SAME per-group value array / sketch, so extra
+# quantiles add readout work only, never shuffle volume
+_QUANT_RE = re.compile(r"^p(\d{1,2}(?:\.\d+)?)$")
+
+
+def _quantile_stats(stats) -> list[tuple[str, float]]:
+    out = []
+    for s in stats:
+        m = _QUANT_RE.match(s)
+        if m:
+            out.append((s, float(m.group(1)) / 100.0))
+    return out
+
 
 @dataclass
 class FoldSpec:
     keys: list[str]
-    # metric col → subset of {"count","sum","min","max","avg","p95"}
+    # metric col → subset of {"count","sum","min","max","avg"} plus
+    # any "pNN[.N]" quantile tokens (p50/p95/p99/p99.9 — all read the
+    # same per-group value array/sketch; extra quantiles cost readout
+    # only, no extra shuffle volume)
     metrics: dict[str, tuple[str, ...]] = field(default_factory=dict)
     # first/last non-null value by doc_id order
     first_cols: list[str] = field(default_factory=list)
@@ -133,7 +151,7 @@ class FoldSpec:
                 out[f"_min_{m}"] = col.min()
             if "max" in stats:
                 out[f"_max_{m}"] = col.max()
-            if "p95" in stats:
+            if _quantile_stats(stats):
                 v = df[m].to_numpy(dtype=np.float64, na_value=np.nan)
                 valid = ~np.isnan(v)
                 gv, vv = ng[valid], v[valid]
@@ -319,13 +337,13 @@ class FoldSpec:
                 out[f"max_{m}"] = g[f"_max_{m}"].max().where(pos)
             if "avg" in stats:
                 out[f"avg_{m}"] = (s / cnt).where(pos)
-            if "p95" in stats:
+            for sname, q in _quantile_stats(stats):
                 if self.p95_mode == "sketch":
-                    out[f"p95_{m}"] = g[f"_vals_{m}"].apply(
-                        _p95_of_sketches)
+                    out[f"{sname}_{m}"] = g[f"_vals_{m}"].apply(
+                        _quantile_of_sketches, q=q)
                 else:
-                    out[f"p95_{m}"] = _p95_of_arrays_grouped(
-                        g, f"_vals_{m}")
+                    out[f"{sname}_{m}"] = _quantile_of_arrays_grouped(
+                        g, f"_vals_{m}", q)
         for c, out_name in self.bool_count_cols.items():
             out[out_name] = g[f"_bsum_{c}"].sum()
         for c in self.countmap_cols:
@@ -370,21 +388,21 @@ class FoldSpec:
         return out
 
 
-def _p95_of_arrays(s: pd.Series):
+def _p95_of_arrays(s: pd.Series, q: float = 0.95):
     arrs = [np.asarray(a, dtype=np.float64) for a in s
             if a is not None and len(a)]
     if not arrs:
         return np.nan
-    return float(np.quantile(np.concatenate(arrs), 0.95))
+    return float(np.quantile(np.concatenate(arrs), q))
 
 
-def _p95_of_arrays_grouped(gb, col: str) -> pd.Series:
-    """Exact per-group p95 over variable-length value arrays in ONE
+def _quantile_of_arrays_grouped(gb, col: str, q: float = 0.95) -> pd.Series:
+    """Exact per-group quantile over variable-length value arrays in ONE
     lexsort pass — replaces a per-group ``apply(_p95_of_arrays)``
     (one ``np.quantile`` call per group dominated the driver-merge
     profile after the count-map union was flattened).  Matches
-    ``np.quantile(..., 0.95)`` 'linear' interpolation exactly:
-    virtual index h = (n-1)·0.95, v[⌊h⌋] + frac·(v[⌊h⌋+1] − v[⌊h⌋])."""
+    ``np.quantile(..., q)`` 'linear' interpolation exactly:
+    virtual index h = (n-1)·q, v[⌊h⌋] + frac·(v[⌊h⌋+1] − v[⌊h⌋])."""
     group_index = gb.size().index  # appearance order == ngroup codes
     n_groups = len(group_index)
     row_codes = gb.ngroup().to_numpy()
@@ -402,7 +420,7 @@ def _p95_of_arrays_grouped(gb, col: str) -> pd.Series:
         v, gcodes = v[order], gcodes[order]
         starts = np.flatnonzero(np.r_[True, gcodes[1:] != gcodes[:-1]])
         ends = np.r_[starts[1:], len(gcodes)]
-        pos = (ends - starts - 1) * 0.95
+        pos = (ends - starts - 1) * q
         lo = starts + np.floor(pos).astype(np.int64)
         hi = np.minimum(lo + 1, ends - 1)
         frac = pos - np.floor(pos)
@@ -442,10 +460,10 @@ def _as_sketch(h) -> np.ndarray:
     return a.astype(np.int64)
 
 
-def _p95_of_sketches(s: pd.Series):
+def _quantile_of_sketches(s: pd.Series, q: float = 0.95):
     """Quantile from the merged histogram with numpy-'linear' RANK
     interpolation: the order statistics at floor/ceil of
-    h = (n-1)·0.95 are located by bin and interpolated by the
+    h = (n-1)·q are located by bin and interpolated by the
     fractional rank.  Returning the ceil-rank bin alone left a
     between-order-statistics gap (~10% on heavy-tailed small groups);
     interpolating bounds the error by ~bin width instead."""
@@ -457,7 +475,7 @@ def _p95_of_sketches(s: pd.Series):
     if total == 0:
         return np.nan
     cum = np.cumsum(h)
-    pos = (total - 1) * 0.95
+    pos = (total - 1) * q
     lo_rank = int(np.floor(pos)) + 1      # 1-based rank of lower stat
     hi_rank = min(lo_rank + 1, total)
     b_lo = int(np.searchsorted(cum, lo_rank))

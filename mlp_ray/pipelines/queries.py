@@ -567,15 +567,18 @@ def doc_chunk(sf_dir: str) -> pd.DataFrame:
 
 
 def doc_len_quantiles(sf_dir: str) -> pd.DataFrame:
-    """Per-language document-length stats through the generic fold
-    (exact p95 matching DuckDB quantile_cont)."""
+    """Per-language document-length stats through the generic fold —
+    MULTI-quantile (p50/p95/p99 all read from the one per-group value
+    array the p95 path already shuffles; extra quantiles are readout
+    work only), exact match to DuckDB quantile_cont."""
     spec = FoldSpec(keys=["lang"],
-                    metrics={"n_chars": ("min", "max", "avg", "p95")},
+                    metrics={"n_chars": ("min", "max", "avg",
+                                         "p50", "p95", "p99")},
                     order_col="doc_id")
     out = run_fold(_docs(sf_dir, ["doc_id", "lang", "n_chars"]),
                    spec, merge="driver").to_pandas()
     return round_cols(out, ["min_n_chars", "max_n_chars", "avg_n_chars",
-                            "p95_n_chars"])
+                            "p50_n_chars", "p95_n_chars", "p99_n_chars"])
 
 
 def doc_unigram_logprob(sf_dir: str) -> pd.DataFrame:
@@ -717,6 +720,28 @@ def emb_dup_clusters(sf_dir: str) -> pd.DataFrame:
     out = graph.connected_components(
         pairs, left="vec_id", right="dup_of").to_pandas()
     return out.rename(columns={"node": "vec_id"})
+
+
+def doc_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Production near-dup clustering composition: MinHash-LSH
+    candidate pairs → distributed connected components → one canonical
+    doc per cluster (min doc_id = the cluster label).  Rows-only (the
+    LSH seed graph is not SQL-expressible); the components engine
+    itself is oracle-attested by emb_dup_clusters."""
+    from ..ops import graph
+
+    pairs = dedup.minhash_lsh_candidates(_docs(sf_dir, ["doc_id", "text"]))
+    comp = graph.connected_components(pairs, left="doc_id",
+                                      right="dup_of")
+    sizes = graph.cluster_sizes(comp).to_pandas()
+    out = comp.to_pandas().rename(columns={"node": "doc_id",
+                                           "cluster_id": "canonical_id"})
+    out = out.merge(sizes.rename(columns={"cluster_id": "canonical_id",
+                                          "size": "cluster_size"}),
+                    on="canonical_id")
+    out["is_canonical"] = (out["doc_id"] == out["canonical_id"]) \
+        .astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def events_distinct_users_approx(sf_dir: str) -> pd.DataFrame:
