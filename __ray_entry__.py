@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rawlog_main_ops": Q.rawlog_main_ops,            # S2/S3/P1-P3/J2
         # token-stream ops over the input_hint tokens payload
         "flagship_token_freq": Q.flagship_token_freq,
+        "flagship_token_bigrams": Q.flagship_token_bigrams,
         "flagship_seq_lengths": Q.flagship_seq_lengths,
         "flagship_pack_plan": Q.flagship_pack_plan,      # prefix-sum scan
         "flagship_pack_greedy": Q.flagship_pack_greedy,  # rows-only

@@ -62,6 +62,65 @@ def token_histogram(ds: rd.Dataset, *, col: str = "tokens",
     return hist.limit(k) if k else hist
 
 
+def bigram_histogram(ds: rd.Dataset, *, col: str = "tokens",
+                     k: int | None = 100,
+                     num_buckets: int = 64) -> rd.Dataset:
+    """(tok_a, tok_b, count) frequencies of ADJACENT token pairs,
+    count-desc (ties: tok_a, tok_b asc), truncated to the top ``k``.
+
+    Same bounded-state shape as ``token_histogram`` one order up: the
+    pair (a << 31 | b — tokens are non-negative int32, so the packed
+    key fits int64 losslessly) is counted per batch with one
+    ``np.unique`` over the flattened values, so the exchange carries
+    at most one row per distinct batch bigram — bounded by batch token
+    count, never corpus size.  Sequence boundaries never pair: the
+    positions crossing a list boundary are masked from the adjacent
+    (v[:-1], v[1:]) views."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame({"pair": pd.Series(dtype="int64"),
+                              "count": pd.Series(dtype="int64")})
+        arr = batch[col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+            else arr
+        v = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        if len(v) < 2:
+            return empty
+        lens = pa.compute.list_value_length(arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        bounds = np.cumsum(lens)[:-1]  # interior sequence boundaries
+        valid = np.ones(len(v) - 1, dtype=bool)
+        inb = bounds[(bounds > 0) & (bounds < len(v))]
+        valid[inb - 1] = False
+        key = (v[:-1][valid] << np.int64(31)) | v[1:][valid]
+        if not len(key):
+            return empty
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({"pair": uniq, "count": cnt.astype(np.int64)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("pair", sort=False)["count"].sum().reset_index()
+        return out.astype({"pair": "int64", "count": "int64"})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    hist = bucketed_groups(partials, ["pair"], merge,
+                           num_buckets=num_buckets)
+    hist = hist.sort(["count", "pair"], descending=[True, False])
+    if k:
+        hist = hist.limit(k)
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["pair"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "tok_a": (p >> np.int64(31)).astype(np.int64),
+            "tok_b": (p & np.int64((1 << 31) - 1)).astype(np.int64),
+            "count": df["count"].to_numpy(dtype=np.int64)})
+
+    return hist.map_batches(unpack, batch_format="pandas")
+
+
 def sequence_length_stats(ds: rd.Dataset, *, col: str = "n_tok",
                           bin_width: int = 64) -> pd.DataFrame:
     """Sequence-length histogram (token-budget planning): counts per

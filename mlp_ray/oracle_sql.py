@@ -411,6 +411,21 @@ ORDER BY "count" DESC, token ASC
 LIMIT 100
 """
 
+# adjacent-pair frequencies; the packed a*2^31+b key mirrors
+# ops/tokens.bigram_histogram (tokens are non-negative int32)
+_TOKEN_BIGRAMS_SQL = f"""
+WITH p AS (
+  SELECT unnest([CAST(tokens[i] AS BIGINT) * 2147483648 + tokens[i + 1]
+                 FOR i IN range(1, len(tokens))]) AS pair
+  FROM read_parquet('{FLAGSHIP_ORACLE_PATH}'))
+SELECT CAST(pair // 2147483648 AS BIGINT) AS tok_a,
+       CAST(pair % 2147483648 AS BIGINT) AS tok_b,
+       count(*) AS "count"
+FROM p GROUP BY pair
+ORDER BY "count" DESC, tok_a ASC, tok_b ASC
+LIMIT 100
+"""
+
 _SEQ_LENGTHS_SQL = f"""
 SELECT CAST(n_tok // 64 AS BIGINT) * 64 AS bin,
        count(*) AS "count",
@@ -439,6 +454,7 @@ FROM c GROUP BY 1 ORDER BY 1
 FLAGSHIP_SQL: dict[str, str] = {
     "rawlog_main_ops": _RAWLOG_MAIN_OPS_SQL,
     "flagship_token_freq": _TOKEN_FREQ_SQL,
+    "flagship_token_bigrams": _TOKEN_BIGRAMS_SQL,
     "flagship_seq_lengths": _SEQ_LENGTHS_SQL,
     "flagship_pack_plan": _PACK_PLAN_SQL,
     "flagship_main_ops": _main_ops_sql(

@@ -913,6 +913,18 @@ def flagship_token_freq(sf_dir: str, k: int = 100) -> pd.DataFrame:
     return token_histogram(ds, k=k).to_pandas()
 
 
+def flagship_token_bigrams(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Top-k ADJACENT-token-pair frequencies over the flagship tokens
+    column — the n-gram-LM / co-occurrence view of the corpus; packed
+    int64 pair partials, pair-bucketed merge (ops/tokens.py)."""
+    from ..ops.tokens import bigram_histogram
+    from ..sources.tokenized import ensure_flagship_parquet
+
+    path = ensure_flagship_parquet(sf_dir)
+    ds = rd.read_parquet(path, columns=["tokens"])
+    return bigram_histogram(ds, k=k).to_pandas()
+
+
 def flagship_seq_lengths(sf_dir: str) -> pd.DataFrame:
     """Sequence-length histogram (64-token bins) + token totals over
     the flagship corpus — the token-budget planning view."""

@@ -557,3 +557,20 @@ def test_hll_distinct_accuracy():
            .set_index("k")["approx_distinct"])
     for k in ("x", "y"):
         assert abs(out[k] - 100_000) / 100_000 < 0.05, out[k]
+
+
+def test_bigram_histogram_boundaries():
+    """Adjacent pairs never cross sequence boundaries; empty and
+    single-token sequences contribute nothing; counts are exact."""
+    import pyarrow as pa
+    from mlp_ray.ops.tokens import bigram_histogram
+
+    tbl = pa.table({"tokens": pa.array(
+        [[1, 2, 3], [3, 1, 2], [], [7], [1, 2]],
+        pa.list_(pa.int32()))})
+    out = (bigram_histogram(rd.from_arrow(tbl), k=None, num_buckets=4)
+           .to_pandas())
+    got = {(a, b): c for a, b, c in
+           zip(out["tok_a"], out["tok_b"], out["count"])}
+    # (3,3) would only appear if the [1,2,3]->[3,1,2] boundary paired
+    assert got == {(1, 2): 3, (2, 3): 1, (3, 1): 1}
