@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_logprob": Q.doc_unigram_logprob,    # unigram LM score
         "events_running_total": Q.events_running_total,  # window analytics
         "events_pivot": Q.events_pivot,                  # pivot counts
+        "events_sessionize": Q.events_sessionize,        # gap sessions
         "events_rollup": Q.events_rollup,                # grouping sets
         "events_group_sample": Q.events_group_sample,    # per-group sample
         "events_dedup_latest": Q.events_dedup_latest,    # upsert compaction
@@ -364,6 +365,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n AS vec_id, min(lbl) AS cluster_id
             FROM reach GROUP BY n
+        """,
+        "events_sessionize": """
+            WITH m AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM m
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events,
+                   min(ts) AS first_ts, max(ts) AS last_ts,
+                   round(date_diff('microsecond', min(ts), max(ts))
+                         / 1000000.0, 6) AS duration_s
+            FROM s GROUP BY 1, 2
         """,
         "events_pivot": """
             SELECT user_id,

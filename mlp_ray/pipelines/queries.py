@@ -612,6 +612,38 @@ def events_running_total(sf_dir: str) -> pd.DataFrame:
     return round_cols(out, ["value", "running_sum"])
 
 
+def _sessionize_bulk(g: pd.DataFrame, gap_min: int = 30) -> pd.DataFrame:
+    """Whole-user gap sessionization for one bucket: a session breaks
+    where the (ts, event_id)-ordered gap exceeds ``gap_min`` minutes.
+    One sort + vectorized diff/cumsum per bucket — the distributed
+    analogue of LAG + windowed SUM; never one frame per user."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    prev = g.groupby("user_id", sort=False)["ts"].shift()
+    new_sess = (prev.isna()
+                | ((g["ts"] - prev) > pd.Timedelta(minutes=gap_min)))
+    g["session_idx"] = new_sess.groupby(
+        g["user_id"], sort=False).cumsum().astype("int64")
+    out = (g.groupby(["user_id", "session_idx"], sort=False)
+           .agg(n_events=("ts", "size"), first_ts=("ts", "min"),
+                last_ts=("ts", "max"))
+           .reset_index())
+    out["n_events"] = out["n_events"].astype("int64")
+    out["duration_s"] = (out["last_ts"]
+                         - out["first_ts"]).dt.total_seconds()
+    return out
+
+
+def events_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessionization (30-min inactivity breaks a session):
+    per-session event counts and bounds.  User-bucketed so each bucket
+    sorts and scans whole users once."""
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+    out = bucketed_groups(ds, ["user_id"], _sessionize_bulk).to_pandas()
+    return round_cols(out, ["duration_s"])
+
+
 def events_pivot(sf_dir: str) -> pd.DataFrame:
     """Pivot: per-user event-type counts as columns.  Per-batch
     crosstab partials shuffle (user x 5 ints), then one sum per
