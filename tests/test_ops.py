@@ -574,3 +574,45 @@ def test_bigram_histogram_boundaries():
            zip(out["tok_a"], out["tok_b"], out["count"])}
     # (3,3) would only appear if the [1,2,3]->[3,1,2] boundary paired
     assert got == {(1, 2): 3, (2, 3): 1, (3, 1): 1}
+
+
+def test_tfidf_topk_vs_brute_force(docs_ds, docs_df):
+    """Distributed TF-IDF (df inside one word-bucketed exchange) vs a
+    local pandas brute force on the same split contract."""
+    out = text.tfidf_topk(docs_ds, k=3).to_pandas()
+    # brute force: single-space split, tf per (doc, word), df over docs
+    rows = []
+    for _, r in docs_df.iterrows():
+        words = pd.Series(r["text"].split(" "))
+        for w, tf in words.value_counts().items():
+            rows.append((r["doc_id"], w, int(tf)))
+    tf = pd.DataFrame(rows, columns=["doc_id", "term", "tf"])
+    df_ = tf.groupby("term").size().rename("df").reset_index()
+    m = tf.merge(df_, on="term")
+    n = float(len(docs_df))
+    from mlp_ray.util import round_half_away
+    m["tfidf"] = round_half_away(m["tf"] * np.log(n / m["df"]))
+    m = m.sort_values(["doc_id", "tfidf", "term"],
+                      ascending=[True, False, True], kind="mergesort")
+    m["rnk"] = m.groupby("doc_id").cumcount() + 1
+    exp = m[m["rnk"] <= 3].reset_index(drop=True)
+    key = ["doc_id", "rnk"]
+    a = out.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(e)
+    assert (a["term"].to_numpy() == e["term"].to_numpy()).all()
+    assert np.allclose(a["tfidf"], e["tfidf"], atol=1e-9)
+
+
+def test_dup_clusters_consistent_with_pairs():
+    """doc_dup_clusters invariants on sf0.001: every pair endpoint is
+    clustered, the canonical is the cluster min, sizes are consistent."""
+    from mlp_ray.pipelines import queries as Q
+
+    out = Q.doc_dup_clusters("/root/testdata/sf0.001")
+    g = out.groupby("canonical_id")
+    assert (g["doc_id"].min() == g["doc_id"].min().index).all()
+    assert (g.size().to_numpy() == g["cluster_size"].first().to_numpy()).all()
+    assert ((out["doc_id"] == out["canonical_id"])
+            == (out["is_canonical"] == 1)).all()
+    assert (out["cluster_size"] >= 2).all()
