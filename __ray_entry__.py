@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": Q.doc_repetition,              # Gopher repetition
         "orders_by_nation": Q.orders_by_nation,          # broadcast lookup join
         "orders_lineitem_join": Q.orders_lineitem_join,  # large-large hash join
+        "orders_top_customers": Q.orders_top_customers,  # agg→join→topk/group
         "customers_no_urgent_orders": Q.customers_no_urgent_orders,  # anti join
         "doc_chunk": Q.doc_chunk,                        # overlap chunking
         "doc_len_quantiles": Q.doc_len_quantiles,        # per-lang fold
@@ -277,6 +278,19 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
+        """,
+        "orders_top_customers": """
+            WITH t AS (
+                SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+                FROM orders GROUP BY 1
+            ), j AS (
+                SELECT c.c_nationkey, t.o_custkey AS custkey, t.total
+                FROM t JOIN customer c ON c.c_custkey = t.o_custkey
+            )
+            SELECT c_nationkey, custkey, total, rnk FROM (
+                SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY total DESC, custkey) AS rnk
+                FROM j) WHERE rnk <= 3
         """,
         "customers_no_urgent_orders": """
             SELECT c.c_nationkey, count(*) AS n_customers

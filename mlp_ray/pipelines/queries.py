@@ -168,6 +168,55 @@ def orders_by_nation(sf_dir: str) -> pd.DataFrame:
     return round_cols(out, ["total_revenue"], ndigits=2)
 
 
+def orders_top_customers(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k customers by lifetime order value per nation — aggregate
+    (custkey-keyed exchange, bounded by customer count) → broadcast
+    nation enrich → per-nation bucketed top-k (per-batch pruning, so
+    the final exchange carries ≤ k·blocks rows per nation).  Ranks on
+    the cent-rounded total (mirrored by the oracle) so distributed
+    float association can't flip adjacent ranks."""
+    from ..util import bucketed_groups
+
+    totals = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_totalprice"])
+              .groupby("o_custkey")
+              .aggregate(Sum("o_totalprice", alias_name="total")))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    lookup = np.full(int(pc.max(cust["c_custkey"]).as_py()) + 1, -1,
+                     dtype=np.int64)
+    lookup[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+    ref = ray.put(lookup)
+
+    from ..util import round_half_away
+
+    def enrich(df: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(ref)
+        out = pd.DataFrame({
+            "c_nationkey": lk[df["o_custkey"].to_numpy(dtype=np.int64)],
+            "custkey": df["o_custkey"].to_numpy(dtype=np.int64),
+            "total": round_half_away(df["total"].to_numpy(), 2)})
+        return out.sort_values(["total", "custkey"],
+                               ascending=[False, True], kind="mergesort") \
+            .groupby("c_nationkey", sort=False).head(k)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["c_nationkey", "total", "custkey"],
+                           ascending=[True, False, True],
+                           kind="mergesort")
+             .groupby("c_nationkey", sort=False).head(k)
+             .sort_values(["c_nationkey", "total", "custkey"],
+                          ascending=[True, False, True],
+                          kind="mergesort"))
+        g["rnk"] = (g.groupby("c_nationkey", sort=False).cumcount() + 1) \
+            .astype("int64")
+        return g.reset_index(drop=True)
+
+    pruned = totals.map_batches(enrich, batch_format="pandas")
+    return bucketed_groups(pruned, ["c_nationkey"], topk).to_pandas()
+
+
 # --- generic fold over lineitem (TPC-H Q1 shape) -----------------------
 def lineitem_pricing(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(
