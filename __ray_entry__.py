@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_group_sample": Q.events_group_sample,    # per-group sample
         "events_dedup_latest": Q.events_dedup_latest,    # upsert compaction
         "doc_tfidf": Q.doc_tfidf,                        # tf-idf top terms
+        "doc_ngram_topk": Q.doc_ngram_topk,              # heavy hitters
         "emb_dup_clusters": Q.emb_dup_clusters,          # connected comps
         "doc_dup_clusters": Q.doc_dup_clusters,          # minhash→components
         "events_distinct_users_approx":
@@ -360,6 +361,24 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY round(tf.tf * ln(n.n / df.df), 6)
                                     DESC, tf.word) AS rnk
                 FROM tf JOIN df USING (word), n) WHERE rnk <= 3
+        """,
+        # exact top-k word-2-grams; the Ray side gets there without a
+        # corpus-wide shuffle (candidates pass + broadcast exact pass)
+        "doc_ngram_topk": r"""
+            WITH d AS (
+                SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ), g AS (
+                SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                               FOR i IN range(1, greatest(len(toks),
+                                                          2))]) AS gram
+                FROM d
+            )
+            SELECT gram, count(*) AS "count",
+                   row_number() OVER (ORDER BY count(*) DESC, gram)
+                       AS rnk
+            FROM g GROUP BY gram
+            ORDER BY "count" DESC, gram LIMIT 50
         """,
         # transitive closure of the emb_cosine_pairs graph: cluster_id
         # = min vec_id reachable (the engine's hash-min fixed point)

@@ -429,6 +429,108 @@ def tfidf_topk(docs_ds, k: int = 3, text_col: str = "text",
     return bucketed_groups(with_df, ["doc_id"], rank_doc_bucket)
 
 
+def _gram_strings(t: pa.Table, n: int, text_col: str) -> np.ndarray:
+    """All word-``n``-gram strings of a batch (whitespace tokens, one
+    window per position; docs shorter than n contribute ONE clipped
+    gram; empty docs contribute nothing) — flat object array built
+    with one split kernel + n shifted views, no per-doc Python."""
+    toks = _ws_tokens(pc.fill_null(t[text_col], ""))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    words = toks.flatten().to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    lens = lens[lens > 0]
+    if not len(words):
+        return np.empty(0, dtype=object)
+    grams_per_doc = np.maximum(lens - n + 1, 1)
+    tok_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    g_pos = (np.arange(int(grams_per_doc.sum()))
+             - np.repeat(np.concatenate(([0],
+                         np.cumsum(grams_per_doc)))[:-1], grams_per_doc))
+    tok0 = np.repeat(tok_starts, grams_per_doc) + g_pos
+    L_rep = np.repeat(lens, grams_per_doc)
+    out = words[tok0].astype(object)
+    for j in range(1, n):
+        valid = (g_pos + j) < L_rep
+        wj = words[np.minimum(tok0 + j, len(words) - 1)]
+        out = np.where(valid, out + " " + wj, out)
+    return out
+
+
+def ngram_heavy_hitters(docs_ds, *, n: int = 2, k: int = 50,
+                        candidate_margin: int = 8,
+                        text_col: str = "text"):
+    """Top-``k`` word-``n``-grams by EXACT count — the unbounded-key
+    frequency problem ``token_histogram`` can't take to 100 TB (its
+    exchange is bounded by vocabulary; the n-gram key space is
+    ~corpus-sized, so a full groupby would shuffle one row per
+    distinct gram).
+
+    SpaceSaving-style two-pass shape instead, with NO corpus-wide
+    shuffle: pass 1 emits each batch's local top-(margin·k) gram
+    counts (bounded partials) and the driver keeps the top-(margin·k)
+    candidates by summed lower-bound count; pass 2 broadcasts the
+    candidate array and counts EXACT occurrences per batch with a
+    searchsorted probe, so the reported counts are exact.  A true
+    top-k gram is missed only if it falls outside every batch's local
+    top — margin is the recall knob (heavy hitters concentrate, so
+    margin·k local slots cover the global top-k on natural-language
+    skew).  Returns (gram, count, rnk), count desc / gram asc.
+    """
+    import pandas as pd
+    import ray
+
+    cap = candidate_margin * k
+
+    def local_counts(t: pa.Table) -> pd.DataFrame:
+        grams = _gram_strings(t, n, text_col)
+        if not len(grams):
+            return pd.DataFrame({"gram": pd.Series(dtype=object),
+                                 "count": pd.Series(dtype="int64")})
+        vc = pd.Series(grams).value_counts()
+        vc = vc.sort_index().sort_values(ascending=False,
+                                         kind="mergesort").head(cap)
+        return pd.DataFrame({"gram": vc.index.to_numpy(dtype=object),
+                             "count": vc.to_numpy().astype(np.int64)})
+
+    # partials are ≤ cap rows per block — a driver concat is bounded by
+    # blocks × cap, the same budget a tree-reduce would move anyway
+    parts = docs_ds.map_batches(local_counts,
+                                batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"gram": pd.Series(dtype=object),
+                             "count": pd.Series(dtype="int64"),
+                             "rnk": pd.Series(dtype="int64")})
+    cand = (parts.groupby("gram")["count"].sum()
+            .sort_values(ascending=False, kind="mergesort").head(cap))
+    cands = np.sort(cand.index.to_numpy(dtype=object))
+    ref = ray.put(cands)
+
+    def exact_counts(t: pa.Table) -> pd.DataFrame:
+        cs = _cached_obj(("hh-cands", ref), ref)
+        grams = _gram_strings(t, n, text_col)
+        if not len(grams):
+            return pd.DataFrame({"idx": pd.Series(dtype="int64"),
+                                 "count": pd.Series(dtype="int64")})
+        pos = np.searchsorted(cs, grams)
+        pos = np.minimum(pos, len(cs) - 1)
+        hit = cs[pos] == grams
+        c = np.bincount(pos[hit], minlength=len(cs))
+        nz = np.flatnonzero(c)
+        return pd.DataFrame({"idx": nz.astype(np.int64),
+                             "count": c[nz].astype(np.int64)})
+
+    exact = (docs_ds.map_batches(exact_counts, batch_format="pyarrow")
+             .to_pandas().groupby("idx")["count"].sum())
+    out = pd.DataFrame({"gram": cands[exact.index.to_numpy()],
+                        "count": exact.to_numpy().astype(np.int64)})
+    out = out.sort_values(["count", "gram"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+    out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
 _OBJ_CACHE: dict = {}
 
 

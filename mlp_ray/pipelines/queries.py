@@ -803,6 +803,15 @@ def emb_dup_clusters(sf_dir: str) -> pd.DataFrame:
     return out.rename(columns={"node": "vec_id"})
 
 
+def doc_ngram_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-50 word-2-grams by exact count via the two-pass heavy-
+    hitters shape (local-top candidates + broadcast exact count) —
+    the unbounded-key frequency op a full groupby can't take to
+    100 TB."""
+    return text.ngram_heavy_hitters(
+        _docs(sf_dir, ["doc_id", "text"]), n=2, k=50)
+
+
 def doc_dup_clusters(sf_dir: str) -> pd.DataFrame:
     """Production near-dup clustering composition: MinHash-LSH
     candidate pairs → distributed connected components → one canonical

@@ -616,3 +616,27 @@ def test_dup_clusters_consistent_with_pairs():
     assert ((out["doc_id"] == out["canonical_id"])
             == (out["is_canonical"] == 1)).all()
     assert (out["cluster_size"] >= 2).all()
+
+
+def test_ngram_heavy_hitters_multibatch_exact(docs_ds, docs_df):
+    """The two-pass heavy-hitters shape must stay EXACT when the
+    corpus is split across many blocks (per-batch local tops feed the
+    candidate pool) — compared against a local brute force."""
+    ds8 = rd.read_parquet(f"{SF}/documents.parquet").repartition(8)
+    out = text.ngram_heavy_hitters(ds8, n=2, k=30)
+    # brute force over whitespace tokens, same window contract
+    from collections import Counter
+    c = Counter()
+    for t in docs_df["text"]:
+        w = t.split()
+        if not w:
+            continue
+        if len(w) < 2:
+            c[w[0]] += 1
+        else:
+            for i in range(len(w) - 1):
+                c[f"{w[i]} {w[i+1]}"] += 1
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got = list(zip(out["gram"], out["count"]))
+    assert got == exp
+    assert list(out["rnk"]) == list(range(1, 31))
