@@ -494,17 +494,29 @@ def ngram_heavy_hitters(docs_ds, *, n: int = 2, k: int = 50,
         return pd.DataFrame({"gram": vc.index.to_numpy(dtype=object),
                              "count": vc.to_numpy().astype(np.int64)})
 
-    # partials are ≤ cap rows per block — a driver concat is bounded by
-    # blocks × cap, the same budget a tree-reduce would move anyway
-    parts = docs_ds.map_batches(local_counts,
-                                batch_format="pyarrow").to_pandas()
-    if parts.empty:
+    # partials are ≤ cap rows per block; at 10^6 blocks a driver concat
+    # would still be 10^6·cap rows, so the pooling is a gram-bucketed
+    # distributed sum + per-bucket top-cap — the driver sees ≤
+    # num_buckets·cap rows regardless of corpus size
+    from ..util import bucketed_groups
+
+    def pool_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby("gram")["count"].sum()
+             .sort_index().sort_values(ascending=False, kind="mergesort")
+             .head(cap).reset_index())
+        s["count"] = s["count"].astype("int64")
+        return s
+
+    parts = docs_ds.map_batches(local_counts, batch_format="pyarrow")
+    pooled = bucketed_groups(parts, ["gram"], pool_bucket).to_pandas()
+    if pooled.empty:
         return pd.DataFrame({"gram": pd.Series(dtype=object),
                              "count": pd.Series(dtype="int64"),
                              "rnk": pd.Series(dtype="int64")})
-    cand = (parts.groupby("gram")["count"].sum()
-            .sort_values(ascending=False, kind="mergesort").head(cap))
-    cands = np.sort(cand.index.to_numpy(dtype=object))
+    cand = (pooled.sort_values(["count", "gram"],
+                               ascending=[False, True], kind="mergesort")
+            .head(cap))
+    cands = np.sort(cand["gram"].to_numpy(dtype=object))
     ref = ray.put(cands)
 
     def exact_counts(t: pa.Table) -> pd.DataFrame:
@@ -521,8 +533,13 @@ def ngram_heavy_hitters(docs_ds, *, n: int = 2, k: int = 50,
         return pd.DataFrame({"idx": nz.astype(np.int64),
                              "count": c[nz].astype(np.int64)})
 
+    # per-batch vectors are ≤ cap rows keyed by a ≤ cap index space —
+    # the Ray aggregate reduces them in-cluster, the driver gets ≤ cap
+    from ray.data.aggregate import Sum
+
     exact = (docs_ds.map_batches(exact_counts, batch_format="pyarrow")
-             .to_pandas().groupby("idx")["count"].sum())
+             .groupby("idx").aggregate(Sum("count", alias_name="count"))
+             .to_pandas().set_index("idx")["count"])
     out = pd.DataFrame({"gram": cands[exact.index.to_numpy()],
                         "count": exact.to_numpy().astype(np.int64)})
     out = out.sort_values(["count", "gram"], ascending=[False, True],
