@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": Q.doc_bpe_tokens,              # BPE-ish count
         "doc_lang_id": Q.doc_lang_id,
         "doc_fingerprint": Q.doc_fingerprint,            # rows-only
+        "doc_winnow_md5": Q.doc_winnow_md5,              # oracle winnowing
         # dedup
         # training-data hygiene
         "doc_pii_scrub": Q.doc_pii_scrub,                # RE2 scrub, oracle
@@ -694,6 +695,26 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'de' END AS lang_pred,
               round(greatest(c_en, c_es, c_fr, c_de) / n, 6) AS lang_conf
             FROM s
+        """,
+        # winnowing (k=2 grams, w=4 windows): md5[:8] gram hashes, min
+        # per sliding window, distinct per doc — exploded rows
+        "doc_winnow_md5": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ), g AS (
+                SELECT doc_id,
+                       [CAST('0x' || substr(md5(array_to_string(
+                            toks[i:i+1], ' ')), 1, 8) AS BIGINT)
+                        FOR i IN range(1, greatest(len(toks), 2))] AS hs
+                FROM t
+            )
+            SELECT doc_id, unnest(list_distinct(
+                       [list_min(hs[i:i+3])
+                        FOR i IN range(1, greatest(len(hs) - 2, 2))]))
+                       AS fp
+            FROM g
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_hash,

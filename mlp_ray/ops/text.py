@@ -548,6 +548,51 @@ def ngram_heavy_hitters(docs_ds, *, n: int = 2, k: int = 50,
     return out
 
 
+def winnow_md5_batch(batch: pa.Table, *, k: int = 2, w: int = 4,
+                     text_col: str = "text") -> "pd.DataFrame":
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03) with
+    md5-derived gram hashes — the ORACLE-ATTESTED variant of
+    ``Fingerprinter``: every step (word-k-gram strings, md5[:8] as the
+    hash, min per w-window, distinct) is reproducible by DuckDB list
+    comprehensions, so the driver can hash-match the exploded
+    (doc_id, fp) rows.  md5 per gram is per-row Python — fine for the
+    validation tier; ``Fingerprinter`` (vectorized multiply-shift
+    hashes) is the production path with the same selection logic.
+
+    Returns exploded (doc_id, fp) rows, fps distinct per doc."""
+    import hashlib
+    import pandas as pd
+
+    la = _ws_tokens(pc.fill_null(batch[text_col], ""))
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    out_ids, out_fps = [], []
+    for i in range(batch.num_rows):
+        toks = la[i].as_py()
+        if not toks:
+            continue
+        n_g = max(len(toks) - k + 1, 1)
+        hs = np.fromiter(
+            (int(hashlib.md5(" ".join(toks[j:j + k]).encode())
+                 .hexdigest()[:8], 16) for j in range(n_g)),
+            dtype=np.int64, count=n_g)
+        if len(hs) >= w:
+            mins = np.min(np.lib.stride_tricks.sliding_window_view(hs, w),
+                          axis=1)
+        else:
+            mins = np.array([hs.min()], dtype=np.int64)
+        fps = np.unique(mins)
+        out_ids.append(np.full(len(fps), ids[i]))
+        out_fps.append(fps)
+    if not out_ids:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "fp": pd.Series(dtype="int64")})
+    return pd.DataFrame({
+        "doc_id": np.concatenate(out_ids).astype(np.int64),
+        "fp": np.concatenate(out_fps).astype(np.int64)})
+
+
 _OBJ_CACHE: dict = {}
 
 

@@ -280,6 +280,15 @@ def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
                          concurrency=(1, 4)).to_pandas())
 
 
+def doc_winnow_md5(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprints with md5 gram hashes — the oracle-grade
+    validation sibling of doc_fingerprint (same selection logic,
+    DuckDB-reproducible hash)."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(text.winnow_md5_batch, batch_format="pyarrow")
+            .to_pandas())
+
+
 # --- training-data hygiene (ops/scrub.py) ------------------------------
 def doc_pii_scrub(sf_dir: str) -> pd.DataFrame:
     """Inject deterministic synthetic PII, then scrub it with the
