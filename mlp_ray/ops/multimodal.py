@@ -3,12 +3,17 @@
 Image/audio/video ride as Arrow ``binary`` columns with metadata
 columns (media_type, width/height or sample_rate, codec).  Decode /
 feature-extract / resize / frame-sample are actor-pool ``map_batches``
-stages.  The actual codec libraries are not in this container, so the
-decode kernel is STUBBED: ``real=True`` raises ``NotImplementedError``
-(clearly marked); the default is a deterministic fake decoder whose
-output is a pure function of the payload bytes — which keeps the
-Ray-side plumbing (schema, batch sizing, actor signature, output
-layout) real and testable.
+stages.
+
+Codec reality in this container: no PIL/opencv/ffmpeg/soundfile.  The
+UNCOMPRESSED formats need none of them — PPM (P6), 24-bit BMP and
+PCM-16 WAV are header-plus-raw-bytes, decoded here with pure
+numpy/struct (``decode_payload``).  So ``real=True`` stages genuinely
+decode those; only COMPRESSED payloads (JPEG/PNG/MP4 — the formats
+that do need the absent libs) raise ``NotImplementedError`` at the
+clearly-marked seam.  ``real=False`` keeps the deterministic fake
+decoder (a pure function of the payload bytes) for plumbing tests on
+arbitrary byte noise.
 
 Batch-size note: binary payloads dominate block bytes; callers should
 pass a small ``batch_size`` (e.g. 64-256) so batch × concurrency fits
@@ -18,44 +23,191 @@ worker heaps — the opposite of the narrow-column aggregate stages.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
 
 
+# --- pure-numpy codecs (uncompressed formats) ---------------------------
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace separated
+    parts, pos = [], 2
+    while len(parts) < 3:
+        while payload[pos:pos + 1].isspace():
+            pos += 1
+        tok = b""
+        while not payload[pos:pos + 1].isspace():
+            tok += payload[pos:pos + 1]
+            pos += 1
+        parts.append(int(tok))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                         offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def encode_bmp24(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP (bottom-up, BGR,
+    4-byte row padding) — the classic BITMAPINFOHEADER layout."""
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (-row) % 4
+    body_rows = []
+    bgr = img[:, :, ::-1]
+    for y in range(h - 1, -1, -1):
+        body_rows.append(bgr[y].astype(np.uint8).tobytes() + b"\x00" * pad)
+    body = b"".join(body_rows)
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_bmp24(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off, = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    row = w * 3
+    stride = row + ((-row) % 4)
+    flipped = h > 0
+    h = abs(h)
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=off).reshape(h, stride)[:, :row]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if flipped else img
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """1-D int16 mono samples → RIFF/WAVE PCM-16."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size, = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from(
+                "<HHI", body, 0)
+            bits, = struct.unpack_from("<H", body, 14)
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM-16 mono WAV supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)
+    if sample_rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return samples, sample_rate
+
+
+def decode_payload(payload: bytes):
+    """Magic-sniffing decode of the supported uncompressed formats:
+    returns ("image", (h,w,3) array) or ("audio", (samples, rate)).
+    Compressed/unknown formats raise NotImplementedError — THE seam
+    where PIL/ffmpeg would plug in."""
+    if payload.startswith(b"P6"):
+        return "image", decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return "image", decode_bmp24(payload)
+    if payload[:4] == b"RIFF":
+        return "audio", decode_wav_pcm16(payload)
+    raise NotImplementedError(
+        "compressed/unknown media payload (JPEG/PNG/MP4 need codec "
+        "libraries not present in this environment)")
+
+
+def nn_resize(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Nearest-neighbor resample — pure numpy index take."""
+    h, w, _ = img.shape
+    yi = np.minimum((np.arange(new_h) * h) // new_h, h - 1)
+    xi = np.minimum((np.arange(new_w) * w) // new_w, w - 1)
+    return img[yi][:, xi]
+
+
 def synth_media_table(n: int, *, seed: int = 42,
-                      payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media table (binary payload + metadata)."""
+                      payload_bytes: int = 4096,
+                      real_payloads: bool = False) -> pa.Table:
+    """Deterministic media table.  ``real_payloads=True`` emits REAL
+    decodable payloads (PPM/BMP noise images at the metadata dims,
+    PCM-16 WAV tones) so the real=True stages have true work; the
+    default emits opaque byte noise for plumbing tests."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes()
-                for _ in range(n)]
     kinds = np.array(["image", "audio", "video"], dtype=object)[
         rng.integers(0, 3, n)]
+    if not real_payloads:
+        payloads = [rng.integers(0, 256, payload_bytes,
+                                 dtype=np.uint8).tobytes()
+                    for _ in range(n)]
+        widths = rng.integers(64, 1920, n)
+        heights = rng.integers(64, 1080, n)
+    else:
+        widths = rng.integers(8, 64, n)
+        heights = rng.integers(8, 64, n)
+        payloads = []
+        for i in range(n):
+            if kinds[i] == "image":
+                img = rng.integers(0, 256, (heights[i], widths[i], 3),
+                                   dtype=np.uint8)
+                payloads.append(encode_ppm(img) if i % 2 == 0
+                                else encode_bmp24(img))
+            elif kinds[i] == "audio":
+                sr = 8000
+                t = np.arange(sr // 4)
+                tone = (np.sin(2 * np.pi * (100 + 10 * (i % 40)) * t / sr)
+                        * 12000).astype(np.int16)
+                payloads.append(encode_wav_pcm16(tone, sr))
+            else:  # video: still opaque (containers need ffmpeg)
+                payloads.append(rng.integers(0, 256, payload_bytes,
+                                             dtype=np.uint8).tobytes())
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),
         "payload": pa.array(payloads, pa.binary()),
         "media_type": pa.array(kinds, pa.string()),
-        "width": pa.array(rng.integers(64, 1920, n), pa.int32()),
-        "height": pa.array(rng.integers(64, 1080, n), pa.int32()),
+        "width": pa.array(widths, pa.int32()),
+        "height": pa.array(heights, pa.int32()),
     })
 
 
 class MediaDecoder:
     """Actor-pool stage: payload → fixed-dim feature vector.
 
-    ``real=True`` is the seam where a real codec (PIL/ffmpeg/soundfile)
-    would load in ``__init__`` — NOT AVAILABLE in this environment.
-    """
+    ``real=True`` decodes PPM/BMP/WAV with the pure-numpy codecs and
+    extracts REAL statistics (dims, per-channel mean/std, luma or
+    amplitude histogram); payloads it cannot decode (compressed
+    formats) raise per-row unless ``skip_undecodable=True``, which
+    routes them out with a null feature row.  ``real=False`` is the
+    deterministic fake for opaque byte noise."""
 
     FEATURE_DIM = 32
 
-    def __init__(self, real: bool = False):
-        if real:
-            raise NotImplementedError(
-                "real media decoding requires codec libraries not present "
-                "in this environment; use real=False for the deterministic "
-                "fake decoder")
+    def __init__(self, real: bool = False, skip_undecodable: bool = True):
         self.real = real
+        self.skip = skip_undecodable
 
     def _fake_features(self, payload: bytes) -> np.ndarray:
         # deterministic pure function of bytes: blake2 → unit floats
@@ -63,47 +215,106 @@ class MediaDecoder:
         raw = np.frombuffer(h, dtype=np.uint16).astype(np.float32)
         return raw / 65535.0
 
+    def _real_features(self, payload: bytes) -> np.ndarray:
+        kind, data = decode_payload(payload)
+        out = np.zeros(self.FEATURE_DIM, dtype=np.float32)
+        if kind == "image":
+            img = data.astype(np.float32)
+            h, w, _ = img.shape
+            out[0], out[1] = w, h
+            out[2:5] = img.mean(axis=(0, 1)) / 255.0
+            out[5:8] = img.std(axis=(0, 1)) / 255.0
+            luma = img.mean(axis=2).ravel()
+            hist, _ = np.histogram(luma, bins=24, range=(0, 255))
+            out[8:32] = hist / max(luma.size, 1)
+        else:
+            samples, sr = data
+            x = samples.astype(np.float32) / 32768.0
+            out[0], out[1] = sr, len(x)
+            out[2] = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+            out[3] = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) \
+                if len(x) > 1 else 0.0
+            hist, _ = np.histogram(x, bins=28, range=(-1, 1))
+            out[4:32] = hist / max(len(x), 1)
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._fake_features(p)
-                 for p in batch["payload"].to_pylist()]
+        ids, types, feats, sizes, ok = [], [], [], [], []
+        for mid, mt, p in zip(batch["media_id"].to_pylist(),
+                              batch["media_type"].to_pylist(),
+                              batch["payload"].to_pylist()):
+            try:
+                f = (self._real_features(p) if self.real
+                     else self._fake_features(p))
+                decoded = True
+            except NotImplementedError:
+                if not self.skip:
+                    raise
+                f = np.zeros(self.FEATURE_DIM, dtype=np.float32)
+                decoded = False
+            ids.append(mid)
+            types.append(mt)
+            feats.append(f.tolist())
+            sizes.append(len(p))
+            ok.append(decoded)
         return pa.table({
-            "media_id": batch["media_id"],
-            "media_type": batch["media_type"],
-            "features": pa.array([f.tolist() for f in feats],
-                                 pa.list_(pa.float32())),
-            "payload_size": pa.array(
-                [len(p) for p in batch["payload"].to_pylist()], pa.int64()),
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            "features": pa.array(feats, pa.list_(pa.float32())),
+            "payload_size": pa.array(sizes, pa.int64()),
+            "decoded": pa.array(ok, pa.bool_()),
         })
 
 
 class Resizer:
-    """Actor-pool stage: resize plan/execution for image payloads.
+    """Actor-pool stage: image resize preserving aspect ratio.
 
-    Real resampling needs the absent codec libs; the stub computes the
-    REAL metadata transform (target dims preserving aspect ratio,
-    scale factors) and emits a deterministic fake resized payload (a
-    size-proportional slice of the original bytes) — schema, batch
-    sizing, and output layout match what a PIL-backed version returns.
-    """
+    ``real=True``: decode (PPM/BMP) → nearest-neighbor numpy resample
+    → re-encode PPM — a genuinely real resize with no codec libs.
+    Non-image / undecodable payloads pass through unresized (scale 1).
+    ``real=False`` computes the REAL metadata transform and emits a
+    deterministic fake payload slice (plumbing tests on byte noise)."""
 
     def __init__(self, max_side: int = 256, real: bool = False):
-        if real:
-            raise NotImplementedError(
-                "real image resizing requires PIL/opencv, not present in "
-                "this environment; use real=False for the metadata-true "
-                "stub")
         self.max_side = max_side
+        self.real = real
+
+    def _resize_real(self, p: bytes):
+        try:
+            kind, img = decode_payload(p)
+        except NotImplementedError:
+            return p, None
+        if kind != "image":
+            return p, None
+        h, w, _ = img.shape
+        scale = min(1.0, self.max_side / max(w, h))
+        if scale >= 1.0:
+            return encode_ppm(img), (w, h, 1.0)
+        nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+        return encode_ppm(nn_resize(img, nw, nh)), (nw, nh, scale)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
         h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
-        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
-        new_w = np.maximum(1, np.round(w * scale).astype(np.int32))
-        new_h = np.maximum(1, np.round(h * scale).astype(np.int32))
         payloads = batch["payload"].to_pylist()
-        ratio = (new_w.astype(np.float64) * new_h) / np.maximum(w * h, 1)
-        resized = [p[: max(1, int(len(p) * r))]
-                   for p, r in zip(payloads, ratio)]
+        if self.real:
+            new_w, new_h = w.copy(), h.copy()
+            scale = np.ones(len(w))
+            resized = []
+            for i, p in enumerate(payloads):
+                rp, meta = self._resize_real(p)
+                resized.append(rp)
+                if meta is not None:
+                    new_w[i], new_h[i], scale[i] = meta
+            new_w = new_w.astype(np.int32)
+            new_h = new_h.astype(np.int32)
+        else:
+            scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+            new_w = np.maximum(1, np.round(w * scale).astype(np.int32))
+            new_h = np.maximum(1, np.round(h * scale).astype(np.int32))
+            ratio = (new_w.astype(np.float64) * new_h) / np.maximum(w * h, 1)
+            resized = [p[: max(1, int(len(p) * r))]
+                       for p, r in zip(payloads, ratio)]
         return pa.table({
             "media_id": batch["media_id"],
             "media_type": batch["media_type"],
@@ -117,9 +328,10 @@ class Resizer:
 class FrameSampler:
     """Actor-pool stage: deterministic frame/segment sampling plan.
 
-    Emits (media_id, frame_index) rows — every_n sampling over a fake
-    frame count derived from payload size (stands in for container
-    parsing, which needs the absent codec libs)."""
+    WAV payloads get a REAL plan (every_n windows of ``frame_bytes``
+    samples over the actual data chunk); other payloads fall back to
+    the size-derived fake frame count (container parsing needs the
+    absent codec libs)."""
 
     def __init__(self, every_n: int = 10, frame_bytes: int = 256):
         self.every_n = every_n
@@ -129,7 +341,14 @@ class FrameSampler:
         ids, frames = [], []
         for mid, p in zip(batch["media_id"].to_pylist(),
                           batch["payload"].to_pylist()):
-            n_frames = max(1, len(p) // self.frame_bytes)
+            if p[:4] == b"RIFF":
+                try:
+                    samples, _ = decode_wav_pcm16(p)
+                    n_frames = max(1, len(samples) // self.frame_bytes)
+                except ValueError:
+                    n_frames = max(1, len(p) // self.frame_bytes)
+            else:
+                n_frames = max(1, len(p) // self.frame_bytes)
             for f in range(0, n_frames, self.every_n):
                 ids.append(mid)
                 frames.append(f)

@@ -855,19 +855,26 @@ def events_distinct_users_approx(sf_dir: str) -> pd.DataFrame:
 
 # --- multimodal plumbing (decode stub + frame sampling; rows-only) -----
 def media_features(sf_dir: str) -> pd.DataFrame:
+    """REAL decode (pure-numpy PPM/BMP/WAV codecs) + feature extract;
+    video payloads (containers need absent codec libs) route out with
+    decoded=False."""
     from ..ops.multimodal import MediaDecoder, synth_media_table
-    tbl = synth_media_table(256)
+    tbl = synth_media_table(256, real_payloads=True)
     return (rd.from_arrow(tbl)
             .map_batches(MediaDecoder, batch_format="pyarrow",
+                         fn_constructor_kwargs={"real": True},
                          batch_size=64, concurrency=(1, 4))
             .to_pandas())
 
 
 def media_resize(sf_dir: str) -> pd.DataFrame:
+    """REAL resize: decode → nearest-neighbor numpy resample →
+    re-encode PPM."""
     from ..ops.multimodal import Resizer, synth_media_table
-    tbl = synth_media_table(256)
+    tbl = synth_media_table(256, real_payloads=True)
     out = (rd.from_arrow(tbl)
            .map_batches(Resizer, batch_format="pyarrow",
+                        fn_constructor_kwargs={"real": True},
                         batch_size=64, concurrency=(1, 4))
            .to_pandas())
     return out.drop(columns=["payload"]).assign(
@@ -882,8 +889,10 @@ def doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
 
 
 def media_frame_plan(sf_dir: str) -> pd.DataFrame:
+    """Segment-sampling plan: REAL sample-count windows for WAV
+    payloads, size-derived fallback for opaque ones."""
     from ..ops.multimodal import FrameSampler, synth_media_table
-    tbl = synth_media_table(256)
+    tbl = synth_media_table(256, real_payloads=True)
     return (rd.from_arrow(tbl)
             .map_batches(FrameSampler, batch_format="pyarrow",
                          batch_size=64, concurrency=(1, 4))
