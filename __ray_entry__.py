@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_token_bigrams": Q.flagship_token_bigrams,
         "flagship_seq_lengths": Q.flagship_seq_lengths,
         "flagship_pack_plan": Q.flagship_pack_plan,      # prefix-sum scan
+        "flagship_pack_materialize":
+            Q.flagship_pack_materialize,                 # real packed rows
         "flagship_pack_greedy": Q.flagship_pack_greedy,  # rows-only
     }
 

@@ -104,18 +104,7 @@ def pack_plan(ds: rd.Dataset, *, cap: int = 2048,
              val_col: pd.Series(dtype="int64"),
              "pack_bin": pd.Series(dtype="int64"),
              "pack_offset": pd.Series(dtype="int64")}))
-    # ranges sorted by key must tile the id order: each range's max_id
-    # strictly below the next range's min_id
-    prev_max = totals["max_id"].to_numpy()[:-1]
-    next_min = totals["min_id"].to_numpy()[1:]
-    bad = prev_max >= next_min
-    if bad.any():
-        i = int(np.flatnonzero(bad)[0])
-        raise ValueError(
-            f"order ranges overlap (ids are not fixed-width sortable): "
-            f"range {totals['range'].iloc[i]!r} max id "
-            f"{prev_max[i]!r} >= next range min id {next_min[i]!r}; "
-            f"use fixed-width {order_col} values or adjust range_tail")
+    _validate_ranges(totals, order_col, range_tail)
     base = dict(zip(
         totals["range"],
         np.concatenate(([0], np.cumsum(
@@ -147,6 +136,104 @@ def pack_plan(ds: rd.Dataset, *, cap: int = 2048,
     with_rng = ds.map_batches(add_range, batch_format="pandas")
     return bucketed_groups(with_rng, ["_range"], per_bucket,
                            num_buckets=num_buckets)
+
+
+def pack_materialize(ds: rd.Dataset, *, cap: int = 2048,
+                     order_col: str = "doc_id", tok_col: str = "tokens",
+                     val_col: str = "n_tok", range_tail: int = 4,
+                     num_buckets: int = 64) -> rd.Dataset:
+    """MATERIALIZE the streaming-concat plan: the corpus's tokens in
+    ascending ``order_col`` order, cut every ``cap`` tokens, assembled
+    into actual fixed-size training rows ``(pack_bin, tokens
+    [int32-LE bytes], n_tok, tok_sum)`` — every bin holds exactly
+    ``cap`` tokens except the last.
+
+    Same two-pass scan as ``pack_plan`` (range totals → broadcast base
+    offsets), then ONE range-bucketed pass splits each range's
+    CONTIGUOUS flat token stream at global cap boundaries with a
+    single ``np.split`` per range (documents straddling a boundary
+    split; no per-doc Python), and a bin-bucketed merge concatenates
+    fragments in offset order.  Tokens ride exactly two exchanges —
+    fragment shuffle and bin merge — as int32 byte payloads."""
+    totals = _range_totals(ds, order_col, val_col, range_tail)
+    _EMPTY = pd.DataFrame({"pack_bin": pd.Series(dtype="int64"),
+                           "tokens": pd.Series(dtype=object),
+                           "n_tok": pd.Series(dtype="int64"),
+                           "tok_sum": pd.Series(dtype="int64")})
+    if totals.empty:
+        return rd.from_pandas(_EMPTY)
+    _validate_ranges(totals, order_col, range_tail)
+    base = dict(zip(
+        totals["range"],
+        np.concatenate(([0], np.cumsum(
+            totals["val_sum"].to_numpy(dtype=np.int64))[:-1]))))
+    base_ref = ray.put(base)
+    cap = int(cap)
+
+    def fragments(g: pd.DataFrame) -> pd.DataFrame:
+        b = _get_base(base_ref)
+        g = g.sort_values(["_range", order_col], kind="mergesort")
+        out_bin, out_start, out_payload = [], [], []
+        for rng, sub in g.groupby("_range", sort=False):
+            flat = (np.concatenate([np.asarray(t, dtype=np.int32)
+                                    for t in sub[tok_col]])
+                    if len(sub) else np.empty(0, np.int32))
+            g0 = int(b[rng])  # whole range per bucket: flat is the
+            #                   range's full contiguous global segment
+            L = len(flat)
+            if L == 0:
+                continue
+            first_cut = (g0 // cap + 1) * cap
+            cuts = np.arange(first_cut, g0 + L, cap) - g0
+            parts = np.split(flat, cuts)
+            starts = np.concatenate(([g0], g0 + cuts))
+            for s, part in zip(starts, parts):
+                if len(part):
+                    out_bin.append(s // cap)
+                    out_start.append(s)
+                    out_payload.append(part.tobytes())
+        return pd.DataFrame({"pack_bin": np.array(out_bin, np.int64),
+                             "start": np.array(out_start, np.int64),
+                             "payload": out_payload})
+
+    def add_range(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[order_col, tok_col]].copy()
+        df["_range"] = df[order_col].astype(str).str[:-range_tail]
+        return df
+
+    # each bucket owns WHOLE ranges, so a range's flat stream is
+    # contiguous within its bucket task
+    frag = bucketed_groups(ds.map_batches(add_range, batch_format="pandas"),
+                           ["_range"], fragments, num_buckets=num_buckets)
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pack_bin", "start"], kind="mergesort")
+        rows = []
+        for pb, sub in g.groupby("pack_bin", sort=False):
+            flat = np.concatenate([np.frombuffer(p, dtype=np.int32)
+                                   for p in sub["payload"]])
+            rows.append((int(pb), flat.tobytes(), len(flat),
+                         int(flat.astype(np.int64).sum())))
+        return pd.DataFrame(rows, columns=["pack_bin", "tokens",
+                                           "n_tok", "tok_sum"])
+
+    return bucketed_groups(frag, ["pack_bin"], assemble,
+                           num_buckets=num_buckets)
+
+
+def _validate_ranges(totals: pd.DataFrame, order_col: str,
+                     range_tail: int) -> None:
+    """Sorted ranges must tile the id order (fixed-width id guard)."""
+    prev_max = totals["max_id"].to_numpy()[:-1]
+    next_min = totals["min_id"].to_numpy()[1:]
+    bad = prev_max >= next_min
+    if bad.any():
+        i = int(np.flatnonzero(bad)[0])
+        raise ValueError(
+            f"order ranges overlap (ids are not fixed-width sortable): "
+            f"range {totals['range'].iloc[i]!r} max id "
+            f"{prev_max[i]!r} >= next range min id {next_min[i]!r}; "
+            f"use fixed-width {order_col} values or adjust range_tail")
 
 
 def greedy_bins(vals: np.ndarray, cap: int) -> np.ndarray:

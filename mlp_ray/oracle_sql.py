@@ -451,7 +451,26 @@ SELECT CAST(cumb // 2048 AS BIGINT) AS pack_bin,
 FROM c GROUP BY 1 ORDER BY 1
 """
 
+# pack_materialize: every token's global stream index = its doc's
+# exclusive prefix sum + ordinal; per-bin count/sum checksums attest
+# the materialized buffers token-for-token
+_PACK_MATERIALIZE_SQL = f"""
+WITH c AS (
+  SELECT doc_id, tokens,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumb
+  FROM read_parquet('{FLAGSHIP_ORACLE_PATH}')),
+t AS (
+  SELECT c.cumb + u.i - 1 AS gidx, c.tokens[u.i] AS tok
+  FROM c, LATERAL (SELECT unnest(range(1, len(c.tokens) + 1)) AS i) u)
+SELECT CAST(gidx // 2048 AS BIGINT) AS pack_bin,
+       count(*) AS n_tok, CAST(sum(tok) AS BIGINT) AS tok_sum
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
 FLAGSHIP_SQL: dict[str, str] = {
+    "flagship_pack_materialize": _PACK_MATERIALIZE_SQL,
     "rawlog_main_ops": _RAWLOG_MAIN_OPS_SQL,
     "flagship_token_freq": _TOKEN_FREQ_SQL,
     "flagship_token_bigrams": _TOKEN_BIGRAMS_SQL,

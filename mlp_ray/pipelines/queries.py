@@ -1056,6 +1056,22 @@ def flagship_pack_plan(sf_dir: str, cap: int = 2048) -> pd.DataFrame:
     return pack_bin_rollup(pack_plan(ds, cap=cap), ["pack_bin"])
 
 
+def flagship_pack_materialize(sf_dir: str, cap: int = 2048) -> pd.DataFrame:
+    """ACTUAL packed training rows (ops/pack.pack_materialize): the
+    corpus token stream in doc_id order cut every ``cap`` tokens into
+    real int32 buffers; compared as per-bin (n_tok, tok_sum) checksums
+    computed FROM the materialized buffers, against a per-token window
+    oracle."""
+    from ..ops.pack import pack_materialize
+    from ..sources.tokenized import ensure_flagship_parquet
+
+    path = ensure_flagship_parquet(sf_dir)
+    ds = rd.read_parquet(path, columns=["doc_id", "tokens", "n_tok"])
+    packed = pack_materialize(ds, cap=cap).to_pandas()
+    return (packed[["pack_bin", "n_tok", "tok_sum"]]
+            .sort_values("pack_bin").reset_index(drop=True))
+
+
 def flagship_pack_greedy(sf_dir: str, cap: int = 2048) -> pd.DataFrame:
     """First-fit sequential no-split packing per source (rows-only:
     the break recursion is not window-SQL-expressible; pack_plan is

@@ -116,3 +116,33 @@ def test_pack_bin_rollup(ray_session):
         roll.sort_values("pack_bin").reset_index(drop=True),
         rr.sort_values("pack_bin").reset_index(drop=True),
         check_dtype=False)
+
+
+def test_pack_materialize_stream_identity(ray_session):
+    """Materialized bins concatenated in order reproduce the exact
+    doc_id-ordered token stream; every bin is exactly cap tokens
+    except the last."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from mlp_ray.ops.pack import pack_materialize
+
+    rng = np.random.default_rng(11)
+    n = 300
+    toks = [rng.integers(0, 1000, rng.integers(1, 40)).astype(np.int32)
+            for _ in range(n)]
+    df = pd.DataFrame({
+        "doc_id": [f"doc{i:08d}" for i in range(n)],
+        "tokens": toks,
+        "n_tok": [len(t) for t in toks]})
+    out = (pack_materialize(rd.from_pandas(df).repartition(7), cap=128,
+                            range_tail=2)
+           .to_pandas().sort_values("pack_bin").reset_index(drop=True))
+    stream = np.concatenate(toks)
+    assert out["n_tok"].iloc[:-1].eq(128).all()
+    assert out["n_tok"].sum() == len(stream)
+    rebuilt = np.concatenate([np.frombuffer(p, dtype=np.int32)
+                              for p in out["tokens"]])
+    assert (rebuilt == stream).all()
+    assert (out["pack_bin"].to_numpy()
+            == np.arange(len(out))).all()
