@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": Q.doc_pii_scrub,                # RE2 scrub, oracle
         "doc_decontaminate": Q.doc_decontaminate,        # bench n-gram overlap
         "doc_stratified_sample": Q.doc_stratified_sample,  # md5-bucket gate
+        "doc_split": Q.doc_split,                        # train/val/test
         "doc_curate": Q.doc_curate,  # quality→decontam→dedup→sample
         "doc_exact_dedup": Q.doc_exact_dedup,
         "doc_minhash_dedup": Q.doc_minhash_dedup,        # rows-only
@@ -604,6 +605,16 @@ def oracle_sql() -> dict[str, str]:
               AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                        AS BIGINT) % 100 <
                   CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40 ELSE 25 END
+        """,
+        "doc_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN b < 10 THEN 'val'
+                        WHEN b < 20 THEN 'test'
+                        ELSE 'train' END AS split
+            FROM (SELECT doc_id, lang,
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8) AS BIGINT) % 100 AS b
+                  FROM documents)
         """,
         # md5-bucket per-language sampling gate (md5 == hashlib.md5;
         # first 8 hex digits as the bucket integer)

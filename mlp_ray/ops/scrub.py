@@ -139,6 +139,30 @@ def decontaminate(docs_ds: rd.Dataset, bench_grams: np.ndarray, *,
     return docs_ds.map_batches(probe, batch_format="pyarrow")
 
 
+def hash_split(ds: rd.Dataset, *, id_col: str = "doc_id",
+               val_pct: int = 10, test_pct: int = 10) -> rd.Dataset:
+    """Deterministic train/val/test assignment: ``md5(id) mod 100``
+    lands in [0, val) → val, [val, val+test) → test, else train.
+    Pure per-row gate — disjoint and exhaustive by construction,
+    stable under any partitioning/resume, and every doc's split is
+    reproducible from its id alone (the property that matters when a
+    100 TB corpus is re-sharded: no doc ever migrates across the
+    eval boundary)."""
+    import hashlib
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in ids), dtype=np.int64, count=len(ids))
+        split = np.where(buckets < val_pct, "val",
+                         np.where(buckets < val_pct + test_pct,
+                                  "test", "train"))
+        return batch.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
 def group_sample(ds: rd.Dataset, *, group_col: str, id_col: str,
                  k: int = 3) -> rd.Dataset:
     """Deterministic k-row sample PER GROUP: the k rows whose

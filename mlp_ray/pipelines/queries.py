@@ -324,6 +324,11 @@ def doc_stratified_sample(sf_dir: str) -> pd.DataFrame:
         {"en": 50, "de": 25}, default_rate=10).to_pandas()
 
 
+def doc_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split (md5 gate: 10/10/80)."""
+    return scrub.hash_split(_docs(sf_dir, ["doc_id", "lang"])).to_pandas()
+
+
 def doc_curate(sf_dir: str) -> pd.DataFrame:
     """Full curation composition (pipelines/curate.py): quality ≥ 0.8
     → decontaminate (5-gram, zero-overlap) → exact dedup → stratified
