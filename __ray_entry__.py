@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": Q.doc_decontaminate,        # bench n-gram overlap
         "doc_stratified_sample": Q.doc_stratified_sample,  # md5-bucket gate
         "doc_split": Q.doc_split,                        # train/val/test
+        "doc_tokenize": Q.doc_tokenize,                  # vocab tokenizer
         "doc_curate": Q.doc_curate,  # quality→decontam→dedup→sample
         "doc_exact_dedup": Q.doc_exact_dedup,
         "doc_minhash_dedup": Q.doc_minhash_dedup,        # rows-only
@@ -605,6 +606,24 @@ def oracle_sql() -> dict[str, str]:
               AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                        AS BIGINT) % 100 <
                   CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40 ELSE 25 END
+        """,
+        # rank-id tokenizer checksums: id = row_number by (count DESC,
+        # word ASC) over the top-256 vocabulary, OOV id 0
+        "doc_tokenize": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), cnt AS (
+                SELECT word, count(*) AS c FROM w GROUP BY 1
+            ), v AS (
+                SELECT word, CAST(row_number() OVER
+                    (ORDER BY c DESC, word) AS BIGINT) AS id
+                FROM cnt ORDER BY c DESC, word LIMIT 256
+            )
+            SELECT w.doc_id, count(*) AS n_tok,
+                   count(*) FILTER (WHERE v.id IS NULL) AS n_oov,
+                   CAST(sum(coalesce(v.id, 0)) AS BIGINT) AS id_sum
+            FROM w LEFT JOIN v USING (word) GROUP BY 1
         """,
         "doc_split": """
             SELECT doc_id, lang,

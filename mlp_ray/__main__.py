@@ -170,6 +170,26 @@ def cmd_curate(args):
                       "kept_pct": round(100.0 * kept / max(total, 1), 2)}))
 
 
+def cmd_prepare(args):
+    """Full training-data preparation: quality → decontaminate →
+    dedup → tokenize → split → pack → partitioned parquet shards."""
+    import ray.data as rd
+
+    from .ops import scrub
+    from .pipelines import prepare as prepare_pipeline
+
+    _init_ray(args.cpus)
+    docs = rd.read_parquet(args.inputs, columns=["doc_id", "text"])
+    bg = None
+    if args.benchmark:
+        bench = rd.read_parquet(args.benchmark, columns=["doc_id", "text"])
+        bg = scrub.benchmark_gram_set(bench, k=args.gram_k)
+    out = prepare_pipeline.prepare_training_data(
+        docs, args.out, bench_grams=bg, quality_min=args.quality_min,
+        gram_k=args.gram_k, vocab_size=args.vocab_size, cap=args.cap)
+    print(out.to_string(index=False))
+
+
 def cmd_synth(args):
     from .synth import write_events_tok
     paths = write_events_tok(args.out, args.rows, seed=args.seed)
@@ -244,6 +264,18 @@ def main(argv=None):
                     help="per-language sample percent (repeatable)")
     sp.add_argument("--default-rate", type=int, default=25)
     sp.set_defaults(fn=cmd_curate)
+
+    sp = sub.add_parser("prepare")
+    common(sp)
+    sp.add_argument("--benchmark", nargs="+", default=None,
+                    help="parquet of held-out benchmark docs to "
+                         "decontaminate against (optional)")
+    sp.add_argument("--quality-min", type=float, default=0.5)
+    sp.add_argument("--gram-k", type=int, default=5)
+    sp.add_argument("--vocab-size", type=int, default=256)
+    sp.add_argument("--cap", type=int, default=2048,
+                    help="tokens per packed training row")
+    sp.set_defaults(fn=cmd_prepare)
 
     sp = sub.add_parser("synth")
     common(sp, inputs=False)

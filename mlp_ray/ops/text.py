@@ -593,6 +593,95 @@ def winnow_md5_batch(batch: pa.Table, *, k: int = 2, w: int = 4,
         "fp": np.concatenate(out_fps).astype(np.int64)})
 
 
+def build_vocab(docs_ds, *, vocab_size: int = 256,
+                text_col: str = "text") -> dict[str, int]:
+    """Rank-id vocabulary from corpus word counts: id = 1-based rank
+    by (count DESC, word ASC), id 0 reserved for OOV.  One
+    vocabulary-bounded (word, count) exchange with per-batch partial
+    counts + per-block top pruning — the unigram_logprob shape."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def word_partials(t: pa.Table) -> pd.DataFrame:
+        la = pc.split_pattern(t[text_col], pattern=" ")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        words = la.flatten().to_numpy(zero_copy_only=False)
+        out = (pd.Series(words).value_counts().rename_axis("word")
+               .rename("c").reset_index())
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    counts = (docs_ds.map_batches(word_partials, batch_format="pyarrow")
+              .groupby("word").aggregate(Sum("c", alias_name="c")))
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["c", "word"],
+                              ascending=[False, True]).head(vocab_size)
+
+    top = (counts.map_batches(local_top, batch_format="pandas")
+           .to_pandas().sort_values(["c", "word"],
+                                    ascending=[False, True])
+           .head(vocab_size))
+    return {w: i + 1 for i, w in enumerate(top["word"])}
+
+
+class VocabTokenizer:
+    """Actor-pool stage: text → int32 id sequence under a broadcast
+    rank-id vocabulary (OOV → 0).  The vocab dict ships once via
+    ``ray.put`` (map-side broadcast, no shuffle); the per-batch map is
+    one pandas ``.map`` over the flattened word array + an offsets
+    re-split.  Emits (doc_id, tokens list<int32>, n_tok, n_oov,
+    id_sum) — the checksums let a SQL oracle attest the REAL id
+    arrays."""
+
+    def __init__(self, vocab_ref, text_col: str = "text"):
+        import ray
+        self.vocab = (ray.get(vocab_ref)
+                      if not isinstance(vocab_ref, dict) else vocab_ref)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        la = pc.split_pattern(pc.fill_null(batch[self.text_col], ""),
+                              pattern=" ")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        words = pd.Series(la.flatten().to_numpy(zero_copy_only=False))
+        ids = words.map(self.vocab).fillna(0).to_numpy(dtype=np.int64)
+        offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int32)
+        offsets = offsets - offsets[0]
+        n_tok = np.diff(offsets).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(ids)))
+        id_sum = cs[offsets[1:]] - cs[offsets[:-1]]
+        oov = (ids == 0).astype(np.int64)
+        co = np.concatenate(([0], np.cumsum(oov)))
+        n_oov = co[offsets[1:]] - co[offsets[:-1]]
+        toks = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(ids.astype(np.int32)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "tokens": toks,
+            "n_tok": pa.array(n_tok),
+            "n_oov": pa.array(n_oov),
+            "id_sum": pa.array(id_sum)})
+
+
+def tokenize(docs_ds, *, vocab_size: int = 256, text_col: str = "text"):
+    """Two-pass corpus tokenization: build_vocab → broadcast →
+    VocabTokenizer actor pool."""
+    import ray
+
+    vocab_ref = ray.put(build_vocab(docs_ds, vocab_size=vocab_size,
+                                    text_col=text_col))
+    return docs_ds.map_batches(
+        VocabTokenizer, batch_format="pyarrow",
+        fn_constructor_kwargs={"vocab_ref": vocab_ref,
+                               "text_col": text_col},
+        concurrency=(1, 8))
+
+
 _OBJ_CACHE: dict = {}
 
 

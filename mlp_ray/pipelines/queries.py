@@ -324,6 +324,15 @@ def doc_stratified_sample(sf_dir: str) -> pd.DataFrame:
         {"en": 50, "de": 25}, default_rate=10).to_pandas()
 
 
+def doc_tokenize(sf_dir: str) -> pd.DataFrame:
+    """Corpus tokenization under a rank-id vocabulary (top-256 words,
+    OOV=0): returns per-doc checksums (n_tok, n_oov, id_sum) computed
+    FROM the real int32 id arrays, attested by a rank-join oracle."""
+    out = text.tokenize(_docs(sf_dir, ["doc_id", "text"]),
+                        vocab_size=256).to_pandas()
+    return out[["doc_id", "n_tok", "n_oov", "id_sum"]]
+
+
 def doc_split(sf_dir: str) -> pd.DataFrame:
     """Deterministic train/val/test split (md5 gate: 10/10/80)."""
     return scrub.hash_split(_docs(sf_dir, ["doc_id", "lang"])).to_pandas()

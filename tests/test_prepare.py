@@ -1,0 +1,87 @@
+"""End-to-end training-data preparation (pipelines/prepare.py):
+splits are disjoint+exhaustive, packed buffers reproduce each split's
+token stream, survivors carry no duplicate texts, and the whole run
+is deterministic."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from mlp_ray.ops import scrub
+from mlp_ray.pipelines import prepare
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def prepared(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("prep"))
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    bench = scrub.benchmark_gram_set(
+        docs.map_batches(
+            lambda t: t.filter(
+                (t["doc_id"].to_pandas() % 53 == 0).to_numpy()),
+            batch_format="pyarrow"), k=5)
+    summary = prepare.prepare_training_data(
+        docs, out, bench_grams=bench, cap=512)
+    return out, summary
+
+
+def test_prepare_split_accounting(prepared):
+    out, summary = prepared
+    tok = pq.read_table(f"{out}/tokenized").to_pandas()
+    # disjoint + exhaustive: every tokenized doc is in exactly one split
+    assert set(tok["split"]) <= {"train", "val", "test"}
+    per_split = tok.groupby("split")["n_tok"].sum()
+    for _, r in summary.iterrows():
+        assert r["n_tokens"] == per_split.get(r["split"], 0)
+    assert summary["n_tokens"].sum() == tok["n_tok"].sum()
+
+
+def test_prepare_packed_stream_identity(prepared):
+    out, _ = prepared
+    tok = pq.read_table(f"{out}/tokenized").to_pandas()
+    for split in ("train", "val", "test"):
+        sub = tok[tok["split"] == split].sort_values("doc_id")
+        stream = (np.concatenate([np.asarray(t, np.int32)
+                                  for t in sub["tokens"]])
+                  if len(sub) else np.empty(0, np.int32))
+        packed = (pq.read_table(f"{out}/packed/{split}").to_pandas()
+                  .sort_values("pack_bin"))
+        rebuilt = (np.concatenate([np.frombuffer(p, np.int32)
+                                   for p in packed["tokens"]])
+                   if len(packed) else np.empty(0, np.int32))
+        assert (rebuilt == stream).all()
+        if len(packed) > 1:
+            assert packed["n_tok"].iloc[:-1].eq(512).all()
+
+
+def test_prepare_survivor_hygiene(prepared):
+    out, _ = prepared
+    surv = pq.read_table(f"{out}/survivors").to_pandas()
+    assert surv["text"].duplicated().sum() == 0  # dedup held
+    # quality gate held (recompute locally)
+    import pyarrow as pa
+    from mlp_ray.ops import text as text_ops
+    q = text_ops.quality_batch(pa.table(
+        {"doc_id": surv["doc_id"], "text": surv["text"]}))
+    assert (q["quality_score"].to_numpy(zero_copy_only=False)
+            >= 0.5).all()
+
+
+def test_prepare_deterministic(prepared, tmp_path):
+    out, summary = prepared
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    bench = scrub.benchmark_gram_set(
+        docs.map_batches(
+            lambda t: t.filter(
+                (t["doc_id"].to_pandas() % 53 == 0).to_numpy()),
+            batch_format="pyarrow"), k=5)
+    again = prepare.prepare_training_data(
+        docs.repartition(5), str(tmp_path), bench_grams=bench, cap=512)
+    pd.testing.assert_frame_equal(
+        summary.sort_values("split").reset_index(drop=True),
+        again.sort_values("split").reset_index(drop=True))
