@@ -388,19 +388,11 @@ class FoldSpec:
         return out
 
 
-def _p95_of_arrays(s: pd.Series, q: float = 0.95):
-    arrs = [np.asarray(a, dtype=np.float64) for a in s
-            if a is not None and len(a)]
-    if not arrs:
-        return np.nan
-    return float(np.quantile(np.concatenate(arrs), q))
-
-
 def _quantile_of_arrays_grouped(gb, col: str, q: float = 0.95) -> pd.Series:
     """Exact per-group quantile over variable-length value arrays in ONE
-    lexsort pass — replaces a per-group ``apply(_p95_of_arrays)``
-    (one ``np.quantile`` call per group dominated the driver-merge
-    profile after the count-map union was flattened).  Matches
+    lexsort pass — replaces the old per-group ``np.quantile`` apply
+    (one call per group dominated the driver-merge profile after the
+    count-map union was flattened).  Matches
     ``np.quantile(..., q)`` 'linear' interpolation exactly:
     virtual index h = (n-1)·q, v[⌊h⌋] + frac·(v[⌊h⌋+1] − v[⌊h⌋])."""
     group_index = gb.size().index  # appearance order == ngroup codes

@@ -30,10 +30,6 @@ from ray.data.aggregate import Sum
 
 from ..util import bucketed_groups
 
-_LBL_EMPTY = pd.DataFrame({"node": pd.Series(dtype="int64"),
-                           "cluster_id": pd.Series(dtype="int64")})
-
-
 def connected_components(pairs: rd.Dataset, *, left: str = "doc_id",
                          right: str = "dup_of", max_rounds: int = 50,
                          num_buckets: int = 64) -> rd.Dataset:

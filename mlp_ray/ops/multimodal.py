@@ -39,15 +39,18 @@ def encode_ppm(img: np.ndarray) -> bytes:
 def decode_ppm(payload: bytes) -> np.ndarray:
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
-    # header: magic, width, height, maxval — whitespace separated
-    parts, pos = [], 2
+    # header: magic, width, height, maxval — whitespace separated;
+    # every scan is bounded so a truncated header errors, never spins
+    parts, pos, end = [], 2, len(payload)
     while len(parts) < 3:
-        while payload[pos:pos + 1].isspace():
+        while pos < end and payload[pos:pos + 1].isspace():
             pos += 1
         tok = b""
-        while not payload[pos:pos + 1].isspace():
+        while pos < end and not payload[pos:pos + 1].isspace():
             tok += payload[pos:pos + 1]
             pos += 1
+        if not tok or not tok.isdigit():
+            raise ValueError("truncated or malformed PPM header")
         parts.append(int(tok))
     pos += 1  # single whitespace after maxval
     w, h, maxval = parts
@@ -139,6 +142,12 @@ def decode_payload(payload: bytes):
     raise NotImplementedError(
         "compressed/unknown media payload (JPEG/PNG/MP4 need codec "
         "libraries not present in this environment)")
+
+
+# what an undecodable payload can raise: the seam marker, malformed
+# headers (ValueError), or truncated struct fields (struct.error) —
+# skip paths must treat all three as "not decodable"
+UNDECODABLE = (NotImplementedError, ValueError, struct.error)
 
 
 def nn_resize(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
@@ -247,7 +256,7 @@ class MediaDecoder:
                 f = (self._real_features(p) if self.real
                      else self._fake_features(p))
                 decoded = True
-            except NotImplementedError:
+            except UNDECODABLE:
                 if not self.skip:
                     raise
                 f = np.zeros(self.FEATURE_DIM, dtype=np.float32)
@@ -282,7 +291,7 @@ class Resizer:
     def _resize_real(self, p: bytes):
         try:
             kind, img = decode_payload(p)
-        except NotImplementedError:
+        except UNDECODABLE:
             return p, None
         if kind != "image":
             return p, None
@@ -345,7 +354,7 @@ class FrameSampler:
                 try:
                     samples, _ = decode_wav_pcm16(p)
                     n_frames = max(1, len(samples) // self.frame_bytes)
-                except ValueError:
+                except UNDECODABLE:
                     n_frames = max(1, len(p) // self.frame_bytes)
             else:
                 n_frames = max(1, len(p) // self.frame_bytes)

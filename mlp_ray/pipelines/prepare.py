@@ -17,7 +17,10 @@ and pack_materialize's fragment+bin exchanges (int32 payloads, twice)
 — everything else is row-local or vocabulary-bounded.  The tokenized
 corpus is WRITTEN ONCE to ``<out>/tokenized`` and each split's packing
 reads it back column-pruned — no triple recompute, no object-store
-pinning, and a failed packing run resumes from the persisted tokens.
+pinning.  A rerun into the same ``out_dir`` is idempotent (each stage
+directory is replaced before its write), and the persisted tokenized
+table lets a user re-pack at a different ``cap`` without re-running
+the gates or the tokenizer.
 
 Document-split stability: the md5 split gate depends only on doc_id,
 so re-sharding or resuming can never migrate a document across the
@@ -27,6 +30,7 @@ eval boundary (ops/scrub.hash_split).
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -86,10 +90,17 @@ def prepare_training_data(docs_ds: rd.Dataset, out_dir: str, *,
         ["text_hash"], dedup_bucket)
 
     # survivors are consumed twice (vocab pass + tokenize pass): write
-    # them once and read back — resumable, and nothing corpus-sized is
-    # pinned in the object store
+    # them once and read back — nothing corpus-sized is pinned in the
+    # object store.  Each stage dir is REPLACED before its write so a
+    # rerun into the same out_dir is idempotent (write_parquet appends
+    # uniquely-named files and would otherwise double every row)
     surv_dir = os.path.join(out_dir, "survivors")
+    shutil.rmtree(surv_dir, ignore_errors=True)
     survivors.write_parquet(surv_dir)
+    if not _parquet_files(surv_dir):
+        return pd.DataFrame({"split": list(SPLITS),
+                             "n_bins": np.zeros(3, np.int64),
+                             "n_tokens": np.zeros(3, np.int64)})
     surv = rd.read_parquet(surv_dir, columns=[id_col, "text"])
 
     # vocabulary from the SURVIVING corpus (contaminated/dup text must
@@ -102,6 +113,7 @@ def prepare_training_data(docs_ds: rd.Dataset, out_dir: str, *,
     tokenized = scrub.hash_split(tokenized, id_col=id_col,
                                  val_pct=val_pct, test_pct=test_pct)
     tok_dir = os.path.join(out_dir, "tokenized")
+    shutil.rmtree(tok_dir, ignore_errors=True)
     (tokenized.select_columns([id_col, "tokens", "n_tok", "split"])
      .write_parquet(tok_dir))
 
@@ -120,13 +132,24 @@ def prepare_training_data(docs_ds: rd.Dataset, out_dir: str, *,
         ds = ds.map_batches(one_split, batch_format="pyarrow",
                             zero_copy_batch=True)
         packed = pack_materialize(ds, cap=cap, order_col="doc_key")
-        out = os.path.join(out_dir, "packed", split)
-        packed.write_parquet(out)
-        summary = rd.read_parquet(out, columns=["pack_bin", "n_tok"]) \
-            .to_pandas()
-        rows.append({"split": split, "n_bins": len(summary),
-                     "n_tokens": int(summary["n_tok"].sum())})
-    out = pd.DataFrame(rows)
-    out["n_bins"] = out["n_bins"].astype("int64")
-    out["n_tokens"] = out["n_tokens"].astype("int64")
-    return out
+        split_dir = os.path.join(out_dir, "packed", split)
+        shutil.rmtree(split_dir, ignore_errors=True)
+        packed.write_parquet(split_dir)
+        # an empty split writes no files; read back only when it did
+        if _parquet_files(split_dir):
+            summary = rd.read_parquet(
+                split_dir, columns=["pack_bin", "n_tok"]).to_pandas()
+            rows.append({"split": split, "n_bins": len(summary),
+                         "n_tokens": int(summary["n_tok"].sum())})
+        else:
+            rows.append({"split": split, "n_bins": 0, "n_tokens": 0})
+    summary = pd.DataFrame(rows)
+    summary["n_bins"] = summary["n_bins"].astype("int64")
+    summary["n_tokens"] = summary["n_tokens"].astype("int64")
+    return summary
+
+
+def _parquet_files(d: str) -> list[str]:
+    if not os.path.isdir(d):
+        return []
+    return [f for f in os.listdir(d) if f.endswith(".parquet")]

@@ -193,10 +193,16 @@ def orders_top_customers(sf_dir: str, k: int = 3) -> pd.DataFrame:
 
     def enrich(df: pd.DataFrame) -> pd.DataFrame:
         lk = ray.get(ref)
+        keys = df["o_custkey"].to_numpy(dtype=np.int64)
+        # inner-join semantics like the oracle: custkeys outside the
+        # customer table (out of range or -1 sentinel) drop, never
+        # index out of bounds or surface a bogus -1 nation
+        nk = lk[np.clip(keys, 0, len(lk) - 1)]
+        ok = (keys >= 0) & (keys < len(lk)) & (nk >= 0)
         out = pd.DataFrame({
-            "c_nationkey": lk[df["o_custkey"].to_numpy(dtype=np.int64)],
-            "custkey": df["o_custkey"].to_numpy(dtype=np.int64),
-            "total": round_half_away(df["total"].to_numpy(), 2)})
+            "c_nationkey": nk[ok],
+            "custkey": keys[ok],
+            "total": round_half_away(df["total"].to_numpy()[ok], 2)})
         return out.sort_values(["total", "custkey"],
                                ascending=[False, True], kind="mergesort") \
             .groupby("c_nationkey", sort=False).head(k)

@@ -158,3 +158,26 @@ def test_resizer_real(ray_session):
     orig = tbl.to_pandas().set_index("media_id")["payload"]
     assert all(r["payload"] == orig[r["media_id"]]
                for _, r in other.iterrows())
+
+
+def test_malformed_payloads_never_hang_or_crash():
+    """Truncated headers with a known magic must raise cleanly (not
+    spin, not struct-crash), and skip paths must route them out."""
+    import pyarrow as pa
+
+    bad = [b"P6 12", b"P6\n", b"BM" + b"\x01" * 6, b"RIFF1234WAVEfmt "]
+    for p in bad:
+        with pytest.raises(multimodal.UNDECODABLE):
+            multimodal.decode_payload(p)
+    tbl = pa.table({
+        "media_id": pa.array(range(len(bad)), pa.int64()),
+        "payload": pa.array(bad, pa.binary()),
+        "media_type": pa.array(["image"] * len(bad), pa.string()),
+        "width": pa.array([8] * len(bad), pa.int32()),
+        "height": pa.array([8] * len(bad), pa.int32())})
+    out = multimodal.MediaDecoder(real=True)(tbl).to_pandas()
+    assert (~out["decoded"]).all()
+    res = multimodal.Resizer(max_side=4, real=True)(tbl).to_pandas()
+    assert list(res["payload"]) == bad  # passed through untouched
+    frames = multimodal.FrameSampler()(tbl).to_pandas()
+    assert set(frames["media_id"]) == set(range(len(bad)))
