@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": Q.doc_stratified_sample,  # md5-bucket gate
         "doc_split": Q.doc_split,                        # train/val/test
         "doc_tokenize": Q.doc_tokenize,                  # vocab tokenizer
+        "doc_bpe_train": Q.doc_bpe_train,                # BPE trainer
         "doc_curate": Q.doc_curate,  # quality→decontam→dedup→sample
         "doc_exact_dedup": Q.doc_exact_dedup,
         "doc_minhash_dedup": Q.doc_minhash_dedup,        # rows-only

@@ -330,6 +330,16 @@ def doc_stratified_sample(sf_dir: str) -> pd.DataFrame:
         {"en": 50, "de": 25}, default_rate=10).to_pandas()
 
 
+def doc_bpe_train(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE tokenizer training (16 merges over the word
+    histogram; rows-only — iterative argmax isn't SQL-expressible;
+    golden-attested against the single-process reference trainer)."""
+    from ..ops import bpe
+
+    return bpe.train_bpe(_docs(sf_dir, ["doc_id", "text"]),
+                         num_merges=16)
+
+
 def doc_tokenize(sf_dir: str) -> pd.DataFrame:
     """Corpus tokenization under a rank-id vocabulary (top-256 words,
     OOV=0): returns per-doc checksums (n_tok, n_oov, id_sum) computed
