@@ -62,8 +62,8 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
     ``(on, tiebreak)`` among right rows in the same ``by`` group with
     ``right.on <= left.on``; unmatched left rows drop (inner).  The
     attached columns come back as ``r_<name>`` (``on`` is always
-    attached as ``r_<on>``).  Integer attach columns are float-promoted
-    by the merge's null fill — cast them back at the consumer.
+    attached as ``r_<on>``).  Integer columns (left and attached) that
+    the merge's null fill float-promoted are restored to int64.
 
     Deterministic contract (mirrors the oracle): among right rows with
     equal ``on``, the one with the larger ``tiebreak`` wins, and a
@@ -106,7 +106,8 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
 
     lt = left.map_batches(lambda t: tag(t, 1), batch_format="pyarrow")
     rt = right.map_batches(lambda t: tag(t, 0), batch_format="pyarrow")
-    int_acols = [c for c in acols if pa.types.is_integer(types[c])]
+    int_like = [c for c, t in types.items()
+                if c not in ("_side", "_tb") and pa.types.is_integer(t)]
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         # stable sort: right rows (side 0) precede left rows at equal
@@ -116,8 +117,12 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
         g[acols] = g.groupby(by, sort=False)[acols].ffill()
         out = g[(g["_side"] == 1) & g[f"r_{on}"].notna()]
         out = out.drop(columns=["_side", "_tb"]).reset_index(drop=True)
-        for c in int_acols:  # un-promote ints the null fill floated
-            if not out[c].isna().any():
+        # un-promote EVERY int column the union's null fill floated —
+        # the right side null-fills the left-only columns too, so left
+        # ints (e.g. event_id) float-promote just like the r_* attaches
+        for c in int_like:
+            if c in out and out[c].dtype != np.int64 \
+                    and not out[c].isna().any():
                 out[c] = out[c].astype("int64")
         return out
 
