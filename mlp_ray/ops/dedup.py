@@ -322,7 +322,8 @@ def _est_jaccard(va: pd.Series, vb: pd.Series) -> np.ndarray:
 def minhash_lsh_candidates(ds: rd.Dataset, *, num_hashes: int = 64,
                            bands: int = 16, shingle_k: int = 3,
                            seed: int = 42, est_threshold: float = 0.5,
-                           max_earlier: int = 8) -> rd.Dataset:
+                           max_earlier: int = 8,
+                           best_pair_only: bool = True) -> rd.Dataset:
     """Candidate near-dup pairs: (doc_id, dup_of, est_jaccard), doc_id >
     dup_of, est_jaccard = fraction of equal signature components ≥
     threshold.
@@ -331,9 +332,12 @@ def minhash_lsh_candidates(ds: rd.Dataset, *, num_hashes: int = 64,
     bucket pairs a doc with its ``max_earlier`` EARLIEST co-bucketed
     predecessors (bounded fan-out per doc per band); the signature
     estimate is computed by a distributed pair join (two narrow
-    bucketed shuffles), then thresholded, then one best pair per doc is
-    kept.  A true near-dup that shares a band bucket with > max_earlier
-    unrelated predecessors can be missed — the recall/cost knob."""
+    bucketed shuffles), then thresholded, then (by default) one best
+    pair per doc is kept; ``best_pair_only=False`` keeps every
+    thresholded pair (the exact-verify/clustering consumers need the
+    whole candidate graph, not a per-doc argmax).  A true near-dup
+    that shares a band bucket with > max_earlier unrelated
+    predecessors can be missed — the recall/cost knob."""
     if num_hashes % bands:
         raise ValueError(
             f"bands={bands} must divide num_hashes={num_hashes} "
@@ -409,8 +413,32 @@ def minhash_lsh_candidates(ds: rd.Dataset, *, num_hashes: int = 64,
         return df
 
     kept = scored.map_batches(threshold, batch_format="pandas")
+    if not best_pair_only:
+        return kept
     return _best_pair_per_doc(kept, "doc_id", ["est_jaccard", "dup_of"],
                               [False, True])
+
+
+def minhash_verified_pairs(docs_ds: rd.Dataset, *, shingle_k: int = 3,
+                           threshold: float = 0.5, num_hashes: int = 64,
+                           bands: int = 16, seed: int = 42,
+                           max_earlier: int = 8) -> pd.DataFrame:
+    """Near-dup pairs the production way — banded-LSH candidate graph
+    (no all-pairs scan) — with every candidate VERIFIED by exact
+    word-``k``-gram Jaccard ≥ ``threshold``: (doc_id, dup_of, jaccard),
+    doc_id > dup_of.
+
+    The output is a pure function of the corpus once LSH recall is
+    complete at ``threshold`` (deterministic seed, no estimate
+    thresholding, no best-pair argmax), which makes it checkable
+    against the exact all-pairs SQL oracle at validation scale while
+    keeping the candidate stage's at-scale shape."""
+    cand = minhash_lsh_candidates(
+        docs_ds, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        seed=seed, est_threshold=0.0, max_earlier=max_earlier,
+        best_pair_only=False).to_pandas()
+    return ngram_jaccard_verify(docs_ds, cand[["doc_id", "dup_of"]],
+                                shingle_k=shingle_k, threshold=threshold)
 
 
 _PAIRS_NOEST_EMPTY = pd.DataFrame({
@@ -454,7 +482,11 @@ def ngram_jaccard_verify(docs_ds: rd.Dataset, candidates: pd.DataFrame,
                 continue
             inter = np.intersect1d(a, b, assume_unique=True).size
             union = a.size + b.size - inter
-            out[i] = round(inter / union, 6) if union else 0.0
+            # half-away rounding (DuckDB round()), not Python banker's:
+            # a ratio exact at the 7th decimal (e.g. 1/128) would
+            # otherwise round differently from the SQL oracle
+            out[i] = (float(round_half_away(inter / union, 6))
+                      if union else 0.0)
         return out
 
     sh = docs_ds.map_batches(shingles, batch_format="pyarrow")

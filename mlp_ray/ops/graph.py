@@ -114,6 +114,7 @@ def connected_components(pairs: rd.Dataset, *, left: str = "doc_id",
     # branch over labels
     tagged_edges = (edges.map_batches(tag_edges, batch_format="pandas")
                     .materialize())
+    converged = False
     for _ in range(max_rounds):
         mixed = labels.map_batches(
             lbl_rows, batch_format="pandas").union(tagged_edges)
@@ -123,8 +124,17 @@ def connected_components(pairs: rd.Dataset, *, left: str = "doc_id",
             ["key"], take_min, num_buckets=num_buckets).materialize()
         s = labels.aggregate(Sum("lbl"))["sum(lbl)"]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # unconverged labels are NOT clusters — a pathological chain
+        # longer than the pointer-shortcut rounds must fail loudly
+        # rather than hand callers wrong cluster ids
+        raise RuntimeError(
+            f"connected_components did not reach its label fixed point "
+            f"within max_rounds={max_rounds}; raise max_rounds (rounds "
+            f"needed grow ~log(diameter) with the pointer shortcut)")
 
     return labels.map_batches(
         lambda df: df.rename(columns={"key": "node", "lbl": "cluster_id"}),

@@ -191,7 +191,10 @@ def pack_materialize(ds: rd.Dataset, *, cap: int = 2048,
                 if len(part):
                     out_bin.append(s // cap)
                     out_start.append(s)
-                    out_payload.append(part.tobytes())
+                    # explicit little-endian: the persisted payload
+                    # contract is int32-LE regardless of host order
+                    out_payload.append(part.astype("<i4",
+                                                   copy=False).tobytes())
         return pd.DataFrame({"pack_bin": np.array(out_bin, np.int64),
                              "start": np.array(out_start, np.int64),
                              "payload": out_payload})
@@ -210,10 +213,10 @@ def pack_materialize(ds: rd.Dataset, *, cap: int = 2048,
         g = g.sort_values(["pack_bin", "start"], kind="mergesort")
         rows = []
         for pb, sub in g.groupby("pack_bin", sort=False):
-            flat = np.concatenate([np.frombuffer(p, dtype=np.int32)
+            flat = np.concatenate([np.frombuffer(p, dtype="<i4")
                                    for p in sub["payload"]])
-            rows.append((int(pb), flat.tobytes(), len(flat),
-                         int(flat.astype(np.int64).sum())))
+            rows.append((int(pb), flat.astype("<i4", copy=False).tobytes(),
+                         len(flat), int(flat.astype(np.int64).sum())))
         return pd.DataFrame(rows, columns=["pack_bin", "tokens",
                                            "n_tok", "tok_sum"])
 

@@ -34,21 +34,6 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
-def _registers(vals: np.ndarray, b: int) -> np.ndarray:
-    """Register array (2^b uint8) for one group's hashed values."""
-    m = 1 << b
-    h = _splitmix64(vals)
-    idx = (h >> np.uint64(64 - b)).astype(np.int64)
-    rest = (h << np.uint64(b)) | np.uint64((1 << b) - 1)
-    # rho = leading zeros of the remaining 64-b bits + 1; the OR above
-    # caps rho at 64-b+1 without a branch
-    nlz = np.uint64(64) - _bit_length_u64(rest)
-    rho = (nlz + np.uint64(1)).astype(np.uint8)
-    regs = np.zeros(m, dtype=np.uint8)
-    np.maximum.at(regs, idx, rho)
-    return regs
-
-
 def _bit_length_u64(x: np.ndarray) -> np.ndarray:
     """Vectorized bit_length for uint64 (float conversion is unsafe
     above 2^53): split into high/low 32-bit halves."""
@@ -72,25 +57,50 @@ def _estimate(regs: np.ndarray) -> float:
 def hll_distinct(ds: rd.Dataset, *, key: str, value: str,
                  b: int = 11) -> pd.DataFrame:
     """Approximate distinct ``value`` per ``key``: per-batch register
-    partials, one tiny (key, 2^b bytes) exchange, driver-side final
-    max-merge + readout (group count assumed small; for a huge key
-    space swap the driver collect for a key-bucketed merge)."""
-    def partials(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for k, g in df.groupby(key, sort=False):
-            vals = g[value].to_numpy()
-            if not np.issubdtype(vals.dtype, np.integer):
-                vals = pd.util.hash_pandas_object(
-                    pd.Series(vals), index=False).to_numpy()
-            rows.append((k, _registers(vals.astype(np.uint64), b)
-                         .tobytes()))
-        return pd.DataFrame(rows, columns=[key, "regs"])
+    partials (ONE vectorized hash/rho pass over the whole batch, then a
+    flat ``np.maximum.at`` scatter into per-group register rows), a
+    key-bucketed max-merge — the partials never collect on the driver,
+    so an arbitrarily large key space shuffles only
+    ``keys x blocks x 2^b`` bytes — and a per-key readout.
 
-    part = ds.map_batches(partials, batch_format="pandas").to_pandas()
-    out = []
-    for k, g in part.groupby(key, sort=False):
-        stacked = np.stack([np.frombuffer(r, dtype=np.uint8)
-                            for r in g["regs"]])
-        out.append((k, int(round(_estimate(stacked.max(axis=0))))))
-    return (pd.DataFrame(out, columns=[key, "approx_distinct"])
-            .sort_values(key).reset_index(drop=True))
+    Besides the rounded estimate, the readout emits two integer
+    register checksums (``nonzero_regs``, ``reg_sum``) computed from
+    the merged register array: they are exact functions of the
+    deterministic splitmix64 register state, so an independent oracle
+    can re-derive and match them bit-for-bit even though the estimate
+    itself is 'approximate'."""
+    from ..util import bucketed_groups
+
+    m = 1 << b
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = pd.factorize(df[key], sort=False)
+        vals = df[value].to_numpy()
+        if not np.issubdtype(vals.dtype, np.integer):
+            vals = pd.util.hash_pandas_object(
+                pd.Series(vals), index=False).to_numpy()
+        h = _splitmix64(vals.astype(np.uint64))
+        idx = (h >> np.uint64(64 - b)).astype(np.int64)
+        rest = (h << np.uint64(b)) | np.uint64(m - 1)
+        rho = (np.uint64(64) - _bit_length_u64(rest)
+               + np.uint64(1)).astype(np.uint8)
+        regs = np.zeros((len(uniq), m), dtype=np.uint8)
+        np.maximum.at(regs.reshape(-1), codes * m + idx, rho)
+        return pd.DataFrame({key: uniq,
+                             "regs": [r.tobytes() for r in regs]})
+
+    part = ds.map_batches(partials, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, gg in g.groupby(key, sort=False):
+            regs = np.stack([np.frombuffer(r, dtype=np.uint8)
+                             for r in gg["regs"]]).max(axis=0)
+            rows.append((k, int(round(_estimate(regs))),
+                         int((regs > 0).sum()),
+                         int(regs.astype(np.int64).sum())))
+        return pd.DataFrame(rows, columns=[key, "approx_distinct",
+                                           "nonzero_regs", "reg_sum"])
+
+    out = bucketed_groups(part, [key], merge).to_pandas()
+    return out.sort_values(key).reset_index(drop=True)

@@ -432,15 +432,20 @@ def tfidf_topk(docs_ds, k: int = 3, text_col: str = "text",
 def _gram_strings(t: pa.Table, n: int, text_col: str) -> np.ndarray:
     """All word-``n``-gram strings of a batch (whitespace tokens, one
     window per position; docs shorter than n contribute ONE clipped
-    gram; empty docs contribute nothing) — flat object array built
-    with one split kernel + n shifted views, no per-doc Python."""
-    toks = _ws_tokens(pc.fill_null(t[text_col], ""))
+    gram; empty/whitespace-only docs contribute nothing) — flat object
+    array built with one split kernel + n shifted views, no per-doc
+    Python."""
+    # blank docs must be masked BEFORE splitting: utf8_split_whitespace
+    # on '' yields [''], which would emit a bogus '' gram per blank doc
+    # (the doc_ngram_topk oracle excludes docs with empty trimmed text)
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(t[text_col], ""))
+    toks = pc.utf8_split_whitespace(
+        trimmed.filter(pc.greater(pc.utf8_length(trimmed), 0)))
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     words = toks.flatten().to_numpy(zero_copy_only=False)
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
         .astype(np.int64)
-    lens = lens[lens > 0]
     if not len(words):
         return np.empty(0, dtype=object)
     grams_per_doc = np.maximum(lens - n + 1, 1)
@@ -570,7 +575,9 @@ def winnow_md5_batch(batch: pa.Table, *, k: int = 2, w: int = 4,
     out_ids, out_fps = [], []
     for i in range(batch.num_rows):
         toks = la[i].as_py()
-        if not toks:
+        # a blank/whitespace-only doc splits to [''] (truthy) — skip it
+        # like the oracle's WHERE length(trim(text)) > 0
+        if not toks or toks == [""]:
             continue
         n_g = max(len(toks) - k + 1, 1)
         hs = np.fromiter(
@@ -591,6 +598,35 @@ def winnow_md5_batch(batch: pa.Table, *, k: int = 2, w: int = 4,
     return pd.DataFrame({
         "doc_id": np.concatenate(out_ids).astype(np.int64),
         "fp": np.concatenate(out_fps).astype(np.int64)})
+
+
+def winnow_fingerprint_batch(batch: pa.Table, *, k: int = 2, w: int = 4,
+                             text_col: str = "text") -> "pd.DataFrame":
+    """DOC-LEVEL winnowing fingerprint: xor-fold + count of the doc's
+    distinct window-min md5 gram hashes — the oracle-reproducible
+    rollup of ``winnow_md5_batch`` (DuckDB re-derives it with the same
+    gram CTE + ``bit_xor``/``count`` aggregates).  ``Fingerprinter``
+    (vectorized multiply-shift rolling hashes) remains the production
+    fingerprint with the same selection logic; this md5 variant is the
+    validation tier.  Blank docs are skipped like the oracle's
+    ``length(trim(text)) > 0``."""
+    import pandas as pd
+
+    rows = winnow_md5_batch(batch, k=k, w=w, text_col=text_col)
+    if rows.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "fingerprint": pd.Series(dtype="int64"),
+                             "n_hashes": pd.Series(dtype="int64")})
+    # per-doc rows are contiguous (winnow_md5_batch emits doc by doc):
+    # one reduceat per segment, no per-doc Python
+    ids = rows["doc_id"].to_numpy()
+    fps = rows["fp"].to_numpy()  # md5[:8] values < 2^32: xor-safe int64
+    starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+    return pd.DataFrame({
+        "doc_id": ids[starts],
+        "fingerprint": np.bitwise_xor.reduceat(fps, starts),
+        "n_hashes": np.diff(np.append(starts, len(ids))).astype("int64"),
+    })
 
 
 def build_vocab(docs_ds, *, vocab_size: int = 256,

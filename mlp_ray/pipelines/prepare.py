@@ -135,12 +135,18 @@ def prepare_training_data(docs_ds: rd.Dataset, out_dir: str, *,
         split_dir = os.path.join(out_dir, "packed", split)
         shutil.rmtree(split_dir, ignore_errors=True)
         packed.write_parquet(split_dir)
-        # an empty split writes no files; read back only when it did
+        # an empty split writes no files; read back only when it did.
+        # summary = distributed Count/Sum aggregate — at 100 TB / cap
+        # 2048 the bin table is ~10^9 rows, so a to_pandas() collect
+        # here was the pipeline's one driver-side materialization
         if _parquet_files(split_dir):
-            summary = rd.read_parquet(
-                split_dir, columns=["pack_bin", "n_tok"]).to_pandas()
-            rows.append({"split": split, "n_bins": len(summary),
-                         "n_tokens": int(summary["n_tok"].sum())})
+            from ray.data.aggregate import Count, Sum
+
+            agg = rd.read_parquet(split_dir, columns=["n_tok"]) \
+                .aggregate(Count(alias_name="n_bins"),
+                           Sum("n_tok", alias_name="n_tokens"))
+            rows.append({"split": split, "n_bins": int(agg["n_bins"]),
+                         "n_tokens": int(agg["n_tokens"])})
         else:
             rows.append({"split": split, "n_bins": 0, "n_tokens": 0})
     summary = pd.DataFrame(rows)

@@ -66,13 +66,31 @@ def events_tok_from_documents(sf_dir: str, seed: int = 42) -> pa.Table:
 # computed by the SAME Redactor the Ray pipeline uses, so the oracle
 # can consume redaction output while re-deriving classification and
 # every aggregate independently in SQL.
-FLAGSHIP_ORACLE_PATH = "/tmp/mlp_flagship_events.parquet"
+def flagship_oracle_path(sf_dir: str) -> str:
+    """Per-``sf_dir`` fixture path.  The path must be a pure function
+    of the input directory: the driver calls ``entry()`` (sf0.001) and
+    the sf0.01 oracle battery in an order this library can't control,
+    and a single shared path would let one overwrite the other's
+    persisted input between the Ray side and the oracle side."""
+    import re
+
+    slug = re.sub(r"[^A-Za-z0-9._-]+", "_",
+                  os.path.abspath(sf_dir)).strip("_")
+    return f"/tmp/mlp_flagship_events_{slug}.parquet"
+
+
+# the driver compares Ray vs oracle at sf=0.01 — the static oracle SQL
+# strings (oracle_sql.py) read this instance
+FLAGSHIP_ORACLE_PATH = flagship_oracle_path("/root/testdata/sf0.01")
 
 
 def ensure_flagship_parquet(sf_dir: str, seed: int = 42,
-                            path: str = FLAGSHIP_ORACLE_PATH) -> str:
+                            path: str | None = None) -> str:
     """Idempotently persist the flagship input table (scalar columns +
-    driver-side redaction outputs) for ``sf_dir``; returns ``path``."""
+    driver-side redaction outputs) for ``sf_dir``; returns ``path``
+    (default: the per-sf_dir fixture path)."""
+    if path is None:
+        path = flagship_oracle_path(sf_dir)
     marker = path + ".src"
     # bump the version suffix whenever synth/schema output changes —
     # it invalidates the cached oracle parquet.  v4: the tokens list

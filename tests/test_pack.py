@@ -141,7 +141,7 @@ def test_pack_materialize_stream_identity(ray_session):
     stream = np.concatenate(toks)
     assert out["n_tok"].iloc[:-1].eq(128).all()
     assert out["n_tok"].sum() == len(stream)
-    rebuilt = np.concatenate([np.frombuffer(p, dtype=np.int32)
+    rebuilt = np.concatenate([np.frombuffer(p, dtype="<i4")
                               for p in out["tokens"]])
     assert (rebuilt == stream).all()
     assert (out["pack_bin"].to_numpy()

@@ -51,7 +51,7 @@ def test_prepare_packed_stream_identity(prepared):
                   if len(sub) else np.empty(0, np.int32))
         packed = (pq.read_table(f"{out}/packed/{split}").to_pandas()
                   .sort_values("pack_bin"))
-        rebuilt = (np.concatenate([np.frombuffer(p, np.int32)
+        rebuilt = (np.concatenate([np.frombuffer(p, "<i4")
                                    for p in packed["tokens"]])
                    if len(packed) else np.empty(0, np.int32))
         assert (rebuilt == stream).all()
