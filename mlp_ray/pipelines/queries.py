@@ -281,9 +281,13 @@ def doc_lang_id(sf_dir: str) -> pd.DataFrame:
 
 
 def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Doc-level winnowing fingerprint (xor-fold + count of the doc's
+    distinct window-min md5 gram hashes) — oracle-attested end to end;
+    ``text.Fingerprinter`` is the vectorized multiply-shift production
+    sibling with the same selection logic (recall-tested in repo)."""
     return (_docs(sf_dir, ["doc_id", "text"])
-            .map_batches(text.Fingerprinter, batch_format="pyarrow",
-                         concurrency=(1, 4)).to_pandas())
+            .map_batches(text.winnow_fingerprint_batch,
+                         batch_format="pyarrow").to_pandas())
 
 
 def doc_winnow_md5(sf_dir: str) -> pd.DataFrame:
@@ -371,6 +375,18 @@ def doc_exact_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 def doc_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pairs the production way — banded-LSH candidates, no
+    all-pairs scan — each VERIFIED by exact word-3-gram Jaccard ≥ 0.5.
+    Oracle-attested against the all-pairs SQL (LSH recall at this
+    threshold is complete on this corpus — checked at sf0.001/0.01/0.1;
+    the raw unverified candidate view is ``doc_minhash_candidates``)."""
+    return dedup.minhash_verified_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+
+
+def doc_minhash_candidates(sf_dir: str) -> pd.DataFrame:
+    """Raw banded-LSH best-pair candidates (est_jaccard from signature
+    agreement; rows-only — the estimate is not SQL-derivable)."""
     return dedup.minhash_lsh_candidates(
         _docs(sf_dir, ["doc_id", "text"])).to_pandas()
 
@@ -853,13 +869,15 @@ def doc_ngram_topk(sf_dir: str) -> pd.DataFrame:
 
 def doc_dup_clusters(sf_dir: str) -> pd.DataFrame:
     """Production near-dup clustering composition: MinHash-LSH
-    candidate pairs → distributed connected components → one canonical
-    doc per cluster (min doc_id = the cluster label).  Rows-only (the
-    LSH seed graph is not SQL-expressible); the components engine
-    itself is oracle-attested by emb_dup_clusters."""
+    candidates → exact-Jaccard verify (≥ 0.5) → distributed connected
+    components → one canonical doc per cluster (min doc_id = the
+    cluster label).  Oracle-attested end to end: the verified pair
+    graph equals the all-pairs SQL graph (see doc_minhash_dedup) and
+    the components match DuckDB's recursive closure."""
     from ..ops import graph
 
-    pairs = dedup.minhash_lsh_candidates(_docs(sf_dir, ["doc_id", "text"]))
+    pairs = rd.from_pandas(dedup.minhash_verified_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.5))
     comp = graph.connected_components(pairs, left="doc_id",
                                       right="dup_of")
     sizes = graph.cluster_sizes(comp).to_pandas()
@@ -876,7 +894,10 @@ def doc_dup_clusters(sf_dir: str) -> pd.DataFrame:
 def events_distinct_users_approx(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog approximate distinct users per type — the
     bounded-state alternative to events_distinct_users' exact pair
-    shuffle (rows-only; recall-tested against the exact op)."""
+    shuffle.  Oracle-attested: the splitmix64 register state is
+    deterministic, so the SQL oracle re-derives the registers (modular
+    multiply via 32-bit split), the integer checksums and the rounded
+    estimate exactly."""
     from ..ops import sketch
 
     ds = _events(sf_dir, ["event_type", "user_id"])
