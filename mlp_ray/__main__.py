@@ -4,7 +4,9 @@
          [--ns SELECTOR ...] [--config props]      # full report (K3/K5)
   python -m mlp_ray route <parquet...> --out DIR   # routed sinks + manifest
   python -m mlp_ray trim <parquet...> --col props --out DIR [--redact]
+  python -m mlp_ray trim --raw-logs <logs...|-> --out DIR|-
                                                    # LogFilter tool
+                                                   # (stdin/JSONL mode)
   python -m mlp_ray redact <logs...> --out DIR     # whole-file redaction
   python -m mlp_ray curate <parquet...> --out DIR  # corpus curation
   python -m mlp_ray synth --rows N --out DIR       # fixture generator
@@ -79,7 +81,7 @@ def cmd_analyze(args):
         source_files=list(args.inputs))
     report_mod.write_html_report(
         results, os.path.join(args.out, "report.html"),
-        source_files=list(args.inputs))
+        source_files=list(args.inputs), shards=args.shards)
     print(report_mod.console_report(results, top=args.top))
 
 
@@ -93,13 +95,76 @@ def cmd_route(args):
 
 
 def cmd_trim(args):
-    _init_ray(args.cpus)
-    import ray.data as rd
     from .ops import trim
+
     redactor = None
     if args.redact:
         from .stages.redact import Redactor
         redactor = Redactor(enabled=True)
+    fc = None
+    if args.config:
+        from .stages.filters import FilterConfig
+        fc = FilterConfig.from_properties_file(args.config)
+
+    if args.raw_logs:
+        # streaming JSONL tool (reference LogFilter.java:128-254):
+        # files or stdin in, filtered/trimmed JSONL out
+        if args.inputs == ["-"]:
+            # a shell pipe has one reader by construction — plain
+            # streaming loop, no Ray session
+            if args.out == "-":
+                stats = trim.trim_stream(sys.stdin, sys.stdout,
+                                         redactor=redactor,
+                                         filter_config=fc)
+            else:
+                os.makedirs(args.out, exist_ok=True)
+                with open(os.path.join(args.out, "trimmed.jsonl"),
+                          "w") as fh:
+                    stats = trim.trim_stream(sys.stdin, fh,
+                                             redactor=redactor,
+                                             filter_config=fc)
+            print(json.dumps(stats), file=sys.stderr)
+            return
+        _init_ray(args.cpus)
+        import hashlib
+
+        import pyarrow as pa
+        from .sources import rawlog
+
+        ds = rawlog.read_raw_logs(args.inputs).map_batches(
+            lambda t: trim.trim_lines_batch(t, redactor=redactor,
+                                            filter_config=fc),
+            batch_format="pyarrow")
+        if args.out == "-":
+            n = 0
+            for b in ds.iter_batches(batch_format="pyarrow"):
+                for line in b["trimmed"].to_pylist():
+                    sys.stdout.write(line + "\n")
+                    n += 1
+            print(json.dumps({"emitted": n}), file=sys.stderr)
+            return
+        os.makedirs(args.out, exist_ok=True)
+        out_dir = args.out
+
+        def write_shard(batch: pa.Table) -> pa.Table:
+            lines = batch["trimmed"].to_pylist()
+            data = ("\n".join(lines) + "\n").encode() if lines else b""
+            # content-hash names: a retried task overwrites, never dupes
+            tag = hashlib.blake2b(data, digest_size=8).hexdigest()
+            path = os.path.join(out_dir, f"trimmed-{tag}.jsonl")
+            tmp = path + f".tmp-{os.getpid()}"
+            with open(tmp, "w") as fh:
+                fh.write(data.decode())
+            os.replace(tmp, path)
+            return pa.table({"path": [path], "lines": [len(lines)]})
+
+        lin = ds.map_batches(write_shard, batch_format="pyarrow").to_pandas()
+        print(f"wrote {int(lin['lines'].sum())} trimmed lines to {args.out}")
+        return
+
+    _init_ray(args.cpus)
+    import ray.data as rd
+
     ds = rd.read_parquet(args.inputs)
     out = ds.map_batches(
         lambda t: trim.trim_batch(t, col=args.col, redactor=redactor),
@@ -245,6 +310,14 @@ def main(argv=None):
     sp.add_argument("--redact", action="store_true",
                     help="apply whole-message preserve-path redaction "
                          "to the trimmed output")
+    sp.add_argument("--raw-logs", action="store_true",
+                    help="inputs are JSONL mongod logs (.gz/.zip ok) "
+                         "or '-' for stdin: stream filtered/trimmed "
+                         "JSONL (reference LogFilter); --out '-' "
+                         "writes stdout")
+    sp.add_argument("--config",
+                    help="properties file with filter.ignore.* "
+                         "blacklist patterns (LogFilter -c)")
     sp.set_defaults(fn=cmd_trim)
 
     sp = sub.add_parser("redact")

@@ -284,14 +284,20 @@ def _html_cell(v: Any) -> tuple[str, bool]:
 
 
 def write_html_report(results: dict[str, pd.DataFrame], path: str,
-                      *, top: int = 100, **kw) -> None:
+                      *, top: int = 100, shards: bool = False,
+                      **kw) -> None:
     """K4: interactive single-file HTML report — sortable columns
     (type-aware, with sort-direction indicators), per-table filter
     inputs with live row counts, collapsible sections, and
     pretty-print accordions for long cells; same data/section order as
     the JSON report (HtmlReportGenerator.java:131-186 sections,
     :202-275 interactive styles, :467-566 filter/accordion controls —
-    re-expressed as self-contained vanilla JS, no CDN/libs)."""
+    re-expressed as self-contained vanilla JS, no CDN/libs).
+
+    ``shards=True`` (the ``--shards`` run mode) appends one collapsible
+    section per shard — every source-keyed sink sliced to that shard,
+    source column dropped — mirroring the reference's dedicated
+    per-shard report tables (HtmlReportGenerator.java:398-925)."""
     import html as _html
 
     rep = build_report(results, **kw)
@@ -349,6 +355,27 @@ def write_html_report(results: dict[str, pd.DataFrame], path: str,
             f"<span class='arrow'></span><h2>{_html.escape(section)}</h2>"
             "</div><div class='sec-body'>" + "".join(inner) +
             "</div></div>")
+    if shards:
+        shard_frames = {
+            name: df for name, df in results.items()
+            if isinstance(df, pd.DataFrame) and "source" in df.columns}
+        sources: list = sorted({s for df in shard_frames.values()
+                                for s in df["source"].dropna().unique()})
+        for src in sources:
+            inner = []
+            for name, df in shard_frames.items():
+                sub = df[df["source"] == src].drop(columns=["source"])
+                if sub.empty:
+                    continue
+                inner.append(f"<h3>{_html.escape(str(name))}</h3>"
+                             + table(_records(sub)))
+            parts.append(
+                "<div class='sec shard closed'>"
+                "<div class='sec-head' onclick='toggleSec(this)'>"
+                "<span class='arrow'></span>"
+                f"<h2>shard: {_html.escape(str(src))}</h2>"
+                "</div><div class='sec-body'>" + "".join(inner) +
+                "</div></div>")
     parts.append(f"<script>{_HTML_JS}</script>")
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:

@@ -54,6 +54,31 @@ _DETAIL_MSGS = frozenset({
 })
 
 
+_GZIP_MAGIC = b"\x1f\x8b"
+_ZIP_MAGIC = b"PK\x03\x04"
+
+
+def _content_kind(path: str) -> str:
+    """``gzip`` / ``zip`` / ``plain`` by MAGIC BYTES, not extension —
+    a gzipped file named ``.log`` must still decompress
+    (``MimeTypes.java:34-41,251`` content sniff).  Falls back to the
+    extension when the path isn't locally readable (remote stores:
+    sniffing would pull a byte range per file; extension is the
+    reference's own ``guessContentTypeFromName`` fallback)."""
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(4)
+    except OSError:
+        if path.endswith(".zip"):
+            return "zip"
+        return "gzip" if path.endswith(".gz") else "plain"
+    if head[:2] == _GZIP_MAGIC:
+        return "gzip"
+    if head[:4] == _ZIP_MAGIC:
+        return "zip"
+    return "plain"
+
+
 def _zip_lines(row: dict) -> list[dict]:
     """One zip archive → (text, path) rows; path carries the member
     name so shard lineage still resolves (``MimeTypes.java:251`` zip
@@ -68,7 +93,7 @@ def _zip_lines(row: dict) -> list[dict]:
             if name.endswith("/"):
                 continue
             data = zf.read(name)
-            if name.endswith(".gz"):
+            if data[:2] == _GZIP_MAGIC:  # nested member, sniffed too
                 data = gzip.decompress(data)
             for line in data.decode("utf-8", errors="replace").splitlines():
                 out.append({"text": line, "path": f"{row['path']}!{name}"})
@@ -76,19 +101,52 @@ def _zip_lines(row: dict) -> list[dict]:
 
 
 def read_raw_logs(paths, *, override_num_blocks=None):
-    """Dataset of raw lines with their file path; gzip transparent
-    (Arrow detects by extension, like MimeTypes.java:34-41); ``.zip``
-    archives expanded per member."""
+    """Dataset of raw lines with their file path; gzip/zip detected by
+    content sniffing (magic bytes, MimeTypes.java:34-41) with an
+    extension fallback; ``.zip`` archives expanded per member."""
     import ray.data as rd
 
     paths = [paths] if isinstance(paths, str) else list(paths)
-    zips = [p for p in paths if p.endswith(".zip")]
-    plain = [p for p in paths if not p.endswith(".zip")]
+    kinds = {p: _content_kind(p) for p in paths}
+    zips = [p for p in paths if kinds[p] == "zip"]
+    gzs = [p for p in paths if kinds[p] == "gzip"]
+
+    def _ext_implies_codec(p: str) -> bool:
+        try:
+            pa.Codec.detect(p)
+            return True
+        except (ValueError, TypeError):
+            return False
+
+    # Ray's read_text ALWAYS infers a codec from the extension when
+    # none is given, so a plain-text file misnamed .gz would be
+    # gunzip-crashed — those go through a whole-file binary read
+    plain = [p for p in paths
+             if kinds[p] == "plain" and not _ext_implies_codec(p)]
+    plain_mislabeled = [p for p in paths
+                        if kinds[p] == "plain" and _ext_implies_codec(p)]
     parts = []
     if plain:
         parts.append(rd.read_text(
             plain, include_paths=True,
-            arrow_open_stream_args={"compression": "detect"},
+            override_num_blocks=override_num_blocks))
+    if plain_mislabeled:
+        # read_binary_files ALSO gunzips by extension — read these few
+        # odd files with plain open() inside a task (one task per file;
+        # the sniff already proved them locally readable)
+        def _plain_file_lines(row: dict) -> list[dict]:
+            with open(row["item"], "rb") as fh:
+                data = fh.read()
+            return [{"text": line, "path": row["item"]}
+                    for line in data.decode("utf-8",
+                                            errors="replace").splitlines()]
+
+        parts.append(rd.from_items(plain_mislabeled)
+                     .flat_map(_plain_file_lines))
+    if gzs:
+        parts.append(rd.read_text(
+            gzs, include_paths=True,
+            arrow_open_stream_args={"compression": "gzip"},
             override_num_blocks=override_num_blocks))
     if zips:
         parts.append(rd.read_binary_files(zips, include_paths=True)

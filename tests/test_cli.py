@@ -102,3 +102,49 @@ def test_analyze_subsystem_gates(fixture_paths, tmp_path):
     assert "driverStats" not in rep and "appNameConnections" not in rep
     assert rep["processingStats"]["total_lines"] == 400
     assert "Top 5 Most Frequent Errors" in p.stdout
+
+
+def test_trim_raw_logs_jsonl(tmp_path):
+    """`trim --raw-logs <files>`: the LogFilter streaming tool
+    (LogFilter.java:140-198) — non-JSON lines drop, verbose keys
+    (lsid, $clusterTime, ...) are removed, output is valid JSONL."""
+    from mlp_ray.sources import rawlog
+
+    logs = rawlog.write_raw_log_fixture(str(tmp_path / "logs"), 800,
+                                        seed=11, n_shards=1)
+    out = str(tmp_path / "trimmed")
+    p = _run("trim", "--raw-logs", *logs, "--out", out)
+    assert p.returncode == 0, p.stderr[-2000:]
+    import glob
+    lines = []
+    for f in glob.glob(os.path.join(out, "trimmed-*.jsonl")):
+        lines += open(f).read().splitlines()
+    assert len(lines) > 700  # junk lines (1 in 50) dropped
+    docs = [json.loads(ln) for ln in lines]
+    assert all('"lsid"' not in ln for ln in lines)
+    assert all("t" in d for d in docs)  # envelope survives
+
+
+def test_trim_stdin_stream(tmp_path):
+    """`trim --raw-logs - --out -`: stdin→stdout pipe mode
+    (LogFilter.java:228-254); grep-prefixed lines are unwrapped, junk
+    drops, stats go to stderr."""
+    line = ('{"t":{"$date":"2024-01-01T00:00:00.000+00:00"},"s":"I",'
+            '"c":"COMMAND","id":1,"ctx":"conn1","msg":"Slow query",'
+            '"attr":{"lsid":{"id":"x"},"durationMillis":55}}')
+    stdin = "\n".join([line, "junk not json",
+                       "some-file.log:" + line]) + "\n"
+    p = subprocess.run(
+        [sys.executable, "-m", "mlp_ray", "trim", "--raw-logs", "-",
+         "--out", "-"],
+        input=stdin, capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "RAY_GRAFT_CPUS": "4"})
+    assert p.returncode == 0, p.stderr[-2000:]
+    outs = p.stdout.splitlines()
+    assert len(outs) == 2  # direct JSON + grep-prefixed pass, junk drops
+    for ln in outs:
+        d = json.loads(ln)
+        assert "lsid" not in json.dumps(d)  # verbose key trimmed
+        assert d["attr"]["durationMillis"] == 55
+    stats = json.loads(p.stderr.strip().splitlines()[-1])
+    assert stats == {"lines": 3, "emitted": 2}

@@ -304,3 +304,33 @@ def test_index_subcategories_and_auth_fields():
     assert out["auth_db"][3].as_py() == "$external"
     assert out["auth_mechanism"][3].as_py() == "MONGODB-X509"
     assert out["server_version"][4].as_py() == "7.0.5"
+
+
+def test_magic_byte_compression_sniffing(tmp_path):
+    """Compression is detected by CONTENT, not extension
+    (MimeTypes.java:34-41): a gzipped file named .log and a zip named
+    .log both decompress; a plain file named .gz reads as text."""
+    import gzip as gz
+    import zipfile
+
+    line = ('{"t":{"$date":"2024-01-01T00:00:00.000+00:00"},"s":"I",'
+            '"c":"CONTROL","id":1,"ctx":"conn1","msg":"noise","attr":{}}')
+    gz_mislabeled = tmp_path / "cluster0-shard-01-00.log"  # gzip inside
+    gz_mislabeled.write_bytes(gz.compress((line + "\n") * 3, 5)
+                              if False else
+                              gz.compress(((line + "\n") * 3).encode()))
+    zip_mislabeled = tmp_path / "cluster0-shard-02-00.log"  # zip inside
+    with zipfile.ZipFile(zip_mislabeled, "w") as zf:
+        zf.writestr("cluster0-shard-02-00.log", (line + "\n") * 2)
+    plain_gz_named = tmp_path / "cluster0-shard-03-00.log.gz"  # plain!
+    plain_gz_named.write_text((line + "\n") * 4)
+
+    ds = rawlog.read_raw_logs([str(gz_mislabeled), str(zip_mislabeled),
+                               str(plain_gz_named)])
+    out = pa.concat_tables(ds.map_batches(
+        rawlog.parse_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    assert out.num_rows == 9
+    assert set(out["parse_status"].to_pylist()) == {"ok"}
+    assert set(pc.unique(out["source"]).to_pylist()) == {
+        "shard-01-00", "shard-02-00", "shard-03-00"}

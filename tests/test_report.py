@@ -173,3 +173,23 @@ console.log(JSON.stringify(tbody.out.map(r=>r.cells[0].textContent)));
     assert lines[0] == '["2.5","10","None"]'   # numeric asc, None last
     assert lines[1] == '["a","b","c"]'         # string asc
     assert lines[2] == '["c","b","a"]'         # toggle desc
+
+
+def test_html_report_per_shard(fixture_paths, ray_session, tmp_path):
+    """--shards HTML: one collapsible section per shard with the
+    source-keyed sinks sliced to that shard (the reference's dedicated
+    per-shard tables, HtmlReportGenerator.java:398-925)."""
+    from mlp_ray.pipelines import analyze
+
+    res = analyze.run_full_analysis(fixture_paths, shards=True)
+    p = tmp_path / "report.html"
+    report.write_html_report(res, str(p), shards=True)
+    html = p.read_text()
+    shard_heads = [ln for ln in html.splitlines()
+                   if "<h2>shard: " in ln]
+    assert shard_heads, "no per-shard sections rendered"
+    # each shard section carries per-sink sub-tables
+    assert "<h3>main_ops</h3>" in html
+    # the sliced tables drop the source column from the header row
+    first = html.split("<h2>shard: ", 1)[1]
+    assert "<th class=s>source</th>" not in first.split("</div></div>")[0]
