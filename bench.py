@@ -147,6 +147,28 @@ def run_flagship(paths: list[str], out_dir: str, *,
     }
 
 
+def settled_best(run_fn, *, min_runs: int = 3, max_runs: int = 6,
+                 tol: float = 0.15) -> dict:
+    """Settle gate (BASELINE.md protocol): repeat the measurement until
+    the two FASTEST runs agree within ``tol`` relative spread (or
+    ``max_runs``), so one disk-noise outlier can't become the headline
+    on this shared host.  Returns the best run annotated with every
+    run's throughput and the final spread."""
+    runs: list[dict] = []
+    spread = 1.0
+    while len(runs) < max_runs:
+        runs.append(run_fn())
+        if len(runs) >= min_runs:
+            top = sorted((r["seq_per_sec"] for r in runs), reverse=True)
+            spread = (top[0] - top[1]) / top[0]
+            if spread <= tol:
+                break
+    best = max(runs, key=lambda r: r["seq_per_sec"])
+    best["all_runs"] = [r["seq_per_sec"] for r in runs]
+    best["settle_spread"] = round(spread, 4)
+    return best
+
+
 def run_queries() -> dict[str, float]:
     from mlp_ray.pipelines import queries as Q
 
@@ -181,13 +203,12 @@ def main_bench() -> dict:
     try:
         paths = ensure_bench_input()
         warmup(paths, NUM_CPUS)
-        # best of 2, scaling-protocol style: the single shared disk
-        # adds ±30% run-to-run noise that a one-sample headline would
-        # report as engine throughput
-        runs = [run_flagship(paths, f"/tmp/mlp_bench_routed_{NUM_CPUS}")
-                for _ in range(2)]
-        flag = max(runs, key=lambda r: r["seq_per_sec"])
-        flag["all_runs"] = [r["seq_per_sec"] for r in runs]
+        # settled best-of-3(+): the single shared disk adds ±30%
+        # run-to-run noise that a one-sample headline would report as
+        # engine throughput (see the r01↔r02 band in BASELINE.md)
+        flag = settled_best(
+            lambda: run_flagship(paths,
+                                 f"/tmp/mlp_bench_routed_{NUM_CPUS}"))
         report_sec = run_report(paths)
         flag["report_sec"] = report_sec
         q = run_queries()
@@ -226,14 +247,16 @@ def scaling_worker(num_cpus: int) -> None:
     try:
         paths = ensure_bench_input(SCALING_ROWS, tok_mean=16, cpf=8)
         warmup(paths, num_cpus)
-        # best of 2: the sandbox shares one disk + page cache across
-        # everything, so single runs carry ±30% noise from writeback
-        # and cache eviction; best-of-2 reports steady-state capability
-        runs = [run_flagship(paths, f"/tmp/mlp_scaling_routed_{num_cpus}",
-                             total_rows=SCALING_ROWS, num_cpus=num_cpus)
-                for _ in range(2)]
-        flag = max(runs, key=lambda r: r["seq_per_sec"])
-        flag["all_runs"] = [r["seq_per_sec"] for r in runs]
+        # settled best-of-2(+3): the sandbox shares one disk + page
+        # cache across everything, so single runs carry ±30% noise from
+        # writeback and cache eviction; a third run fires only when the
+        # first two disagree beyond the settle tolerance
+        flag = settled_best(
+            lambda: run_flagship(paths,
+                                 f"/tmp/mlp_scaling_routed_{num_cpus}",
+                                 total_rows=SCALING_ROWS,
+                                 num_cpus=num_cpus),
+            min_runs=2, max_runs=4)
         print(json.dumps({"num_cpus": num_cpus, **flag}))
     finally:
         ray.shutdown()

@@ -371,10 +371,12 @@ def _one_file_bytes(f: str) -> int:
 
 
 def _analysis_jobs(top_k: int = 50, by_shard: bool = False,
-                   exclude: set[str] | frozenset = frozenset()):
+                   exclude: set[str] | frozenset = frozenset(),
+                   p95_mode: str = "exact"):
     """SinkJob per report table (aggs.multifold contract).
     ``by_shard`` prepends the ``source`` lineage column to every fold
-    key (reference ``--shards``, LogParser.java:155-163,557-565)."""
+    key (reference ``--shards``, LogParser.java:155-163,557-565);
+    ``p95_mode`` is applied to every fold sink's spec."""
     from ..aggs.multifold import SinkJob
 
     def or_empty(fn):
@@ -388,6 +390,8 @@ def _analysis_jobs(top_k: int = 50, by_shard: bool = False,
     fold_specs = {
         name: sink_defs.ALL_SINKS[name](by_shard=by_shard)[1]
         for name in sink_defs.ALL_SINKS if name not in exclude}
+    for s in fold_specs.values():
+        s.p95_mode = p95_mode
     union_cols: list[str] = list(dict.fromkeys(
         c for s in fold_specs.values() for c in s.needed_columns()))
     for c in sink_defs.MASK_COLS:
@@ -493,7 +497,8 @@ def run_full_analysis(paths, *, redact: bool = True,
                       ds: rd.Dataset | None = None,
                       mode: str = "auto", shards: bool = False,
                       exclude: set[str] | frozenset = frozenset(),
-                      driver_merge_max_bytes: int = 512 << 20
+                      driver_merge_max_bytes: int = 512 << 20,
+                      p95_mode: str = "auto"
                       ) -> dict[str, pd.DataFrame]:
     """Everything the reference's JSON report contains (K3), as small
     pandas tables.
@@ -505,18 +510,30 @@ def run_full_analysis(paths, *, redact: bool = True,
     groups × blocks — skips the shuffle latency floor) and switches to
     the distributed (sink, key-bucket) merge above it, where exact-p95
     partials carrying raw value arrays would otherwise converge on
-    driver memory (ADVICE r1).  Pass ``ds`` to analyze an
-    already-loaded Dataset (e.g. parsed raw logs) instead of parquet
-    paths."""
+    driver memory (ADVICE r1).
+
+    ``p95_mode="auto"`` couples the percentile estimator to that gate:
+    the golden small-input path keeps exact p95 (reference-parity
+    readout from the full value array), and the SAME size gate that
+    selects the distributed merge also flips to the bounded log-binned
+    histogram sketch — so the 10^12-row configuration needs no knobs
+    (per-group state stays a fixed 4096-bin histogram instead of raw
+    value arrays riding the merge shuffle).  Pass
+    ``p95_mode="exact"``/``"sketch"`` to pin it.  Pass
+    ``ds`` to analyze an already-loaded Dataset (e.g. parsed raw logs)
+    instead of parquet paths."""
     from ..aggs.multifold import run_multi_fold
 
     if mode == "auto":
         est = _est_input_bytes(paths, ds)
         mode = ("driver" if est is not None
                 and est <= driver_merge_max_bytes else "distributed")
+    if p95_mode == "auto":
+        p95_mode = "sketch" if mode == "distributed" else "exact"
     if ds is None:
         ds = load_events(paths)
     cds = classify(ds, redact=redact, filter_config=filter_config,
                    ns_filter=ns_filter)
     return run_multi_fold(
-        cds, _analysis_jobs(by_shard=shards, exclude=exclude), mode=mode)
+        cds, _analysis_jobs(by_shard=shards, exclude=exclude,
+                            p95_mode=p95_mode), mode=mode)

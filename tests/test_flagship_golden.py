@@ -84,7 +84,11 @@ def test_distributed_merge_equals_driver_merge(fixture_paths, results):
     (sink, key-bucket)) must produce byte-identical tables to the
     report-scale driver merge — the mode gate can never change
     results."""
-    dist = analyze.run_full_analysis(fixture_paths, mode="distributed")
+    # p95 pinned exact: this test isolates the MERGE engine; the
+    # p95_mode="auto" coupling (sketch on the distributed path) is a
+    # deliberate estimator change, tested in test_fold_property
+    dist = analyze.run_full_analysis(fixture_paths, mode="distributed",
+                                     p95_mode="exact")
     for name, exp in results.items():
         act = dist[name]
         keys = [c for c in exp.columns
