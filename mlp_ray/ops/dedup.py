@@ -363,41 +363,13 @@ def minhash_lsh_candidates(ds: rd.Dataset, *, num_hashes: int = 64,
     banded = sigs.map_batches(lambda b: _band_rows(b, bands, rows),
                               batch_format="pyarrow")
 
-    def bucket_pairs_bulk(g: pd.DataFrame) -> pd.DataFrame:
-        """ALL (band, band_hash) groups of one hash bucket → candidate
-        pairs, fully vectorized with segment arithmetic.  A per-group
-        ``map_groups`` here built one Python frame per band bucket —
-        bands × docs of them (~80k at 5k docs) through the sort
-        shuffle; this pass is one numpy pipeline per bucket."""
-        if len(g) < 2:
-            return _PAIRS_NOEST_EMPTY.copy()
-        key = (g["band_hash"].to_numpy(dtype=np.uint64)
-               ^ (g["band"].to_numpy().astype(np.uint64) << np.uint64(56)))
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        order = np.lexsort((ids, key))
-        key, ids = key[order], ids[order]
-        seg_starts = np.flatnonzero(
-            np.concatenate(([True], key[1:] != key[:-1])))
-        counts = np.diff(np.append(seg_starts, len(key)))
-        offsets_rep = np.repeat(seg_starts, counts)
-        pos_in_seg = np.arange(len(key)) - offsets_rep
-        out_doc, out_dup = [], []
-        for j in range(max_earlier):
-            # pair every member past position j (capped) with the
-            # j-th earliest member of its band bucket
-            m = (pos_in_seg > j) & (pos_in_seg < 4096)
-            if not m.any():
-                break
-            out_doc.append(ids[m])
-            out_dup.append(ids[offsets_rep[m] + j])
-        if not out_doc:
-            return _PAIRS_NOEST_EMPTY.copy()
-        return pd.DataFrame({"doc_id": np.concatenate(out_doc),
-                             "dup_of": np.concatenate(out_dup)})
+    import functools as _ft
 
     # cross-band duplicates survive into the pair join, which dedups
     # them inside its pair-keyed buckets — no dedicated dedup shuffle
-    pairs = _bucketed(banded, ["band", "band_hash"], bucket_pairs_bulk)
+    pairs = _bucketed(banded, ["band", "band_hash"],
+                      _ft.partial(_bucket_pairs_bulk,
+                                  max_earlier=max_earlier))
 
     sig_vals = sigs.map_batches(
         lambda df: pd.DataFrame({
@@ -432,12 +404,31 @@ def minhash_verified_pairs(docs_ds: rd.Dataset, *, shingle_k: int = 3,
     complete at ``threshold`` (deterministic seed, no estimate
     thresholding, no best-pair argmax), which makes it checkable
     against the exact all-pairs SQL oracle at validation scale while
-    keeping the candidate stage's at-scale shape."""
-    cand = minhash_lsh_candidates(
-        docs_ds, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
-        seed=seed, est_threshold=0.0, max_earlier=max_earlier,
-        best_pair_only=False).to_pandas()
-    return ngram_jaccard_verify(docs_ds, cand[["doc_id", "dup_of"]],
+    keeping the candidate stage's at-scale shape.
+
+    The signature-estimate pair join is SKIPPED here — every candidate
+    goes straight to the exact verify, whose own pair join dedups the
+    cross-band copies; routing through minhash_lsh_candidates' est
+    scoring added two bucketed exchanges just to discard the scores."""
+    import functools
+
+    def minhash_task(batch, *, num_hashes, shingle_k, seed):
+        return _cached_stage(("minhash", num_hashes, shingle_k, seed),
+                             lambda: MinHasher(num_hashes, shingle_k,
+                                               seed))(batch)
+
+    rows = num_hashes // bands
+    sigs = docs_ds.map_batches(
+        functools.partial(minhash_task, num_hashes=num_hashes,
+                          shingle_k=shingle_k, seed=seed),
+        batch_format="pyarrow")
+    banded = sigs.map_batches(lambda b: _band_rows(b, bands, rows),
+                              batch_format="pyarrow")
+    cand = _bucketed(banded, ["band", "band_hash"],
+                     functools.partial(_bucket_pairs_bulk,
+                                       max_earlier=max_earlier)).to_pandas()
+    cand = cand.drop_duplicates(["doc_id", "dup_of"])
+    return ngram_jaccard_verify(docs_ds, cand,
                                 shingle_k=shingle_k, threshold=threshold)
 
 
@@ -445,6 +436,40 @@ _PAIRS_NOEST_EMPTY = pd.DataFrame({
     "doc_id": pd.Series(dtype="int64"),
     "dup_of": pd.Series(dtype="int64"),
 })
+
+
+def _bucket_pairs_bulk(g: pd.DataFrame, *,
+                       max_earlier: int) -> pd.DataFrame:
+    """ALL (band, band_hash) groups of one hash bucket → candidate
+    pairs, fully vectorized with segment arithmetic.  A per-group
+    ``map_groups`` here built one Python frame per band bucket —
+    bands × docs of them (~80k at 5k docs) through the sort
+    shuffle; this pass is one numpy pipeline per bucket."""
+    if len(g) < 2:
+        return _PAIRS_NOEST_EMPTY.copy()
+    key = (g["band_hash"].to_numpy(dtype=np.uint64)
+           ^ (g["band"].to_numpy().astype(np.uint64) << np.uint64(56)))
+    ids = g["doc_id"].to_numpy(dtype=np.int64)
+    order = np.lexsort((ids, key))
+    key, ids = key[order], ids[order]
+    seg_starts = np.flatnonzero(
+        np.concatenate(([True], key[1:] != key[:-1])))
+    counts = np.diff(np.append(seg_starts, len(key)))
+    offsets_rep = np.repeat(seg_starts, counts)
+    pos_in_seg = np.arange(len(key)) - offsets_rep
+    out_doc, out_dup = [], []
+    for j in range(max_earlier):
+        # pair every member past position j (capped) with the
+        # j-th earliest member of its band bucket
+        m = (pos_in_seg > j) & (pos_in_seg < 4096)
+        if not m.any():
+            break
+        out_doc.append(ids[m])
+        out_dup.append(ids[offsets_rep[m] + j])
+    if not out_doc:
+        return _PAIRS_NOEST_EMPTY.copy()
+    return pd.DataFrame({"doc_id": np.concatenate(out_doc),
+                         "dup_of": np.concatenate(out_dup)})
 
 def ngram_jaccard_verify(docs_ds: rd.Dataset, candidates: pd.DataFrame,
                          shingle_k: int = 3,
