@@ -88,14 +88,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent_orders": Q.customers_no_urgent_orders,  # anti join
         "lineitem_pricing": Q.lineitem_pricing,          # generic fold
         "doc_curate": Q.doc_curate,  # quality→decontam→dedup→sample
+        # -- new this round (oracle-backed, never driver-checked) -------
+        "orders_discounted_semi": Q.orders_discounted_semi,  # semi join
+        "nation_revenue": Q.nation_revenue,              # Q5-shape multi-join
+        "parts_brand_revenue": Q.parts_brand_revenue,    # dim-broadcast join
+        "events_user_gaps": Q.events_user_gaps,          # LAG window gaps
+        "events_hourly_top_type": Q.events_hourly_top_type,  # argmax/hour
+        "events_value_quartiles": Q.events_value_quartiles,  # p25/50/75 fold
+        # ---- position 51+ (driver-green in r01/r02 and/or attested by
+        # the in-repo oracle suite every session) -----------------------
         "doc_exact_dedup": Q.doc_exact_dedup,
         "doc_tokenize": Q.doc_tokenize,                  # vocab tokenizer
         "doc_tfidf": Q.doc_tfidf,                        # tf-idf top terms
         "doc_winnow_md5": Q.doc_winnow_md5,              # oracle winnowing
         "doc_decontaminate": Q.doc_decontaminate,        # bench n-gram overlap
         "doc_unigram_logprob": Q.doc_unigram_logprob,    # unigram LM score
-        # ---- position 51+ (driver-green in r01/r02 and/or attested by
-        # the in-repo oracle suite every session) -----------------------
         "events_error_by_user": Q.events_error_by_user,  # A6 error slice
         "events_ts_range": Q.events_ts_range,            # A11 min/max
         "events_type_share": Q.events_type_share,        # A9 op mix
@@ -320,6 +327,66 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
             GROUP BY 1
+        """,
+        "orders_discounted_semi": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_discount >= 0.08)
+            GROUP BY 1
+        """,
+        "nation_revenue": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM customer c
+            JOIN orders o   ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n   ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1
+        """,
+        "parts_brand_revenue": """
+            SELECT p.p_brand, count(*) AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
+        """,
+        "events_user_gaps": """
+            WITH g AS (
+                SELECT user_id,
+                       date_diff('microsecond',
+                                 lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id),
+                                 ts) AS gap_us
+                FROM events)
+            SELECT user_id, count(*) AS n_gaps,
+                   round(max(gap_us) / 1000000.0, 6) AS max_gap_s,
+                   round((sum(gap_us) / 1000000.0) / count(*), 6)
+                       AS avg_gap_s
+            FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+        """,
+        "events_hourly_top_type": """
+            WITH c AS (
+                SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                       event_type, count(*) AS n
+                FROM events GROUP BY 1, 2)
+            SELECT hour, event_type, n FROM c
+            QUALIFY row_number() OVER (PARTITION BY hour
+                ORDER BY n DESC, event_type) = 1
+        """,
+        "events_value_quartiles": """
+            SELECT event_type, count(*) AS "count",
+                   round(CAST(quantile_cont(value, 0.25) AS DOUBLE), 6)
+                       AS p25_value,
+                   round(CAST(quantile_cont(value, 0.50) AS DOUBLE), 6)
+                       AS p50_value,
+                   round(CAST(quantile_cont(value, 0.75) AS DOUBLE), 6)
+                       AS p75_value
+            FROM events GROUP BY 1
         """,
         "doc_chunk": """
             SELECT doc_id, k AS chunk_id,

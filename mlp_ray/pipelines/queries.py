@@ -950,6 +950,204 @@ def media_frame_plan(sf_dir: str) -> pd.DataFrame:
             .to_pandas())
 
 
+# --- further join / window / fold variants -----------------------------
+def orders_discounted_semi(sf_dir: str) -> pd.DataFrame:
+    """Semi join: orders having at least one deeply-discounted
+    lineitem (l_discount >= 0.08), rolled up per priority.  The probe
+    side is predicate-filtered at the batch level and ships ONLY its
+    deduplicated orderkeys through the one bucketed exchange
+    (``hash_join(how='semi')``) — no lineitem payload columns move."""
+    from ..ops import joins
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority",
+                                      "o_totalprice"])
+    disc = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_discount"]).map_batches(
+            lambda t: t.filter(pc.greater_equal(t["l_discount"], 0.08))
+                       .select(["l_orderkey"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    j = joins.hash_join(orders, disc, on=["o_orderkey"],
+                        right_on=["l_orderkey"], how="semi")
+    out = (j.groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="total_price"))
+           .to_pandas())
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return round_cols(out, ["total_price"], ndigits=2)
+
+
+def nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5-shaped multi-way join: orders ⨝ lineitem shuffle once
+    by orderkey (the two genuinely large sides); customer→nation and
+    supplier→nation ride as broadcast int lookups (``ray.put`` once,
+    read from plasma per task — if customer ever outgrows the
+    broadcast budget this side flips to a second ``hash_join``).
+    Local-supplier filter (c_nationkey == s_nationkey) and revenue
+    partials run per batch, so the final exchange carries a ≤25-row
+    nation rollup."""
+    from ..ops import joins
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    c_lk = np.full(int(pc.max(cust["c_custkey"]).as_py()) + 1, -1,
+                   dtype=np.int64)
+    c_lk[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    s_lk = np.full(int(pc.max(sup["s_suppkey"]).as_py()) + 1, -1,
+                   dtype=np.int64)
+    s_lk[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+    c_ref, s_ref = ray.put(c_lk), ray.put(s_lk)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    j = joins.hash_join(orders, li, on=["o_orderkey"],
+                        right_on=["l_orderkey"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        clk, slk = ray.get(c_ref), ray.get(s_ref)
+        ck = df["o_custkey"].to_numpy(dtype=np.int64)
+        sk = df["l_suppkey"].to_numpy(dtype=np.int64)
+        cn = clk[np.clip(ck, 0, len(clk) - 1)]
+        sn = slk[np.clip(sk, 0, len(slk) - 1)]
+        ok = (ck >= 0) & (ck < len(clk)) & (sk >= 0) & (sk < len(slk)) \
+            & (cn >= 0) & (cn == sn)
+        rev = (df["l_extendedprice"].to_numpy()[ok]
+               * (1.0 - df["l_discount"].to_numpy()[ok]))
+        return (pd.DataFrame({"n_nationkey": cn[ok], "revenue": rev})
+                .groupby("n_nationkey", sort=False)["revenue"].sum()
+                .reset_index())
+
+    agg = (j.map_batches(partials, batch_format="pandas")
+           .groupby("n_nationkey")
+           .aggregate(Sum("revenue", alias_name="revenue"))
+           .to_pandas())
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(nation, on="n_nationkey")[["n_name", "revenue"]]
+    return round_cols(out, ["revenue"], ndigits=2)
+
+
+def parts_brand_revenue(sf_dir: str) -> pd.DataFrame:
+    """Dimension-broadcast join (lineitem ⨝ part on partkey) + rollup:
+    the part→brand mapping ships once as an int-coded lookup via
+    ``ray.put``; revenue partials pre-aggregate per batch so the one
+    global exchange carries (brand, count, sum) rows only — never a
+    joined lineitem row."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    brands = sorted(set(pc.unique(part["p_brand"]).to_pylist()))
+    code = {b: i for i, b in enumerate(brands)}
+    lk = np.full(int(pc.max(part["p_partkey"]).as_py()) + 1, -1,
+                 dtype=np.int64)
+    lk[part["p_partkey"].to_numpy()] = np.fromiter(
+        (code[b] for b in part["p_brand"].to_pylist()), dtype=np.int64,
+        count=len(part))
+    ref = ray.put(lk)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        lkp = ray.get(ref)
+        pk = df["l_partkey"].to_numpy(dtype=np.int64)
+        bc = lkp[np.clip(pk, 0, len(lkp) - 1)]
+        ok = (pk >= 0) & (pk < len(lkp)) & (bc >= 0)
+        rev = (df["l_extendedprice"].to_numpy()[ok]
+               * (1.0 - df["l_discount"].to_numpy()[ok]))
+        out = (pd.DataFrame({"brand_code": bc[ok], "rev": rev})
+               .groupby("brand_code", sort=False)
+               .agg(n_items=("rev", "size"), revenue=("rev", "sum"))
+               .reset_index())
+        out["n_items"] = out["n_items"].astype("int64")
+        return out
+
+    agg = (li.map_batches(partials, batch_format="pandas")
+           .groupby("brand_code")
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("revenue", alias_name="revenue"))
+           .to_pandas())
+    agg["p_brand"] = [brands[i] for i in agg["brand_code"]]
+    agg["n_items"] = agg["n_items"].astype("int64")
+    return round_cols(agg[["p_brand", "n_items", "revenue"]],
+                      ["revenue"], ndigits=2)
+
+
+def _gaps_bulk(g: pd.DataFrame) -> pd.DataFrame:
+    """Whole-user LAG gaps for one bucket: one sort, one vectorized
+    shift/diff, one groupby agg — never a frame per user.  Gaps are
+    held as exact integer MICROSECONDS until the final divide so the
+    sum is association-order-free (a float-seconds sum differed from
+    the oracle by 1 ulp at a .5 rounding boundary)."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    prev = g.groupby("user_id", sort=False)["ts"].shift()
+    us = (g["ts"] - prev) / pd.Timedelta(microseconds=1)
+    d = pd.DataFrame({"user_id": g["user_id"], "gap_us": us}).dropna()
+    d["gap_us"] = d["gap_us"].round().astype("int64")
+    out = (d.groupby("user_id", sort=False)["gap_us"]
+           .agg(n_gaps="size", _sum="sum", _max="max")
+           .reset_index())
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    # divide exactly as the oracle writes it: (sum/1e6) / n
+    out["max_gap_s"] = out["_max"] / 1e6
+    out["avg_gap_s"] = (out["_sum"] / 1e6) / out["n_gaps"]
+    return out.drop(columns=["_sum", "_max"])
+
+
+def events_user_gaps(sf_dir: str) -> pd.DataFrame:
+    """Inter-event time gaps per user (LAG OVER (PARTITION BY user
+    ORDER BY ts)): user-bucketed whole-user scan, so each bucket owns
+    complete users and the gap diff is one vectorized pass.  Users
+    with a single event have no gap and drop, matching the oracle."""
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+    out = bucketed_groups(ds, ["user_id"], _gaps_bulk).to_pandas()
+    return round_cols(out, ["avg_gap_s", "max_gap_s"])
+
+
+def events_hourly_top_type(sf_dir: str) -> pd.DataFrame:
+    """Per-hour leading event type (argmax by count, ties to the
+    lexically-first type): per-batch (hour, type) count partials
+    shuffle — a few rows per block — then one distributed sum.  The
+    aggregated table is hours × types (bounded: ~9k rows/year), so
+    the final argmax runs driver-side on a small frame."""
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.assign(hour=df["ts"].dt.floor("h"))
+               .groupby(["hour", "event_type"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = (ds.map_batches(partials, batch_format="pandas")
+           .groupby(["hour", "event_type"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    agg["n"] = agg["n"].astype("int64")
+    agg = agg.sort_values(["hour", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+    return agg.groupby("hour", sort=False).head(1).reset_index(drop=True)
+
+
+def events_value_quartiles(sf_dir: str) -> pd.DataFrame:
+    """Arbitrary-quantile fold: p25/p50/p75 read out of the SAME
+    per-group value state as the flagship's p95 in one pass — extra
+    quantiles cost readout only, never shuffle volume."""
+    spec = FoldSpec(keys=["event_type"],
+                    metrics={"value": ("p25", "p50", "p75")},
+                    order_col="event_id")
+    out = run_fold(_events(sf_dir, ["event_id", "event_type", "value"]),
+                   spec, merge="driver").to_pandas()
+    return round_cols(out, ["p25_value", "p50_value", "p75_value"])
+
+
 # --- flagship over testdata-derived tokenized log events ---------------
 def _round_floats(df: pd.DataFrame, ndigits: int = 6) -> pd.DataFrame:
     """Oracle canonicalization of a fold output: half-away-from-zero
