@@ -68,3 +68,21 @@ def test_pair_join_matches_pandas(ray_session):
     got = {(int(r["doc_id"]), int(r["dup_of"])): float(r["score"])
            for _, r in out.iterrows()}
     assert got == expect
+
+
+def test_user_gaps_layout_and_bucket_invariance(ray_session):
+    """events_user_gaps' bulk kernel must be invariant to both the
+    physical block layout and the bucket count (hash buckets are
+    content-addressed, so re-sharding can't move a user across a
+    bucket boundary mid-computation)."""
+    import pyarrow.parquet as pq
+    from mlp_ray.pipelines.queries import _gaps_bulk
+    from mlp_ray.util import bucketed_groups
+
+    tbl = pq.read_table("/root/testdata/sf0.01/events.parquet",
+                        columns=["event_id", "ts", "user_id"])
+    a = bucketed_groups(rd.from_arrow(tbl), ["user_id"],
+                        _gaps_bulk, num_buckets=64).to_pandas()
+    b = bucketed_groups(rd.from_arrow(tbl).repartition(13), ["user_id"],
+                        _gaps_bulk, num_buckets=7).to_pandas()
+    assert_frames_match(a, b, ["user_id"])
