@@ -77,11 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": Q.events_distinct_users,  # A8 exact distinct
         "events_routed": Q.events_routed,                # routing fan-out
         "events_user_sessions": Q.events_user_sessions,  # J1 map_groups join
-        "events_sessionize": Q.events_sessionize,        # gap sessions
-        "events_running_total": Q.events_running_total,  # window analytics
         "events_dedup_latest": Q.events_dedup_latest,    # upsert compaction
         "events_range_join": Q.events_range_join,        # interval join
-        "events_sliding_window": Q.events_sliding_window,  # sliding agg
         "orders_by_nation": Q.orders_by_nation,          # broadcast lookup join
         "orders_lineitem_join": Q.orders_lineitem_join,  # large-large hash join
         "orders_top_customers": Q.orders_top_customers,  # agg→join→topk/group
@@ -95,8 +92,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_gaps": Q.events_user_gaps,          # LAG window gaps
         "events_hourly_top_type": Q.events_hourly_top_type,  # argmax/hour
         "events_value_quartiles": Q.events_value_quartiles,  # p25/50/75 fold
+        "parts_small_qty_revenue": Q.parts_small_qty_revenue,  # Q17 shape
+        "emb_label_centroid": Q.emb_label_centroid,      # vector aggregate
+        "events_user_ntile": Q.events_user_ntile,        # global NTILE(4)
         # ---- position 51+ (driver-green in r01/r02 and/or attested by
         # the in-repo oracle suite every session) -----------------------
+        "events_sessionize": Q.events_sessionize,        # gap sessions
+        "events_running_total": Q.events_running_total,  # window analytics
+        "events_sliding_window": Q.events_sliding_window,  # sliding agg
         "doc_exact_dedup": Q.doc_exact_dedup,
         "doc_tokenize": Q.doc_tokenize,                  # vocab tokenizer
         "doc_tfidf": Q.doc_tfidf,                        # tf-idf top terms
@@ -387,6 +390,38 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(quantile_cont(value, 0.75) AS DOUBLE), 6)
                        AS p75_value
             FROM events GROUP BY 1
+        """,
+        "parts_small_qty_revenue": """
+            WITH avgq AS (
+                SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
+                FROM lineitem GROUP BY 1)
+            SELECT p.p_brand, count(*) AS n_items,
+                   round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l
+            JOIN avgq a ON l.l_partkey = a.l_partkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_quantity < a.lim
+            GROUP BY 1
+        """,
+        "emb_label_centroid": """
+            WITH t AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(unnest(generate_series(1, len(embedding)))
+                            AS BIGINT) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings)
+            SELECT label, dim, count(*) AS n, round(avg(v), 6) AS mean_v
+            FROM t GROUP BY 1, 2
+        """,
+        "events_user_ntile": """
+            WITH u AS (SELECT user_id, round(sum(value), 6) AS total
+                       FROM events GROUP BY 1)
+            SELECT user_id, total,
+                   CAST(row_number() OVER (ORDER BY total, user_id)
+                        AS BIGINT) AS rnk,
+                   CAST(ntile(4) OVER (ORDER BY total, user_id)
+                        AS BIGINT) AS quartile
+            FROM u
         """,
         "doc_chunk": """
             SELECT doc_id, k AS chunk_id,

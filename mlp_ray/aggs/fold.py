@@ -552,10 +552,12 @@ def run_fold(ds, spec: FoldSpec, *, batch_size: int = 131072,
     keys = list(spec.keys)
 
     def add_bucket(df: pd.DataFrame, *, buckets: int,
-                   salt_mod: int = 1) -> pd.DataFrame:
+                   salt_mod: int = 1):
+        from ..util import arrow_out
+
         if df.empty:
             df["_bucket"] = pd.Series(dtype="int64")
-            return df
+            return arrow_out(df)
         h = pd.util.hash_pandas_object(
             df[keys].astype("string").agg("|".join, axis=1), index=False)
         b = (h % buckets).astype("int64")
@@ -566,7 +568,11 @@ def run_fold(ds, spec: FoldSpec, *, batch_size: int = 131072,
                                            index=False) % salt_mod
             b = b * salt_mod + s.to_numpy().astype("int64")
         df["_bucket"] = b
-        return df
+        # partials enter the merge shuffle as Arrow when convertible
+        # (several× faster sort); dict-celled count-map partials stay
+        # pandas (arrow_out's guard) so batch-local struct inference
+        # can't split the shuffle schema
+        return arrow_out(df)
 
     if salt > 1:
         import functools

@@ -262,9 +262,12 @@ def sliding_window_agg(ds: rd.Dataset, *, on: str, keys: list[str],
     Each batch expands rows into (window, key) assignments and
     PRE-AGGREGATES them before the shuffle, so the exchange carries at
     most ``windows x keys`` partial rows per batch instead of
-    ``window/slide`` copies of every row.
+    ``window/slide`` copies of every row.  The partial merge is a
+    window-bucketed exchange (``bucketed_groups``), not Ray's
+    sort-shuffle groupby, whose fixed latency dominates partial-sized
+    inputs.
     """
-    from ray.data.aggregate import Sum
+    from ..util import arrow_partials, bucketed_groups
 
     nw = window_us // slide_us
 
@@ -284,7 +287,12 @@ def sliding_window_agg(ds: rd.Dataset, *, on: str, keys: list[str],
         out["n"] = out["n"].astype("int64")
         return out
 
-    return (ds.map_batches(partials, batch_format="pandas")
-            .groupby(["window_start", *keys])
-            .aggregate(Sum("n", alias_name="n"),
-                       Sum("sum_value", alias_name="sum_value")))
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["window_start", *keys], sort=False)
+               [["n", "sum_value"]].sum().reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return bucketed_groups(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["window_start", *keys], merge)

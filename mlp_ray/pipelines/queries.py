@@ -20,7 +20,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..aggs.fold import FoldSpec, run_fold
 from ..ops import ann, dedup, scrub, text, trim
-from ..util import round_cols
+from ..util import arrow_partials, merge_partials, round_cols
 
 
 def _events(sf_dir, columns=None):
@@ -106,9 +106,13 @@ def events_distinct_users(sf_dir: str) -> pd.DataFrame:
                              zero_copy_batch=True)
     counted = bucketed_groups(pair_ds, ["event_type", "user_id"],
                               count_bucket)
-    return (counted.groupby("event_type")
-            .aggregate(Sum("distinct_users", alias_name="distinct_users"))
-            .to_pandas())
+    # final reduce: ≤ buckets × types disjoint partial counts — a
+    # driver sum, not another Ray groupby round-trip
+    out = (counted.to_pandas()
+           .groupby("event_type", sort=False)["distinct_users"].sum()
+           .reset_index())
+    out["distinct_users"] = out["distinct_users"].astype("int64")
+    return out
 
 
 # --- A11 analogue: global min/max --------------------------------------
@@ -570,14 +574,20 @@ def events_range_join(sf_dir: str) -> pd.DataFrame:
     iv = pd.DataFrame({"start": days + pd.Timedelta(hours=2),
                        "end": days + pd.Timedelta(hours=4)})
     matched = joins.range_join_broadcast(ds, iv, on="ts")
-    out = (matched.map_batches(
-               lambda df: df.rename(columns={"w_start": "window_start"})
-               [["window_start", "event_type", "value"]],
-               batch_format="pandas")
-           .groupby(["window_start", "event_type"])
-           .aggregate(Count(alias_name="n"),
-                      Sum("value", alias_name="sum_value"))
-           .to_pandas())
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.rename(columns={"w_start": "window_start"})
+               .groupby(["window_start", "event_type"], sort=False)
+               ["value"].agg(n="size", sum_value="sum").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    out = merge_partials(
+        matched.map_batches(arrow_partials(partials),
+                            batch_format="pandas"),
+        ["window_start", "event_type"], ["n", "sum_value"],
+        merge="driver")
+    out["n"] = out["n"].astype("int64")
     return round_cols(out, ["sum_value"])
 
 
@@ -632,7 +642,8 @@ def orders_lineitem_join(sf_dir: str) -> pd.DataFrame:
         out["n_items"] = out["n_items"].astype("int64")
         return out
 
-    out = (j.map_batches(rev_partials, batch_format="pandas")
+    out = (j.map_batches(arrow_partials(rev_partials),
+                          batch_format="pandas")
            .groupby("o_orderpriority")
            .aggregate(Sum("n_items", alias_name="n_items"),
                       Sum("revenue", alias_name="revenue"))
@@ -764,7 +775,7 @@ def events_pivot(sf_dir: str) -> pd.DataFrame:
         ct.columns.name = None
         return ct.astype("int64").reset_index()
 
-    out = (ds.map_batches(partials, batch_format="pandas")
+    out = (ds.map_batches(arrow_partials(partials), batch_format="pandas")
            .groupby("user_id")
            .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}")
                         for t in types])
@@ -970,10 +981,16 @@ def orders_discounted_semi(sf_dir: str) -> pd.DataFrame:
             batch_format="pyarrow", zero_copy_batch=True)
     j = joins.hash_join(orders, disc, on=["o_orderkey"],
                         right_on=["l_orderkey"], how="semi")
-    out = (j.groupby("o_orderpriority")
-           .aggregate(Count(alias_name="n_orders"),
-                      Sum("o_totalprice", alias_name="total_price"))
-           .to_pandas())
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("o_orderpriority", sort=False)["o_totalprice"]
+               .agg(n_orders="size", total_price="sum").reset_index())
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    out = merge_partials(
+        j.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["o_orderpriority"], ["n_orders", "total_price"], merge="driver")
     out["n_orders"] = out["n_orders"].astype("int64")
     return round_cols(out, ["total_price"], ndigits=2)
 
@@ -1023,10 +1040,9 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
                 .groupby("n_nationkey", sort=False)["revenue"].sum()
                 .reset_index())
 
-    agg = (j.map_batches(partials, batch_format="pandas")
-           .groupby("n_nationkey")
-           .aggregate(Sum("revenue", alias_name="revenue"))
-           .to_pandas())
+    agg = merge_partials(
+        j.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["n_nationkey"], ["revenue"], merge="driver")
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"]).to_pandas()
     out = agg.merge(nation, on="n_nationkey")[["n_name", "revenue"]]
@@ -1068,11 +1084,9 @@ def parts_brand_revenue(sf_dir: str) -> pd.DataFrame:
         out["n_items"] = out["n_items"].astype("int64")
         return out
 
-    agg = (li.map_batches(partials, batch_format="pandas")
-           .groupby("brand_code")
-           .aggregate(Sum("n_items", alias_name="n_items"),
-                      Sum("revenue", alias_name="revenue"))
-           .to_pandas())
+    agg = merge_partials(
+        li.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["brand_code"], ["n_items", "revenue"], merge="driver")
     agg["p_brand"] = [brands[i] for i in agg["brand_code"]]
     agg["n_items"] = agg["n_items"].astype("int64")
     return round_cols(agg[["p_brand", "n_items", "revenue"]],
@@ -1127,9 +1141,9 @@ def events_hourly_top_type(sf_dir: str) -> pd.DataFrame:
         out["n"] = out["n"].astype("int64")
         return out
 
-    agg = (ds.map_batches(partials, batch_format="pandas")
-           .groupby(["hour", "event_type"])
-           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    agg = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["hour", "event_type"], ["n"], merge="driver")
     agg["n"] = agg["n"].astype("int64")
     agg = agg.sort_values(["hour", "n", "event_type"],
                           ascending=[True, False, True], kind="mergesort")
@@ -1146,6 +1160,147 @@ def events_value_quartiles(sf_dir: str) -> pd.DataFrame:
     out = run_fold(_events(sf_dir, ["event_id", "event_type", "value"]),
                    spec, merge="driver").to_pandas()
     return round_cols(out, ["p25_value", "p50_value", "p75_value"])
+
+
+def parts_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17-shaped correlated aggregate join: per-brand revenue
+    from lineitems whose quantity is below 20% of their part's average
+    quantity.  Pass 1 builds the per-part avg with (partkey, sum, n)
+    batch partials — quantities are integer-valued doubles, so the sum
+    (and thus the 0.2*avg threshold) is EXACT in any addition order.
+    The part-cardinality limit table broadcasts once via ``ray.put``
+    as a dense float array (TPC-H parts ≈ lineitems/30; past the
+    broadcast budget this side flips to ``hash_join``); pass 2 filters
+    per batch and ships (brand, count, sum) partials only."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    brands = sorted(set(pc.unique(part["p_brand"]).to_pylist()))
+    code = {b: i for i, b in enumerate(brands)}
+    n_slots = int(pc.max(part["p_partkey"]).as_py()) + 1
+    brand_lk = np.full(n_slots, -1, dtype=np.int64)
+    brand_lk[part["p_partkey"].to_numpy()] = np.fromiter(
+        (code[b] for b in part["p_brand"].to_pylist()), dtype=np.int64,
+        count=len(part))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def qty_partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("l_partkey", sort=False)["l_quantity"]
+               .agg(s="sum", n="size").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    avgq = merge_partials(
+        li.map_batches(arrow_partials(qty_partials),
+                       batch_format="pandas"),
+        ["l_partkey"], ["s", "n"], merge="bucketed")
+    lim_lk = np.zeros(n_slots, dtype=np.float64)
+    pk = avgq["l_partkey"].to_numpy(dtype=np.int64)
+    lim_lk[pk] = 0.2 * (avgq["s"].to_numpy()
+                        / avgq["n"].to_numpy(dtype=np.float64))
+    lim_ref, brand_ref = ray.put(lim_lk), ray.put(brand_lk)
+
+    def rev_partials(df: pd.DataFrame) -> pd.DataFrame:
+        lim, blk = ray.get(lim_ref), ray.get(brand_ref)
+        p = df["l_partkey"].to_numpy(dtype=np.int64)
+        ok = (p >= 0) & (p < len(lim))
+        bc = np.where(ok, blk[np.clip(p, 0, len(blk) - 1)], -1)
+        ok &= (bc >= 0) & (df["l_quantity"].to_numpy()
+                           < lim[np.clip(p, 0, len(lim) - 1)])
+        price = df["l_extendedprice"].to_numpy()[ok]
+        out = (pd.DataFrame({"brand_code": bc[ok], "price": price})
+               .groupby("brand_code", sort=False)
+               .agg(n_items=("price", "size"), s=("price", "sum"))
+               .reset_index())
+        out["n_items"] = out["n_items"].astype("int64")
+        return out
+
+    agg = merge_partials(
+        li.map_batches(arrow_partials(rev_partials),
+                       batch_format="pandas"),
+        ["brand_code"], ["n_items", "s"], merge="driver")
+    agg["p_brand"] = [brands[i] for i in agg["brand_code"]]
+    agg["n_items"] = agg["n_items"].astype("int64")
+    agg["avg_yearly"] = agg["s"] / 7.0
+    return round_cols(agg[["p_brand", "n_items", "avg_yearly"]],
+                      ["avg_yearly"], ndigits=2)
+
+
+def emb_label_centroid(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroid (the vector-column aggregate a
+    semantic-dedup / clustering pipeline reads first): per-batch the
+    list<float> column becomes one contiguous (rows × dim) float64
+    matrix and a label-coded ``np.add.at`` scatter produces (label,
+    dim, partial_sum, n) rows — labels × dims per BLOCK, never per row
+    — so the one exchange is centroid-sized.  Output is the tall
+    (label, dim, n, mean_v) frame."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding", "label"])
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        t = t.combine_chunks()
+        ch = t["embedding"].chunk(0)
+        flat = ch.flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(ch), -1).astype(np.float64)
+        lab = (t["label"].chunk(0)
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        uniq, inv, counts = np.unique(lab, return_inverse=True,
+                                      return_counts=True)
+        dim = mat.shape[1]
+        sums = np.zeros((len(uniq), dim), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        return pa.table({
+            "label": np.repeat(uniq, dim),
+            "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                           len(uniq)),
+            "n": np.repeat(counts.astype(np.int64), dim),
+            "s": sums.ravel()})
+
+    agg = merge_partials(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["label", "dim"], ["n", "s"], merge="driver")
+    agg["n"] = agg["n"].astype("int64")
+    agg["mean_v"] = agg["s"] / agg["n"]
+    return round_cols(agg[["label", "dim", "n", "mean_v"]], ["mean_v"])
+
+
+def events_user_ntile(sf_dir: str) -> pd.DataFrame:
+    """Global NTILE(4) of users by total event value — the distributed
+    window primitive (``ops/window.global_rank``): range-partition the
+    per-user rollup by sampled boundaries, narrow count pass for exact
+    offsets, per-partition local sort + offset.  Total is rounded to 6
+    digits BEFORE ranking so engine and oracle order by the identical
+    key."""
+    from ..ops.window import global_rank
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["user_id", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("user_id", sort=False)["value"].sum()
+                .rename("total").reset_index())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("user_id", sort=False)["total"].sum()
+               .reset_index())
+        return round_cols(out, ["total"])
+
+    totals = bucketed_groups(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["user_id"], merge)
+    ranked = global_rank(totals, ["total", "user_id"], rank_col="rnk",
+                         ntile=4, ntile_col="quartile")
+    out = ranked.to_pandas()
+    out["rnk"] = out["rnk"].astype("int64")
+    return out[["user_id", "total", "rnk", "quartile"]]
 
 
 # --- flagship over testdata-derived tokenized log events ---------------

@@ -20,6 +20,73 @@ def round_cols(df, cols, ndigits: int = 6):
     return df
 
 
+def arrow_out(df):
+    """Convert a pandas batch/partial to an Arrow table before it
+    enters a ``groupby``/``sort`` exchange: Ray's sort-based shuffle is
+    several times faster over Arrow blocks than pandas blocks (block
+    sort, range partition and merge all stay in Arrow kernels instead
+    of pandas object paths).  Falls back to the pandas frame when a
+    column can't convert (e.g. an all-null object column whose Arrow
+    type would be ``null`` and break downstream schema unification),
+    or when a cell holds a Python dict: dict cells infer a struct type
+    from THAT BATCH's keys, so two batches of the same logical column
+    would enter the shuffle with different schemas."""
+    import pyarrow as pa
+
+    for c in df.columns:
+        if df[c].dtype == object and len(df):
+            s = df[c]
+            v = s.iloc[s.notna().to_numpy().argmax()] if s.notna().any() \
+                else None
+            if isinstance(v, dict):
+                return df
+    try:
+        t = pa.Table.from_pandas(df, preserve_index=False)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError):
+        return df
+    if df.empty and any(pa.types.is_null(f.type) for f in t.schema):
+        return df  # untyped empty: keep the dtype-carrying pandas frame
+    return t
+
+
+def merge_partials(partials_ds, keys: list[str], sum_cols: list[str], *,
+                   merge: str = "bucketed", num_buckets: int = 32):
+    """Merge per-block partial-aggregate rows (keys + summable columns)
+    into the final grouped sums, returning a pandas frame.
+
+    Ray's native ``groupby().aggregate()`` pays a multi-second
+    sort-shuffle latency even on kilobyte partial tables, so partial
+    merges route around it:
+
+    - ``merge="driver"``: collect the partials (#blocks × #keys rows —
+      use ONLY for bounded key spaces: brands, nations, labels, hours)
+      and reduce with one in-process groupby, exactly like
+      ``run_fold``'s driver merge.
+    - ``merge="bucketed"``: hash-bucketed exchange
+      (``bucketed_groups``) — each bucket owns whole keys, per-bucket
+      sums are disjoint and concatenate exactly; use when the key
+      space grows with the data (part keys, users, docs)."""
+
+    def _reduce(df):
+        out = (df.groupby(keys, sort=False, dropna=False)[sum_cols]
+               .sum().reset_index())
+        return out
+
+    if merge == "driver":
+        return _reduce(partials_ds.to_pandas())
+    return bucketed_groups(partials_ds, keys, _reduce,
+                           num_buckets=num_buckets).to_pandas()
+
+
+def arrow_partials(fn):
+    """Wrap a pandas-in/pandas-out partials function so its output
+    enters the downstream ``groupby`` exchange as Arrow blocks
+    (``arrow_out``)."""
+    def wrapped(df):
+        return arrow_out(fn(df))
+    return wrapped
+
+
 def bucketed_groups(ds, key_cols: list[str], fn, num_buckets: int = 64):
     """groupby a hash BUCKET of ``key_cols`` and run ``fn`` over the
     whole bucket (all rows of every key the bucket owns).
@@ -28,15 +95,16 @@ def bucketed_groups(ds, key_cols: list[str], fn, num_buckets: int = 64):
     key cardinality is high: per-key map_groups builds one Python
     pandas frame per key through the sort shuffle, while a bucketed
     group hands ``fn`` enough co-located rows to reduce them with ONE
-    vectorized pandas pass per bucket."""
+    vectorized pandas pass per bucket.  Bucket-tagged blocks enter the
+    sort exchange as ARROW tables (see ``arrow_out``)."""
     import pandas as pd
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(df: pd.DataFrame):
         if df.empty:
             df["_bucket"] = pd.Series(dtype="int64")
-            return df
-        df["_bucket"] = key_hash_buckets(df, key_cols, num_buckets)
-        return df
+        else:
+            df["_bucket"] = key_hash_buckets(df, key_cols, num_buckets)
+        return arrow_out(df)
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns=["_bucket"]))
