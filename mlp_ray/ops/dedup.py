@@ -313,6 +313,70 @@ def _attach_pair_values(values: rd.Dataset, pairs: rd.Dataset,
         g.drop(columns=["_pk"])))
 
 
+def _attach_pair_values_broadcast(values: rd.Dataset, pairs: pd.DataFrame,
+                                  pair_fn) -> pd.DataFrame:
+    """Pair-value join for a DRIVER-RESIDENT candidate list (the verify
+    contract: candidates ≪ corpus).  The pair list broadcasts once as
+    three sorted int arrays; each values batch replicates its rows to
+    the pairs they participate in MAP-SIDE (searchsorted run expansion,
+    no Python loop), so ONE pair-bucketed exchange aligns the two sides
+    — versus ``_attach_pair_values``'s two exchanges + union for
+    dataset-shaped pair inputs.  Returns (doc_id, dup_of, score)."""
+    n = len(pairs)
+    a = pairs["doc_id"].to_numpy(dtype=np.int64)
+    b = pairs["dup_of"].to_numpy(dtype=np.int64)
+    endpoint = np.concatenate([a, b])
+    pidx = np.concatenate([np.arange(n, dtype=np.int64),
+                           np.arange(n, dtype=np.int64)])
+    side = np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+    order = np.argsort(endpoint, kind="stable")
+    ref = ray.put((endpoint[order], pidx[order], side[order]))
+
+    _E = pd.DataFrame({"pair": pd.Series(dtype="int64"),
+                       "side": pd.Series(dtype="int8"),
+                       "value": pd.Series(dtype=object)})
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _E.copy()
+        d, p, s = ray.get(ref)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        lo = np.searchsorted(d, ids, "left")
+        cnt = np.searchsorted(d, ids, "right") - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return _E.copy()
+        rows = np.repeat(np.arange(len(df)), cnt)
+        within = (np.arange(total)
+                  - np.repeat(np.concatenate(([0], np.cumsum(cnt)))[:-1],
+                              cnt))
+        pos = np.repeat(lo, cnt) + within
+        return pd.DataFrame({"pair": p[pos], "side": s[pos],
+                             "value": df["value"].to_numpy()[rows]})
+
+    emitted = values.map_batches(emit, batch_format="pandas")
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        va = g[g["side"] == 0][["pair", "value"]]
+        vb = g[g["side"] == 1][["pair", "value"]]
+        m = va.merge(vb, on="pair", suffixes=("_a", "_b"))
+        if m.empty:
+            return pd.DataFrame({"pair": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        return pd.DataFrame({"pair": m["pair"].astype("int64"),
+                             "score": pair_fn(m["value_a"],
+                                              m["value_b"])})
+
+    scored = _bucketed(emitted, ["pair"], score_bucket).to_pandas()
+    if scored.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "dup_of": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    pr = scored["pair"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({"doc_id": a[pr], "dup_of": b[pr],
+                         "score": scored["score"].to_numpy()})
+
+
 def _est_jaccard(va: pd.Series, vb: pd.Series) -> np.ndarray:
     A = np.stack([np.frombuffer(v, dtype=np.uint64) for v in va])
     B = np.stack([np.frombuffer(v, dtype=np.uint64) for v in vb])
@@ -477,9 +541,10 @@ def ngram_jaccard_verify(docs_ds: rd.Dataset, candidates: pd.DataFrame,
     """Exact n-gram Jaccard for candidate pairs — DISTRIBUTED: shingle
     sets are computed inside map_batches for pair endpoints only (the
     candidate id set is broadcast via ray.put; ids are narrow even when
-    blobs are not), paired up with the bucketed pair join, and scored
-    per bucket.  Only the verified output (small) reaches the driver —
-    no take_all of shingle blobs, no iterrows."""
+    blobs are not), replicated to their pairs map-side from the
+    broadcast pair index, and scored after ONE pair-bucketed exchange
+    (``_attach_pair_values_broadcast``).  Only the verified output
+    (small) reaches the driver — no take_all of shingle blobs."""
     if candidates.empty:
         return candidates.assign(jaccard=pd.Series(dtype="float64"))
     needed = np.unique(np.concatenate([
@@ -515,8 +580,9 @@ def ngram_jaccard_verify(docs_ds: rd.Dataset, candidates: pd.DataFrame,
         return out
 
     sh = docs_ds.map_batches(shingles, batch_format="pyarrow")
-    pairs = rd.from_pandas(candidates[["doc_id", "dup_of"]])
-    scored = _attach_pair_values(sh, pairs, exact_jaccard).to_pandas()
+    pairs = (candidates[["doc_id", "dup_of"]]
+             .drop_duplicates().reset_index(drop=True))
+    scored = _attach_pair_values_broadcast(sh, pairs, exact_jaccard)
     if scored.empty:
         return (candidates.assign(jaccard=0.0)
                 .iloc[0:0].reset_index(drop=True))
