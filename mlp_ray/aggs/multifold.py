@@ -60,12 +60,22 @@ def _key_buckets(df: pd.DataFrame, keys: list[str],
 
 
 def run_multi_fold(cds, jobs: dict[str, SinkJob], *,
-                   mode: str = "driver", batch_size: int = 131072,
+                   mode: str = "driver", batch_size: int = 32768,
                    num_buckets: int = 16) -> dict[str, pd.DataFrame]:
     """One streaming pass over ``cds`` → one final pandas table per
     sink.  ``mode="driver"`` collects partial payloads and merges
     in-process; ``mode="distributed"`` shuffles payloads once, keyed on
-    (sink, key-hash bucket), and merges remotely."""
+    (sink, key-hash bucket), and merges remotely.
+
+    ``batch_size`` trades task parallelism + per-prep Arrow chunking
+    cost against partial volume (groups × batches).  Measured on the
+    1.5 M-row bench corpus at 32 CPUs: 131072 coalesces 276 read
+    blocks into 12 giant multi-chunk tasks — 10× the emit UDF
+    core-time (chunked Arrow→pandas conversion inside every sink prep)
+    and 3 task waves; per-block batches (~5 k rows) fix the UDF cost
+    but triple the partial rows the merge must reduce.  32768 is the
+    measured knee: full task fan-out, near-minimal UDF time, partial
+    volume within 2× of the floor."""
 
     def emit(batch: pa.Table) -> pd.DataFrame:
         sinks: list[str] = []

@@ -497,7 +497,7 @@ def run_full_analysis(paths, *, redact: bool = True,
                       ds: rd.Dataset | None = None,
                       mode: str = "auto", shards: bool = False,
                       exclude: set[str] | frozenset = frozenset(),
-                      driver_merge_max_bytes: int = 512 << 20,
+                      driver_merge_max_bytes: int = 256 << 20,
                       p95_mode: str = "auto"
                       ) -> dict[str, pd.DataFrame]:
     """Everything the reference's JSON report contains (K3), as small
