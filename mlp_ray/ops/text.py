@@ -75,6 +75,47 @@ def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
+def token_entropy_batch(batch: pa.Table,
+                        text_col: str = "text") -> pd.DataFrame:
+    """Per-doc Shannon entropy (bits) of the whitespace-token
+    distribution, next to the token count — a diversity/quality score
+    (boilerplate and repeated-token spam scores low).  One vectorized
+    pass: flatten all docs' tokens, lexsort (doc, token-code), and the
+    run-length boundaries give every (doc, token) count; entropy terms
+    reduce per doc with one ``bincount``.  Blank/whitespace-only docs
+    are skipped (oracle contract ``WHERE length(trim(text)) > 0``)."""
+    import pandas as pd
+
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], ""))
+    keep = pc.greater(pc.utf8_length(trimmed), 0)
+    ids = (batch["doc_id"].filter(keep)
+           .to_numpy(zero_copy_only=False).astype(np.int64))
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "n_tokens": pd.Series(dtype="int64"),
+                          "entropy": pd.Series(dtype="float64")})
+    if len(ids) == 0:
+        return empty
+    toks = pc.utf8_split_whitespace(trimmed.filter(keep))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    words = toks.flatten().to_numpy(zero_copy_only=False)
+    lens = (pc.list_value_length(toks)
+            .to_numpy(zero_copy_only=False).astype(np.int64))
+    doc_idx = np.repeat(np.arange(len(ids)), lens)
+    _, wcodes = np.unique(words, return_inverse=True)
+    order = np.lexsort((wcodes, doc_idx))
+    di, wc = doc_idx[order], wcodes[order]
+    new = np.concatenate(([True], (di[1:] != di[:-1]) | (wc[1:] != wc[:-1])))
+    starts = np.nonzero(new)[0]
+    cnts = np.diff(np.concatenate((starts, [len(di)]))).astype(np.float64)
+    pair_doc = di[starts]
+    p = cnts / lens[pair_doc].astype(np.float64)
+    ent = -np.bincount(pair_doc, weights=p * np.log2(p),
+                       minlength=len(ids))
+    return pd.DataFrame({"doc_id": ids, "n_tokens": lens,
+                         "entropy": round_half_away(ent, 6)})
+
+
 # BPE-ish subword tokenizer count: a GPT-2-style pretokenizer pattern
 # (contraction pieces, space-prefixed letter/digit/punct runs) without
 # the lookahead so it runs on RE2 — identical semantics in

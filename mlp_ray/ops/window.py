@@ -46,6 +46,123 @@ def _exact_ntile(rank0: np.ndarray, n_total: int, k: int) -> np.ndarray:
     return (out + 1).astype(np.int64)
 
 
+def group_topk(ds, keys: list[str], sort_cols: list[str], *,
+               descending: bool | list[bool] = False, k: int = 3,
+               rank_col: str | None = None):
+    """Top-``k`` ROWS per group (SQL ``QUALIFY row_number() OVER
+    (PARTITION BY keys ORDER BY sort_cols) <= k``), as a Dataset →
+    Dataset operator.
+
+    Two-phase: each input batch keeps only its LOCAL per-group top-k
+    (a batch can contribute at most k survivors per group), then one
+    key-bucketed exchange finishes the selection — the shuffle carries
+    ≤ k × groups-per-batch rows per batch, never the corpus.  Both
+    phases are one vectorized sort + ``groupby().head(k)`` per
+    frame.  ``sort_cols`` plus ``keys`` must order rows uniquely for a
+    deterministic result (callers include a tiebreaker id)."""
+    from ..util import arrow_partials, bucketed_groups
+
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_cols)
+    asc = [not d for d in descending]
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(sort_cols, ascending=asc, kind="mergesort")
+                .groupby(keys, sort=False).head(k))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = local(g)
+        if rank_col is not None:
+            out = out.copy()
+            out[rank_col] = (out.groupby(keys, sort=False).cumcount()
+                             .to_numpy() + 1).astype(np.int64)
+        return out
+
+    pruned = ds.map_batches(arrow_partials(local), batch_format="pandas")
+    return bucketed_groups(pruned, keys, final)
+
+
+def global_cumsum(ds, keys: list[str], value_col: str, *,
+                  descending: bool | list[bool] = False,
+                  num_partitions: int = 64, rank_col: str = "rank",
+                  cum_col: str = "cum"):
+    """Exact global ordered running sum of ``value_col`` over the
+    ``keys`` order (SQL ``SUM(v) OVER (ORDER BY keys ROWS UNBOUNDED
+    PRECEDING)``) plus the 1-based row_number — the distributed scan:
+    range-partition by sampled boundaries of the first key, a narrow
+    count pass returns per-partition ``(rows, sum)`` partials whose
+    driver prefix gives each partition its rank AND value offsets,
+    then each partition sorts locally and adds its offsets.  Same
+    partitioning contract as ``global_rank``; ``keys`` must be unique
+    per row."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(keys)
+    asc = [not d for d in descending]
+    k0 = keys[0]
+
+    ds = ds.materialize()
+
+    def sample_keys(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({k0: df[k0]})
+        step = max(1, len(df) // 32)
+        return pd.DataFrame({k0: df[k0].iloc[::step]})
+
+    samp = ds.map_batches(sample_keys, batch_format="pandas").to_pandas()
+    vals = np.sort(samp[k0].to_numpy())
+    if len(vals) == 0:
+        return ds.map_batches(
+            lambda df: df.assign(
+                **{rank_col: np.zeros(0, dtype=np.int64),
+                   cum_col: np.zeros(0, dtype=np.float64)}),
+            batch_format="pandas")
+    q = np.linspace(0, len(vals) - 1,
+                    min(num_partitions, len(vals)) + 1)[1:-1]
+    bounds = np.unique(vals[q.astype(np.int64)])
+
+    def assign_pid(df: pd.DataFrame):
+        from ..util import arrow_out
+
+        pid = np.searchsorted(bounds, df[k0].to_numpy(), side="right")
+        if descending[0]:
+            pid = len(bounds) - pid
+        df = df.copy()
+        df["_pid"] = pid.astype("int64")
+        return arrow_out(df)
+
+    with_pid = ds.map_batches(assign_pid, batch_format="pandas")
+
+    def count_pids(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_pid", sort=True)[value_col].agg(n="size", s="sum")
+        return pd.DataFrame({"_pid": g.index.to_numpy(dtype=np.int64),
+                             "n": g["n"].to_numpy(dtype=np.int64),
+                             "s": g["s"].to_numpy(dtype=np.float64)})
+
+    cnt = (with_pid.map_batches(count_pids, batch_format="pandas")
+           .to_pandas().groupby("_pid", sort=True)[["n", "s"]].sum()
+           .reset_index())
+    pids = cnt["_pid"].to_numpy()
+    ns = cnt["n"].to_numpy(dtype=np.int64)
+    ss = cnt["s"].to_numpy(dtype=np.float64)
+    rank_offs = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    sum_offs = np.concatenate([[0.0], np.cumsum(ss)[:-1]])
+    rank_of = dict(zip(pids.tolist(), rank_offs.tolist()))
+    sum_of = dict(zip(pids.tolist(), sum_offs.tolist()))
+
+    def scan_partition(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["_pid"].iloc[0])
+        g = (g.sort_values(keys, ascending=asc, kind="mergesort")
+             .drop(columns=["_pid"]).reset_index(drop=True))
+        g[rank_col] = (rank_of[pid]
+                       + np.arange(1, len(g) + 1, dtype=np.int64))
+        g[cum_col] = (sum_of[pid]
+                      + np.cumsum(g[value_col].to_numpy(dtype=np.float64)))
+        return g
+
+    return with_pid.groupby("_pid").map_groups(scan_partition,
+                                               batch_format="pandas")
+
+
 def global_rank(ds, keys: list[str], *, descending: bool | list[bool] = False,
                 num_partitions: int = 64, rank_col: str = "rank",
                 ntile: int | None = None, ntile_col: str = "ntile"):

@@ -1303,6 +1303,147 @@ def events_user_ntile(sf_dir: str) -> pd.DataFrame:
     return out[["user_id", "total", "rnk", "quartile"]]
 
 
+def events_top3_per_user(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-k ROWS (``QUALIFY row_number() <= 3``): each
+    user's 3 highest-value events via ``window.group_topk`` — local
+    per-batch prune to ≤k rows per group, then one key-bucketed
+    exchange finishes the selection."""
+    from ..ops.window import group_topk
+
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
+    out = group_topk(ds, ["user_id"], ["value", "event_id"],
+                     descending=[True, False], k=3,
+                     rank_col="rn").to_pandas()
+    out = out.sort_values(["user_id", "rn"]).reset_index(drop=True)
+    out["rn"] = out["rn"].astype("int64")
+    return round_cols(
+        out[["user_id", "event_id", "event_type", "value", "rn"]],
+        ["value"])
+
+
+def users_churned(sf_dir: str) -> pd.DataFrame:
+    """Anti set op (SQL EXCEPT): users active on the corpus's first day
+    but absent on its last.  Per-batch (user, on_first, on_last) flag
+    partials OR-merge through one user-bucketed exchange — the corpus
+    never shuffles, only the flag pairs do."""
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+    first_day = np.datetime64("2024-01-01")
+    last_day = np.datetime64("2024-01-30")
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy().astype("datetime64[D]")
+        f, l = day == first_day, day == last_day
+        keep = f | l
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy()[keep],
+            "on_first": f[keep].astype(np.int64),
+            "on_last": l[keep].astype(np.int64)})
+        return (out.groupby("user_id", sort=False).max().reset_index())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby("user_id", sort=False)[["on_first", "on_last"]]
+             .max().reset_index())
+        return m.loc[(m["on_first"] == 1) & (m["on_last"] == 0),
+                     ["user_id"]]
+
+    out = bucketed_groups(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["user_id"], merge).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def emb_nearest_centroid(sf_dir: str) -> pd.DataFrame:
+    """Nearest-centroid assignment (the IVF coarse-quantizer /
+    classification step): label centroids come from the same
+    centroid-sized exchange as ``emb_label_centroid`` (rounded to 6
+    digits so engine and oracle score the identical centroid), the
+    L×D matrix broadcasts once via ``ray.put``, and each batch scores
+    with ONE normalized matmul + argmax — no per-row Python, no
+    shuffle of the embedding column."""
+    cent = emb_label_centroid(sf_dir)
+    labels = np.sort(cent["label"].unique()).astype(np.int64)
+    C = (cent.pivot(index="label", columns="dim", values="mean_v")
+         .sort_index().to_numpy(dtype=np.float64))
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    ref = ray.put((labels, Cn))
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "label": pd.Series(dtype="int64"),
+                                 "nearest_label": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        labs, cn = ray.get(ref)
+        t = t.combine_chunks()
+        ch = t["embedding"].chunk(0)
+        mat = (ch.flatten().to_numpy(zero_copy_only=False)
+               .reshape(len(ch), -1).astype(np.float64))
+        nm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nm[nm == 0] = 1.0
+        cos = (mat / nm) @ cn.T
+        # argmax takes the FIRST max; labels sorted asc = smallest
+        # label wins ties, matching the oracle's ORDER BY cos DESC,
+        # nearest_label
+        best = np.argmax(cos, axis=1)
+        rows = np.arange(len(mat))
+        return pd.DataFrame({
+            "vec_id": t["vec_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "label": t["label"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "nearest_label": labs[best],
+            "cos": round_cols(pd.DataFrame({"c": cos[rows, best]}),
+                              ["c"])["c"].to_numpy()})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    out = ds.map_batches(assign, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def doc_token_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-doc token-distribution Shannon entropy (quality scoring)."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(text.token_entropy_batch, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas())
+
+
+def events_user_cum_share(sf_dir: str) -> pd.DataFrame:
+    """Distributed ordered SCAN: cumulative share of total event value
+    by users ranked ascending (``SUM(v) OVER (ORDER BY ...)``), via
+    ``window.global_cumsum`` — per-user rollup, range partition,
+    narrow (rows, sum) count pass, per-partition local cumsum +
+    driver-prefixed offsets."""
+    from ..ops.window import global_cumsum
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["user_id", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("user_id", sort=False)["value"].sum()
+                .rename("total").reset_index())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("user_id", sort=False)["total"].sum()
+               .reset_index())
+        return round_cols(out, ["total"])
+
+    totals = bucketed_groups(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["user_id"], merge)
+    scanned = global_cumsum(totals, ["total", "user_id"], "total",
+                            rank_col="rnk", cum_col="cum").to_pandas()
+    scanned = scanned.sort_values("rnk").reset_index(drop=True)
+    grand = float(scanned["cum"].iloc[-1]) if len(scanned) else 1.0
+    scanned["rnk"] = scanned["rnk"].astype("int64")
+    scanned["cum_share"] = scanned["cum"] / grand
+    out = scanned[["user_id", "total", "rnk", "cum_share"]]
+    return round_cols(out, ["cum_share"])
+
+
 # --- flagship over testdata-derived tokenized log events ---------------
 def _round_floats(df: pd.DataFrame, ndigits: int = 6) -> pd.DataFrame:
     """Oracle canonicalization of a fold output: half-away-from-zero
