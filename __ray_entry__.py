@@ -78,7 +78,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_sessions": Q.events_user_sessions,  # J1 map_groups join
         "events_range_join": Q.events_range_join,        # interval join
         "orders_lineitem_join": Q.orders_lineitem_join,  # large-large hash join
-        "orders_top_customers": Q.orders_top_customers,  # agg→join→topk/group
         "doc_curate": Q.doc_curate,  # quality→decontam→dedup→sample
         # -- new this round (oracle-backed, never driver-checked) -------
         "events_top3_per_user": Q.events_top3_per_user,  # per-group top-k rows
@@ -86,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_nearest_centroid": Q.emb_nearest_centroid,  # centroid assign
         "doc_token_entropy": Q.doc_token_entropy,        # entropy scoring
         "events_user_cum_share": Q.events_user_cum_share,  # ordered scan
+        "doc_shuffle": Q.doc_shuffle,                    # seeded global order
         "orders_discounted_semi": Q.orders_discounted_semi,  # semi join
         "nation_revenue": Q.nation_revenue,              # Q5-shape multi-join
         "parts_brand_revenue": Q.parts_brand_revenue,    # dim-broadcast join
@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_ntile": Q.events_user_ntile,        # global NTILE(4)
         # ---- position 51+ (driver-green in r01/r02 and/or attested by
         # the in-repo oracle suite every session) -----------------------
+        "orders_top_customers": Q.orders_top_customers,  # agg→join→topk/group
         "events_routed": Q.events_routed,                # routing fan-out
         "events_dedup_latest": Q.events_dedup_latest,    # upsert compaction
         "orders_by_nation": Q.orders_by_nation,          # broadcast lookup join
@@ -489,6 +490,13 @@ def oracle_sql() -> dict[str, str]:
                              ROWS UNBOUNDED PRECEDING)
                          / sum(total) OVER (), 6) AS cum_share
             FROM u
+        """,
+        "doc_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                        ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)),
+                                 doc_id) AS BIGINT) AS pos
+            FROM documents
         """,
         "doc_chunk": """
             SELECT doc_id, k AS chunk_id,

@@ -1444,6 +1444,34 @@ def events_user_cum_share(sf_dir: str) -> pd.DataFrame:
     return round_cols(out, ["cum_share"])
 
 
+def doc_shuffle(sf_dir: str, seed: int = 42) -> pd.DataFrame:
+    """Deterministic seeded corpus shuffle (the training-data ordering
+    op): every doc's position is ``row_number()`` over
+    ``md5(seed || doc_id)`` — reproducible from row content alone, so
+    a re-sharded or resumed 100 TB corpus shuffles to the IDENTICAL
+    order.  The md5 keys are computed map-side; the order itself comes
+    from ``window.global_rank`` (range partition + narrow count pass),
+    never a driver sort."""
+    import hashlib
+
+    from ..ops.window import global_rank
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        df = df.copy()
+        df["h"] = [hashlib.md5(f"{seed}|{i}".encode()).hexdigest()
+                   for i in ids]
+        return df
+
+    ranked = global_rank(ds.map_batches(key, batch_format="pandas"),
+                         ["h", "doc_id"], rank_col="pos")
+    out = ranked.to_pandas().sort_values("pos").reset_index(drop=True)
+    out["pos"] = out["pos"].astype("int64")
+    return out[["doc_id", "pos"]]
+
+
 # --- flagship over testdata-derived tokenized log events ---------------
 def _round_floats(df: pd.DataFrame, ndigits: int = 6) -> pd.DataFrame:
     """Oracle canonicalization of a fold output: half-away-from-zero

@@ -83,3 +83,13 @@ def test_entry_smoke():
         out = out.to_pandas()
     assert len(out) > 0
     assert "ns" in out.columns and "count" in out.columns
+
+
+def test_top50_battery_all_oracled():
+    """Battery-curation guard: the driver checks the FIRST 50
+    queries() entries, so every one of them must carry an oracle
+    (rows-only views belong past position 50)."""
+    names = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    missing = [n for n in names[:50] if n not in oracles]
+    assert not missing, missing
