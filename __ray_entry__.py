@@ -75,8 +75,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_main_agg": Q.events_main_agg,           # A1 fold + exact p95
         "events_topk": Q.events_topk,                    # T4 top-k
         "events_distinct_users": Q.events_distinct_users,  # A8 exact distinct
-        "events_user_sessions": Q.events_user_sessions,  # J1 map_groups join
-        "events_range_join": Q.events_range_join,        # interval join
         "orders_lineitem_join": Q.orders_lineitem_join,  # large-large hash join
         "doc_curate": Q.doc_curate,  # quality→decontam→dedup→sample
         # -- new this round (oracle-backed, never driver-checked) -------
@@ -86,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_entropy": Q.doc_token_entropy,        # entropy scoring
         "events_user_cum_share": Q.events_user_cum_share,  # ordered scan
         "doc_shuffle": Q.doc_shuffle,                    # seeded global order
+        "events_funnel": Q.events_funnel,                # asof attribution
+        "doc_budget_sample": Q.doc_budget_sample,        # token-budget mix
         "orders_discounted_semi": Q.orders_discounted_semi,  # semi join
         "nation_revenue": Q.nation_revenue,              # Q5-shape multi-join
         "parts_brand_revenue": Q.parts_brand_revenue,    # dim-broadcast join
@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_ntile": Q.events_user_ntile,        # global NTILE(4)
         # ---- position 51+ (driver-green in r01/r02 and/or attested by
         # the in-repo oracle suite every session) -----------------------
+        "events_user_sessions": Q.events_user_sessions,  # J1 map_groups join
+        "events_range_join": Q.events_range_join,        # interval join
         "orders_top_customers": Q.orders_top_customers,  # agg→join→topk/group
         "events_routed": Q.events_routed,                # routing fan-out
         "events_dedup_latest": Q.events_dedup_latest,    # upsert compaction
@@ -497,6 +499,38 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)),
                                  doc_id) AS BIGINT) AS pos
             FROM documents
+        """,
+        "events_funnel": """
+            WITH p AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'click'),
+            j AS (
+                SELECT p.event_id, p.user_id,
+                       date_diff('microsecond', max(c.ts), p.ts) AS gap_us
+                FROM p JOIN c ON c.user_id = p.user_id
+                    AND c.ts <= p.ts
+                    AND c.ts > p.ts - INTERVAL 1 HOUR
+                GROUP BY p.event_id, p.user_id, p.ts)
+            SELECT user_id, count(*) AS conversions,
+                   round(sum(gap_us) * 1.0 / count(*) / 1e6, 6) AS avg_gap_s
+            FROM j GROUP BY 1
+        """,
+        "doc_budget_sample": r"""
+            WITH d AS (
+                SELECT doc_id, source,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                            AS BIGINT) AS n_tok,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents),
+            s AS (
+                SELECT source, doc_id, n_tok,
+                       CAST(sum(n_tok) OVER (PARTITION BY source
+                            ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+                FROM d)
+            SELECT source, doc_id, n_tok, cum_tok FROM s
+            WHERE cum_tok <= 200
         """,
         "doc_chunk": """
             SELECT doc_id, k AS chunk_id,

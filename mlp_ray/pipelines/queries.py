@@ -1472,6 +1472,97 @@ def doc_shuffle(sf_dir: str, seed: int = 42) -> pd.DataFrame:
     return out[["doc_id", "pos"]]
 
 
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Funnel / attribution analysis: purchases attributed to the
+    NEAREST preceding click by the same user within 1 hour, as a
+    composition of the distributed as-of join (the nearest preceding
+    click overall IS the windowed max — if it falls outside the hour,
+    no click in the window exists either) + a per-user rollup.
+    Gaps stay exact integer microseconds so the mean is
+    association-order-free."""
+    from ..ops import joins
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def side(t: pa.Table, kind: str) -> pa.Table:
+        return (t.filter(pc.equal(t["event_type"], kind))
+                .select(["event_id", "ts", "user_id"]))
+
+    purchases = ds.map_batches(lambda t: side(t, "purchase"),
+                               batch_format="pyarrow", zero_copy_batch=True)
+    clicks = ds.map_batches(lambda t: side(t, "click"),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    j = joins.asof_join(purchases, clicks, on="ts", by=["user_id"],
+                        attach=["event_id"], tiebreak="event_id")
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        gap_us = (df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+                  - df["r_ts"].to_numpy("datetime64[us]").astype(np.int64))
+        keep = gap_us <= 3_600_000_000
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy()[keep],
+                            "gap_us": gap_us[keep]})
+        agg = (out.groupby("user_id", sort=False)["gap_us"]
+               .agg(conversions="size", sum_gap="sum").reset_index())
+        agg["conversions"] = agg["conversions"].astype("int64")
+        return agg
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby("user_id", sort=False)[["conversions", "sum_gap"]]
+             .sum().reset_index())
+        m["conversions"] = m["conversions"].astype("int64")
+        m["avg_gap_s"] = (m["sum_gap"].to_numpy(dtype=np.float64)
+                          / m["conversions"].to_numpy()) / 1e6
+        return m[["user_id", "conversions", "avg_gap_s"]]
+
+    out = bucketed_groups(
+        j.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["user_id"], merge).to_pandas()
+    out = out.sort_values("user_id").reset_index(drop=True)
+    return round_cols(out, ["avg_gap_s"])
+
+
+def doc_budget_sample(sf_dir: str, budget: int = 200) -> pd.DataFrame:
+    """Token-budget mixture sampling (data mixing under a per-source
+    token budget): within each source, keep docs in deterministic
+    md5(doc_id) order until the cumulative whitespace-token count
+    exceeds ``budget``.  Narrow (doc_id, source, n_tok, h) rows go
+    through ONE source-bucketed exchange; each bucket runs a vectorized
+    per-source cumsum and keeps the prefix.  Reproducible from row
+    content alone (re-shard/resume stable).  Partitioning assumption:
+    one source's doc METADATA rows fit a bucket (text never shuffles);
+    the scale path for a single giant source is ``window.global_cumsum``
+    range-partitioned on (source, h)."""
+    import hashlib
+
+    from ..util import bucketed_groups
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def narrow(t: pa.Table) -> pd.DataFrame:
+        toks = text._ws_tokens(pc.fill_null(t["text"], ""))
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "source": t["source"].to_pylist(),
+            "n_tok": n.astype(np.int64),
+            "h": [hashlib.md5(str(i).encode()).hexdigest() for i in ids]})
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        g = g.assign(cum_tok=g.groupby("source", sort=False)["n_tok"]
+                     .cumsum().astype("int64"))
+        return g.loc[g["cum_tok"] <= budget,
+                     ["source", "doc_id", "n_tok", "cum_tok"]]
+
+    out = bucketed_groups(
+        ds.map_batches(narrow, batch_format="pyarrow"),
+        ["source"], scan).to_pandas()
+    return (out.sort_values(["source", "cum_tok"])
+            .reset_index(drop=True))
+
+
 # --- flagship over testdata-derived tokenized log events ---------------
 def _round_floats(df: pd.DataFrame, ndigits: int = 6) -> pd.DataFrame:
     """Oracle canonicalization of a fold output: half-away-from-zero
