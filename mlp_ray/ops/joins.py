@@ -131,9 +131,35 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
                         batch_format="pandas"))
 
 
+def detect_hot_keys(ds: rd.Dataset, on: list[str], *,
+                    share: float = 0.01,
+                    sample_per_block: int = 4096) -> pd.DataFrame:
+    """Cheap hot-key detection for skew salting: a deterministic
+    per-block head sample of the key columns, counted per block and
+    merged on the driver (narrow (keys, n) partials).  Returns the
+    distinct key tuples whose sampled share exceeds ``share`` — a key
+    owning ≥1% of a corpus is exactly the kind that melts one join
+    bucket."""
+    def partials(t: pa.Table) -> pd.DataFrame:
+        head = t.select(on).slice(0, sample_per_block).to_pandas()
+        out = head.groupby(on, sort=False, dropna=False).size() \
+            .rename("n").reset_index()
+        return out
+
+    cnt = (ds.map_batches(partials, batch_format="pyarrow")
+           .to_pandas().groupby(on, as_index=False, dropna=False)["n"]
+           .sum())
+    total = int(cnt["n"].sum())
+    if total == 0:
+        return cnt.iloc[0:0][on]
+    return cnt.loc[cnt["n"] >= max(2, share * total), on] \
+        .reset_index(drop=True)
+
+
 def hash_join(left: rd.Dataset, right: rd.Dataset, *, on: list[str],
               right_on: list[str] | None = None, how: str = "inner",
-              num_buckets: int = 64) -> rd.Dataset:
+              num_buckets: int = 64, salt: int = 1,
+              hot_keys: pd.DataFrame | None = None) -> rd.Dataset:
     """Distributed equi-join of two LARGE datasets: both sides shuffle
     ONCE by the key-hash bucket; each bucket owns whole key groups and
     joins them with a single vectorized ``pd.merge`` — no per-key
@@ -147,10 +173,29 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, *, on: list[str],
     come back nullable under ``left`` (cast at the consumer).  Under
     ``semi``/``anti`` the right side ships ONLY its (deduplicated)
     keys through the shuffle and contributes no output columns.
+
+    **Skew salting** (``salt > 1``): rows of HOT keys on the left
+    spread across ``salt`` sub-buckets (assignment is load-balancing
+    only — any sub works, the result is identical) while the right
+    side's hot-key rows REPLICATE to every sub-bucket, so one
+    dominant key occupies ``salt`` parallel groups instead of melting
+    one.  Hot keys come from ``hot_keys`` (distinct key tuples) or,
+    when omitted, from a sampled frequency pass over the LEFT side
+    (``detect_hot_keys``).  Cold keys pay nothing; right-side shuffle
+    volume grows only by hot-rows × salt.  If the RIGHT side carries
+    the skew, swap the sides (inner/semi are symmetric; for
+    left-joins, keep the skewed side left).
     """
     right_on = list(on) if right_on is None else list(right_on)
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    if salt > 1 and hot_keys is None:
+        hot_keys = detect_hot_keys(left, on)
+    hot_ref = None
+    if salt > 1 and hot_keys is not None and len(hot_keys):
+        hot_ref = ray.put(set(map(tuple, hot_keys[on].itertuples(
+            index=False, name=None))) if len(on) > 1
+            else set(hot_keys[on[0]].tolist()))
     ls, rs = left.schema(), right.schema()
     ltypes = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
     rtypes = {o: _arrow_type(t) for o, t in zip(
@@ -181,8 +226,33 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, *, on: list[str],
         cols["_side"] = pa.array(np.full(n, side, np.int8))
         out = pa.table(cols)
         from ..util import key_hash_buckets
-        b = key_hash_buckets(out.select(on).to_pandas(), on, num_buckets)
-        return out.append_column("_bucket", pa.array(b))
+        kf = out.select(on).to_pandas()
+        b = key_hash_buckets(kf, on, num_buckets).astype(np.int64)
+        if hot_ref is None:
+            return out.append_column("_bucket", pa.array(b))
+        hot_set = ray.get(hot_ref)
+        if len(on) > 1:
+            hot = pd.MultiIndex.from_frame(kf).map(
+                lambda tup: tup in hot_set).to_numpy(dtype=bool)
+        else:
+            hot = kf[on[0]].isin(hot_set).to_numpy(dtype=bool)
+        if side == 1:
+            # left: spread hot rows across the salt sub-buckets.  The
+            # assignment only balances load — any sub yields the same
+            # join result, so arange%salt needs no determinism contract
+            sub = np.where(hot, np.arange(n, dtype=np.int64) % salt, 0)
+            return out.append_column("_bucket", pa.array(b * salt + sub))
+        # right: replicate hot rows into every sub-bucket so each
+        # left sub sees the full right side of its key
+        cold_idx = np.nonzero(~hot)[0]
+        hot_idx = np.nonzero(hot)[0]
+        idx = np.concatenate([cold_idx, np.tile(hot_idx, salt)])
+        sub = np.concatenate([
+            np.zeros(len(cold_idx), dtype=np.int64),
+            np.repeat(np.arange(salt, dtype=np.int64), len(hot_idx))])
+        bucket = b[idx] * salt + sub
+        return (out.take(pa.array(idx))
+                .append_column("_bucket", pa.array(bucket)))
 
     lt = left.map_batches(lambda t: tag(t, 1, {}),
                           batch_format="pyarrow")

@@ -172,3 +172,58 @@ def test_hash_join_semi_anti():
             .to_pandas())
     assert list(anti["k"]) == [2]
     assert list(anti["lv"].astype("int64")) == [20]
+
+
+class TestSkewSalting:
+    def _skewed(self):
+        rng = np.random.RandomState(19)
+        # 90% of left rows share one key; right has multiple rows/key
+        lk = np.where(rng.rand(4000) < 0.9, 7,
+                      rng.randint(0, 50, 4000)).astype(np.int64)
+        left = pd.DataFrame({"k": lk,
+                             "lv": np.arange(4000, dtype=np.int64)})
+        right = pd.DataFrame({
+            "k": np.repeat(np.arange(0, 50, dtype=np.int64), 3),
+            "rv": np.arange(150, dtype=np.int64)})
+        return left, right
+
+    @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+    def test_salted_equals_unsalted(self, ray_session, how):
+        from mlp_ray.ops.joins import hash_join
+
+        left, right = self._skewed()
+        lds = rd.from_pandas(left).repartition(5)
+        rds = rd.from_pandas(right).repartition(3)
+        base = hash_join(lds, rds, on=["k"], how=how).to_pandas()
+        salted = hash_join(lds, rds, on=["k"], how=how, salt=8,
+                           num_buckets=16).to_pandas()
+        cols = sorted(base.columns)
+        a = base[cols].sort_values(cols, kind="mergesort") \
+            .reset_index(drop=True)
+        b = salted[cols].sort_values(cols, kind="mergesort") \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        exp = left.merge(right, on="k", how=how if how in
+                         ("inner", "left") else "inner")
+        if how == "inner":
+            assert len(a) == len(exp)
+
+    def test_detect_hot_keys_finds_planted(self, ray_session):
+        from mlp_ray.ops.joins import detect_hot_keys
+
+        left, _ = self._skewed()
+        hot = detect_hot_keys(rd.from_pandas(left).repartition(4), ["k"])
+        assert 7 in hot["k"].tolist()
+        # the uniform tail keys (~0.2% each) must NOT be flagged
+        assert len(hot) <= 3
+
+    def test_explicit_hot_keys(self, ray_session):
+        from mlp_ray.ops.joins import hash_join
+
+        left, right = self._skewed()
+        hot = pd.DataFrame({"k": [7]})
+        out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on=["k"], salt=4, hot_keys=hot).to_pandas()
+        exp = left.merge(right, on="k")
+        assert len(out) == len(exp)
+        assert int(out["lv"].sum()) == int(exp["lv"].sum())
