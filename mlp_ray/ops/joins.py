@@ -232,8 +232,8 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, *, on: list[str],
             return out.append_column("_bucket", pa.array(b))
         hot_set = ray.get(hot_ref)
         if len(on) > 1:
-            hot = pd.MultiIndex.from_frame(kf).map(
-                lambda tup: tup in hot_set).to_numpy(dtype=bool)
+            hot = (pd.MultiIndex.from_frame(kf)
+                   .isin(hot_set).astype(bool))
         else:
             hot = kf[on[0]].isin(hot_set).to_numpy(dtype=bool)
         if side == 1:
