@@ -505,29 +505,29 @@ def _gram_strings(t: pa.Table, n: int, text_col: str) -> np.ndarray:
 
 
 def ngram_heavy_hitters(docs_ds, *, n: int = 2, k: int = 50,
-                        candidate_margin: int = 8,
+                        num_buckets: int = 64,
                         text_col: str = "text"):
     """Top-``k`` word-``n``-grams by EXACT count — the unbounded-key
     frequency problem ``token_histogram`` can't take to 100 TB (its
-    exchange is bounded by vocabulary; the n-gram key space is
-    ~corpus-sized, so a full groupby would shuffle one row per
-    distinct gram).
+    vocabulary-bounded bincount doesn't apply: the n-gram key space is
+    ~corpus-sized).
 
-    SpaceSaving-style two-pass shape instead, with NO corpus-wide
-    shuffle: pass 1 emits each batch's local top-(margin·k) gram
-    counts (bounded partials) and the driver keeps the top-(margin·k)
-    candidates by summed lower-bound count; pass 2 broadcasts the
-    candidate array and counts EXACT occurrences per batch with a
-    searchsorted probe, so the reported counts are exact.  A true
-    top-k gram is missed only if it falls outside every batch's local
-    top — margin is the recall knob (heavy hitters concentrate, so
-    margin·k local slots cover the global top-k on natural-language
-    skew).  Returns (gram, count, rnk), count desc / gram asc.
+    Exact and LAYOUT-INDEPENDENT by construction: each block emits its
+    full distinct (gram, count) partial (pre-aggregated — one row per
+    distinct gram per block, never one per occurrence), ONE
+    gram-bucketed exchange sums exact global counts (a bucket owns
+    whole grams, so per-bucket sums are final), each bucket keeps only
+    its local top-``k``, and the driver merges ≤ num_buckets × k rows.
+    A candidate-pool two-pass variant (local top-C per block, then an
+    exact recount) was measurably layout-DEPENDENT: on near-uniform
+    gram distributions a globally-tied gram can fall outside every
+    block's local top, so finer block layouts (more CPUs) silently
+    dropped boundary grams.  Returns (gram, count, rnk), count desc /
+    gram asc.
     """
     import pandas as pd
-    import ray
 
-    cap = candidate_margin * k
+    from ..util import bucketed_groups
 
     def local_counts(t: pa.Table) -> pd.DataFrame:
         grams = _gram_strings(t, n, text_col)
@@ -535,61 +535,26 @@ def ngram_heavy_hitters(docs_ds, *, n: int = 2, k: int = 50,
             return pd.DataFrame({"gram": pd.Series(dtype=object),
                                  "count": pd.Series(dtype="int64")})
         vc = pd.Series(grams).value_counts()
-        vc = vc.sort_index().sort_values(ascending=False,
-                                         kind="mergesort").head(cap)
         return pd.DataFrame({"gram": vc.index.to_numpy(dtype=object),
                              "count": vc.to_numpy().astype(np.int64)})
 
-    # partials are ≤ cap rows per block; at 10^6 blocks a driver concat
-    # would still be 10^6·cap rows, so the pooling is a gram-bucketed
-    # distributed sum + per-bucket top-cap — the driver sees ≤
-    # num_buckets·cap rows regardless of corpus size
-    from ..util import bucketed_groups
-
-    def pool_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
         s = (g.groupby("gram")["count"].sum()
              .sort_index().sort_values(ascending=False, kind="mergesort")
-             .head(cap).reset_index())
+             .head(k).reset_index())
         s["count"] = s["count"].astype("int64")
         return s
 
     parts = docs_ds.map_batches(local_counts, batch_format="pyarrow")
-    pooled = bucketed_groups(parts, ["gram"], pool_bucket).to_pandas()
+    pooled = bucketed_groups(parts, ["gram"], bucket_topk,
+                             num_buckets=num_buckets).to_pandas()
     if pooled.empty:
         return pd.DataFrame({"gram": pd.Series(dtype=object),
                              "count": pd.Series(dtype="int64"),
                              "rnk": pd.Series(dtype="int64")})
-    cand = (pooled.sort_values(["count", "gram"],
-                               ascending=[False, True], kind="mergesort")
-            .head(cap))
-    cands = np.sort(cand["gram"].to_numpy(dtype=object))
-    ref = ray.put(cands)
-
-    def exact_counts(t: pa.Table) -> pd.DataFrame:
-        cs = _cached_obj(("hh-cands", ref), ref)
-        grams = _gram_strings(t, n, text_col)
-        if not len(grams):
-            return pd.DataFrame({"idx": pd.Series(dtype="int64"),
-                                 "count": pd.Series(dtype="int64")})
-        pos = np.searchsorted(cs, grams)
-        pos = np.minimum(pos, len(cs) - 1)
-        hit = cs[pos] == grams
-        c = np.bincount(pos[hit], minlength=len(cs))
-        nz = np.flatnonzero(c)
-        return pd.DataFrame({"idx": nz.astype(np.int64),
-                             "count": c[nz].astype(np.int64)})
-
-    # per-batch vectors are ≤ cap rows keyed by a ≤ cap index space —
-    # the Ray aggregate reduces them in-cluster, the driver gets ≤ cap
-    from ray.data.aggregate import Sum
-
-    exact = (docs_ds.map_batches(exact_counts, batch_format="pyarrow")
-             .groupby("idx").aggregate(Sum("count", alias_name="count"))
-             .to_pandas().set_index("idx")["count"])
-    out = pd.DataFrame({"gram": cands[exact.index.to_numpy()],
-                        "count": exact.to_numpy().astype(np.int64)})
-    out = out.sort_values(["count", "gram"], ascending=[False, True],
-                          kind="mergesort").head(k).reset_index(drop=True)
+    out = (pooled.sort_values(["count", "gram"],
+                              ascending=[False, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
     out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
 
