@@ -154,6 +154,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trim tool
         "events_trim_props": Q.events_trim_props,        # rows-only
         "flagship_pack_greedy": Q.flagship_pack_greedy,  # rows-only
+        # -- round-3b: outer join / set / window / histogram ------------
+        "users_halves_outer": Q.users_halves_outer,      # FULL OUTER join
+        "users_active_both": Q.users_active_both,        # INTERSECT
+        "customer_order_dist": Q.customer_order_dist,    # Q13 2-level agg
+        "events_user_moving_avg": Q.events_user_moving_avg,  # ROWS frame
+        "events_value_hist": Q.events_value_hist,        # width buckets
+        "events_pct_rank_top": Q.events_pct_rank_top,    # percent_rank
     }
 
 
@@ -1132,5 +1139,64 @@ def oracle_sql() -> dict[str, str]:
                                 e.vec_id) AS BIGINT) AS rnk
             FROM q CROSS JOIN embeddings e
             QUALIFY rnk <= 10
+        """,
+        "users_halves_outer": """
+            WITH a AS (
+                SELECT user_id, count(*) AS n_first,
+                       round(sum(value), 6) AS sum_first
+                FROM events
+                WHERE value > 200 AND ts < TIMESTAMP '2024-01-16'
+                GROUP BY 1),
+            b AS (
+                SELECT user_id, count(*) AS n_last,
+                       round(sum(value), 6) AS sum_last
+                FROM events
+                WHERE value > 200 AND ts >= TIMESTAMP '2024-01-16'
+                GROUP BY 1)
+            SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                   coalesce(n_first, 0) AS n_first,
+                   coalesce(sum_first, 0.0) AS sum_first,
+                   coalesce(n_last, 0) AS n_last,
+                   coalesce(sum_last, 0.0) AS sum_last
+            FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+        """,
+        "users_active_both": """
+            SELECT user_id FROM events
+            WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+              AND event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events
+            WHERE CAST(ts AS DATE) = DATE '2024-01-30'
+              AND event_type = 'error'
+        """,
+        "customer_order_dist": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                GROUP BY 1)
+            GROUP BY 1
+        """,
+        "events_user_moving_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                       6) AS mov_avg
+            FROM events
+        """,
+        "events_value_hist": """
+            SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "events_pct_rank_top": """
+            SELECT event_id, round(value, 6) AS value,
+                   round(pct_rank, 6) AS pct_rank FROM (
+                SELECT event_id, value,
+                       percent_rank() OVER (ORDER BY value DESC)
+                           AS pct_rank
+                FROM events)
+            ORDER BY value DESC, event_id LIMIT 100
         """,
     }

@@ -169,10 +169,12 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, *, on: list[str],
     the broadcast-lookup pattern (``ray.put`` + probe inside
     ``map_batches``, see ``queries.orders_by_nation``) which skips the
     shuffle entirely.  Non-key column names must be disjoint.  ``how``
-    is ``inner``, ``left``, ``semi`` or ``anti``; integer right columns
-    come back nullable under ``left`` (cast at the consumer).  Under
-    ``semi``/``anti`` the right side ships ONLY its (deduplicated)
-    keys through the shuffle and contributes no output columns.
+    is ``inner``, ``left``, ``outer`` (full outer), ``semi`` or
+    ``anti``; integer columns come back nullable (float-promoted)
+    under ``left``/``outer`` where the other side missed (cast at the
+    consumer).  Under ``semi``/``anti`` the right side ships ONLY its
+    (deduplicated) keys through the shuffle and contributes no output
+    columns.
 
     **Skew salting** (``salt > 1``): rows of HOT keys on the left
     spread across ``salt`` sub-buckets (assignment is load-balancing
@@ -187,8 +189,12 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, *, on: list[str],
     left-joins, keep the skewed side left).
     """
     right_on = list(on) if right_on is None else list(right_on)
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    if how == "outer" and salt > 1:
+        # hot-key replication would emit one null-left row per
+        # sub-bucket for an unmatched replicated right row
+        raise ValueError("salt > 1 is not supported with how='outer'")
     if salt > 1 and hot_keys is None:
         hot_keys = detect_hot_keys(left, on)
     hot_ref = None

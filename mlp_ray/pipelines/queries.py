@@ -1774,3 +1774,229 @@ def rawlog_main_ops(sf_dir: str) -> pd.DataFrame:
                                             batch_format="pyarrow",
                                             zero_copy_batch=True)
     return _round_floats(run_fold(filtered, spec, merge="driver").to_pandas())
+
+
+# --- full-outer join + set/window/histogram battery (round-3b) --------
+def users_halves_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER equi-join of two large-side aggregates: per-user
+    high-value activity (value > 200) in the corpus's first half vs
+    its second half.  Each side reduces to (user, n, cents) through
+    ONE user-bucketed exchange, then ``hash_join(how="outer")`` pairs
+    the two aggregate datasets with a second bucketed exchange —
+    unmatched users surface from either side with the other side
+    null-filled (coalesced to 0 to match the oracle).  Sums ride as
+    exact integer cents so no addition-order float drift."""
+    from ..ops.joins import hash_join
+    from ..util import bucketed_groups
+
+    split = np.datetime64("2024-01-16")
+
+    def side(first: bool, n_col: str, s_col: str) -> rd.Dataset:
+        ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            ts = df["ts"].to_numpy()
+            keep = (df["value"].to_numpy() > 200.0) & (
+                (ts < split) if first else (ts >= split))
+            d = df.loc[keep, ["user_id", "value"]]
+            cents = np.rint(d["value"].to_numpy() * 100).astype(np.int64)
+            out = (pd.DataFrame({"user_id": d["user_id"].to_numpy(),
+                                 n_col: np.ones(len(d), dtype=np.int64),
+                                 s_col: cents})
+                   .groupby("user_id", sort=False).sum().reset_index())
+            return out
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            return (g.groupby("user_id", sort=False)[[n_col, s_col]]
+                    .sum().reset_index())
+
+        return bucketed_groups(
+            ds.map_batches(arrow_partials(partials),
+                           batch_format="pandas"),
+            ["user_id"], merge)
+
+    a = side(True, "n_first", "c_first")
+    b = side(False, "n_last", "c_last")
+    out = hash_join(a, b, on=["user_id"], how="outer").to_pandas()
+    for n_col, s_col, dollars in (("n_first", "c_first", "sum_first"),
+                                  ("n_last", "c_last", "sum_last")):
+        out[n_col] = out[n_col].fillna(0).astype("int64")
+        out[dollars] = out[s_col].fillna(0).astype("int64") / 100.0
+    out["user_id"] = out["user_id"].astype("int64")
+    out = out[["user_id", "n_first", "sum_first", "n_last", "sum_last"]]
+    return round_cols(out.sort_values("user_id").reset_index(drop=True),
+                      ["sum_first", "sum_last"])
+
+
+def users_active_both(sf_dir: str) -> pd.DataFrame:
+    """Set INTERSECT: users who purchased on the corpus's first day
+    AND errored on its last.  Same flag-partial OR-merge as the
+    EXCEPT query (``users_churned``) — only (user, flag, flag) pairs
+    shuffle — with the membership predicate flipped to BOTH."""
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+    first_day = np.datetime64("2024-01-01")
+    last_day = np.datetime64("2024-01-30")
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy().astype("datetime64[D]")
+        et = df["event_type"].to_numpy()
+        a = (day == first_day) & (et == "purchase")
+        b = (day == last_day) & (et == "error")
+        keep = a | b
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy()[keep],
+            "on_a": a[keep].astype(np.int64),
+            "on_b": b[keep].astype(np.int64)})
+        return out.groupby("user_id", sort=False).max().reset_index()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby("user_id", sort=False)[["on_a", "on_b"]]
+             .max().reset_index())
+        return m.loc[(m["on_a"] == 1) & (m["on_b"] == 1), ["user_id"]]
+
+    out = bucketed_groups(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["user_id"], merge).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def customer_order_dist(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers (the left-join subtlety).  Orders
+    reduce to (custkey, n) batch partials; customer keys union in as
+    n=0 markers; ONE custkey-bucketed exchange owns whole customers,
+    computes each customer's total and — because buckets hold disjoint
+    customers — emits its LOCAL (c_count, custdist) histogram, so only
+    histogram rows reach the driver's final sum."""
+    from ..util import bucketed_groups
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+
+    def order_partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("o_custkey", sort=False).size()
+               .rename("n").reset_index()
+               .rename(columns={"o_custkey": "c_custkey"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def cust_markers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_custkey": df["c_custkey"].to_numpy(),
+                             "n": np.zeros(len(df), dtype=np.int64)})
+
+    both = (orders.map_batches(arrow_partials(order_partials),
+                               batch_format="pandas")
+            .union(cust.map_batches(arrow_partials(cust_markers),
+                                    batch_format="pandas")))
+
+    def local_hist(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("c_custkey", sort=False)["n"].sum()
+        out = (per_cust.rename("c_count").reset_index()
+               .groupby("c_count", sort=False).size()
+               .rename("custdist").reset_index())
+        out["custdist"] = out["custdist"].astype("int64")
+        return out
+
+    part = bucketed_groups(both, ["c_custkey"], local_hist)
+    out = (part.to_pandas().groupby("c_count", sort=False)["custdist"]
+           .sum().reset_index())
+    out["custdist"] = out["custdist"].astype("int64")
+    return out.sort_values("c_count").reset_index(drop=True)
+
+
+def events_user_moving_avg(sf_dir: str) -> pd.DataFrame:
+    """ROWS-frame window: per-user moving average of ``value`` over
+    the current + 3 preceding events (ordered by ts, event_id).
+    User-bucketed whole-user scan — one sort and three grouped shifts
+    per bucket, never a frame per user.  The window sum is exact
+    integer cents (values are 2-decimal), and an avg of ≤ 4 such
+    values provably never lands on a 6-decimal rounding boundary, so
+    the float oracle comparison is drift-free."""
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        g = g.assign(_c=cents)
+        by = g.groupby("user_id", sort=False)
+        s = g["_c"].copy()
+        n = np.ones(len(g), dtype=np.int64)
+        for lag in (1, 2, 3):
+            prev = by["_c"].shift(lag)
+            got = prev.notna().to_numpy()
+            s = s + prev.fillna(0).astype("int64")
+            n += got
+        mov = (s.to_numpy() / 100.0) / n
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "user_id": g["user_id"].to_numpy(),
+                             "mov_avg": mov})
+
+    out = bucketed_groups(ds, ["user_id"], window).to_pandas()
+    return round_cols(out, ["mov_avg"])
+
+
+def events_value_hist(sf_dir: str) -> pd.DataFrame:
+    """Equi-width histogram (width_bucket): value bucketed into
+    25-unit bins.  Per-batch bincount partials — a handful of rows
+    per block — then one driver sum; the corpus never shuffles."""
+    ds = _events(sf_dir, ["value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(df["value"].to_numpy() / 25.0).astype(np.int64)
+        out = pd.Series(b).value_counts().rename("n").reset_index()
+        out.columns = ["bucket", "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    out = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["bucket"], ["n"], merge="driver")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def events_pct_rank_top(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """percent_rank() over the global value order, reported for the
+    top-k slice WITHOUT a global sort: pass 1 is the same per-batch
+    prune + driver merge as ``events_topk``; pass 2 broadcasts the k
+    candidate values and counts strictly-greater rows per batch with
+    one searchsorted against the block's sorted values (k counts + a
+    row total per block shuffle, nothing else).  pct_rank =
+    greater/(N-1), the SQL percent_rank definition with ties."""
+    ds = _events(sf_dir, ["event_id", "value"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("value", "descending"),
+                                            ("event_id", "ascending")])
+        return t.take(idx[:k])
+
+    top = (ds.map_batches(local_topk, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["value", "event_id"], ascending=[False, True],
+                        kind="mergesort").head(k).reset_index(drop=True))
+    cand = np.sort(top["value"].to_numpy())  # ascending for searchsorted
+
+    def counts(t: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(t["value"].to_numpy())
+        greater = len(v) - np.searchsorted(v, cand, side="right")
+        return pd.DataFrame({"idx": np.arange(len(cand), dtype=np.int64),
+                             "greater": greater.astype(np.int64),
+                             "n_rows": np.int64(len(v))})
+
+    agg = merge_partials(
+        ds.map_batches(arrow_partials(counts), batch_format="pandas"),
+        ["idx"], ["greater", "n_rows"], merge="driver")
+    agg = agg.sort_values("idx").reset_index(drop=True)
+    n_total = int(agg["n_rows"].iloc[0])
+    greater_by_val = dict(zip(cand.tolist(), agg["greater"].tolist()))
+    top["pct_rank"] = [greater_by_val[v] / (n_total - 1)
+                       for v in top["value"].tolist()]
+    return round_cols(top[["event_id", "value", "pct_rank"]],
+                      ["value", "pct_rank"])
