@@ -161,6 +161,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_moving_avg": Q.events_user_moving_avg,  # ROWS frame
         "events_value_hist": Q.events_value_hist,        # width buckets
         "events_pct_rank_top": Q.events_pct_rank_top,    # percent_rank
+        # -- round-3c: listagg / cohort / Q21-shape / union --------------
+        "users_type_profile": Q.users_type_profile,      # string_agg
+        "users_weekly_retention": Q.users_weekly_retention,  # cohort
+        "suppliers_sole_return": Q.suppliers_sole_return,  # Q21 EXISTS
+        "daily_activity_union": Q.daily_activity_union,  # UNION ALL
     }
 
 
@@ -1198,5 +1203,53 @@ def oracle_sql() -> dict[str, str]:
                            AS pct_rank
                 FROM events)
             ORDER BY value DESC, event_id LIMIT 100
+        """,
+        "users_type_profile": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY event_type)
+                       AS type_profile,
+                   count(*) AS n_types
+            FROM (SELECT DISTINCT user_id, event_type FROM events)
+            GROUP BY user_id
+        """,
+        "users_weekly_retention": """
+            WITH w AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(date_diff('day',
+                           TIMESTAMP '2024-01-01', ts) / 7) AS BIGINT)
+                           AS week
+                FROM events),
+            f AS (SELECT user_id, min(week) AS cohort FROM w GROUP BY 1)
+            SELECT cohort, week - cohort AS week_offset,
+                   count(*) AS n_users
+            FROM w JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "suppliers_sole_return": """
+            WITH r AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                           END) AS ret
+                FROM lineitem GROUP BY 1, 2),
+            o AS (SELECT l_orderkey, count(*) AS n_supp,
+                         sum(ret) AS n_ret
+                  FROM r GROUP BY 1)
+            SELECT s.s_name, count(*) AS numwait
+            FROM r JOIN o USING (l_orderkey)
+            JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.ret = 1 AND o.n_supp > 1 AND o.n_ret = 1
+            GROUP BY 1
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
+        """,
+        "daily_activity_union": """
+            SELECT day, source, count(*) AS n FROM (
+                SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+                       'events' AS source FROM events
+                UNION ALL
+                SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+                           AS day,
+                       'orders' AS source FROM orders)
+            GROUP BY 1, 2
         """,
     }

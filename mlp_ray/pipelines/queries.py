@@ -2000,3 +2000,153 @@ def events_pct_rank_top(sf_dir: str, k: int = 100) -> pd.DataFrame:
                        for v in top["value"].tolist()]
     return round_cols(top[["event_id", "value", "pct_rank"]],
                       ["value", "pct_rank"])
+
+
+# --- listagg / cohort / Q21-shape / cross-table union (round-3c) ------
+def users_type_profile(sf_dir: str) -> pd.DataFrame:
+    """LISTAGG/string_agg shape: per user the comma-joined,
+    alphabetically ordered list of DISTINCT event types plus its
+    size.  Per-batch (user, type) pair dedup bounds the exchange at
+    users x |type vocabulary| narrow rows; the user-bucketed merge
+    owns whole users, so it sorts each user's handful of types and
+    joins them locally — string assembly happens AFTER dedup and the
+    assembled strings never re-shuffle."""
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values(
+            ["user_id", "event_type"], kind="mergesort")
+        return (g.groupby("user_id", sort=False)["event_type"]
+                .agg(type_profile=",".join, n_types="size").reset_index())
+
+    out = bucketed_groups(
+        ds.map_batches(arrow_partials(pairs), batch_format="pandas"),
+        ["user_id"], merge).to_pandas()
+    out["n_types"] = out["n_types"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def users_weekly_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention: users bucketed by the week of their first
+    event (cohort), counted distinctly at each week offset they were
+    active.  Per-batch (user, week) dedup -> user-bucketed merge
+    derives each user's cohort in-bucket (min week; week() is
+    monotone in ts so min-week == week-of-first-event) and emits ONE
+    (cohort, week_offset) row per user-offset, making the final
+    bounded-key sum exactly COUNT(DISTINCT user)."""
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+    epoch = np.datetime64("2024-01-01")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["ts"].to_numpy().astype("datetime64[D]")
+                - epoch).astype(np.int64)
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                             "week": days // 7}).drop_duplicates()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        cohort = g.groupby("user_id", sort=False)["week"].transform("min")
+        out = pd.DataFrame({
+            "cohort": cohort.to_numpy(),
+            "week_offset": g["week"].to_numpy() - cohort.to_numpy()})
+        return (out.groupby(["cohort", "week_offset"], sort=False)
+                .size().rename("n_users").reset_index())
+
+    part = bucketed_groups(
+        ds.map_batches(arrow_partials(pairs), batch_format="pandas"),
+        ["user_id"], merge)
+    out = merge_partials(part, ["cohort", "week_offset"], ["n_users"],
+                         merge="driver")
+    return (out.sort_values(["cohort", "week_offset"])
+            .reset_index(drop=True))
+
+
+def suppliers_sole_return(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """TPC-H Q21-shaped EXISTS / NOT-EXISTS self-join: suppliers that
+    were the ONLY supplier with a returned ('R') line inside an order
+    involving 2+ suppliers, counted per supplier, top-k by count.
+    Per-batch (order, supplier) collapse first; then ONE
+    orderkey-bucketed exchange owns whole orders, so both correlated
+    subqueries reduce to per-order distinct-supplier / returned-
+    supplier counts computed inside the bucket — only qualifying
+    (suppkey, 1) rows leave it.  Supplier names attach on the driver
+    to the already-tiny per-supplier counts (supplier is the small
+    side; at cluster scale it would ride a ``ray.put`` broadcast)."""
+    from ..util import bucketed_groups
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_returnflag"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "l_suppkey": df["l_suppkey"].to_numpy(),
+            "ret": (df["l_returnflag"].to_numpy() == "R")
+                   .astype(np.int64)})
+        return (d.groupby(["l_orderkey", "l_suppkey"], sort=False)["ret"]
+                .max().reset_index())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(["l_orderkey", "l_suppkey"], sort=False)["ret"]
+             .max().reset_index())
+        st = g.groupby("l_orderkey", sort=False)["ret"].agg(
+            ["size", "sum"])
+        st.columns = ["n_supp", "n_ret"]
+        g = g.join(st, on="l_orderkey")
+        keep = (g["ret"] == 1) & (g["n_supp"] > 1) & (g["n_ret"] == 1)
+        return (g.loc[keep].groupby("l_suppkey", sort=False)
+                .size().rename("numwait").reset_index())
+
+    part = bucketed_groups(
+        li.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["l_orderkey"], merge)
+    agg = merge_partials(part, ["l_suppkey"], ["numwait"],
+                         merge="driver")
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = agg.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out = out.sort_values(["numwait", "s_name"],
+                          ascending=[False, True],
+                          kind="mergesort").head(k)
+    out["numwait"] = out["numwait"].astype("int64")
+    return out[["s_name", "numwait"]].reset_index(drop=True)
+
+
+def daily_activity_union(sf_dir: str) -> pd.DataFrame:
+    """Cross-table UNION ALL: per-day row counts from two sources
+    (events by ts, orders by o_orderdate) in one result.  Each side
+    pre-aggregates per batch to (day, source, n) partials;
+    ``Dataset.union`` concatenates the two partial STREAMS without a
+    barrier, and one bounded-key driver merge finishes — the union
+    itself never moves row-level data."""
+    ev = _events(sf_dir, ["ts"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate"])
+
+    def day_counts(col: str, src: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            days = df[col].to_numpy().astype("datetime64[D]")
+            out = (pd.DataFrame({"day": days})
+                   .groupby("day", sort=False).size().rename("n")
+                   .reset_index())
+            out["source"] = src
+            return out
+        return fn
+
+    parts = (ev.map_batches(arrow_partials(day_counts("ts", "events")),
+                            batch_format="pandas")
+             .union(od.map_batches(
+                 arrow_partials(day_counts("o_orderdate", "orders")),
+                 batch_format="pandas")))
+    out = merge_partials(parts, ["day", "source"], ["n"], merge="driver")
+    out["day"] = pd.to_datetime(out["day"]).astype("datetime64[us]")
+    return (out.sort_values(["source", "day"])
+            .reset_index(drop=True)[["day", "source", "n"]])
