@@ -227,3 +227,25 @@ class TestSkewSalting:
         exp = left.merge(right, on="k")
         assert len(out) == len(exp)
         assert int(out["lv"].sum()) == int(exp["lv"].sum())
+
+
+def test_hash_join_full_outer():
+    l = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3], "lv": ["a", "b", "c"]}))
+    r = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 1, 9], "rv": [10, 11, 90]}))
+    out = (joins.hash_join(l, r, on=["k"], how="outer", num_buckets=4)
+           .to_pandas().sort_values(["k", "rv"]).reset_index(drop=True))
+    # matched (1 twice), left-only (2, 3), right-only (9)
+    assert list(out["k"].astype("int64")) == [1, 1, 2, 3, 9]
+    assert out["lv"].tolist() == ["a", "a", "b", "c", None] or \
+        out["lv"].isna().tolist() == [False, False, False, False, True]
+    assert out["rv"].isna().tolist() == [False, False, True, True, False]
+    assert list(out["rv"].dropna().astype("int64")) == [10, 11, 90]
+
+
+def test_hash_join_outer_rejects_salt():
+    l = rd.from_pandas(pd.DataFrame({"k": [1], "lv": [1]}))
+    r = rd.from_pandas(pd.DataFrame({"k": [1], "rv": [2]}))
+    with pytest.raises(ValueError, match="outer"):
+        joins.hash_join(l, r, on=["k"], how="outer", salt=4)
