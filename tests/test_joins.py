@@ -249,3 +249,39 @@ def test_hash_join_outer_rejects_salt():
     r = rd.from_pandas(pd.DataFrame({"k": [1], "rv": [2]}))
     with pytest.raises(ValueError, match="outer"):
         joins.hash_join(l, r, on=["k"], how="outer", salt=4)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("how", ["inner", "left", "outer", "semi", "anti"])
+def test_hash_join_matches_pandas_merge(ray_session, seed, how):
+    """Randomized equivalence vs pandas merge for every join mode,
+    with dup keys, misses on both sides and multiple partitions."""
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 25, 300).astype(np.int64),
+        "k2": rng.randint(0, 3, 300).astype(np.int64),
+        "lv": rng.randint(0, 1000, 300).astype(np.int64)})
+    right = pd.DataFrame({
+        "k": rng.randint(10, 40, 200).astype(np.int64),
+        "k2": rng.randint(0, 3, 200).astype(np.int64),
+        "rv": rng.randint(0, 1000, 200).astype(np.int64)})
+    got = joins.hash_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(3),
+        on=["k", "k2"], how=how, num_buckets=8).to_pandas()
+    if how in ("inner", "left", "outer"):
+        exp = left.merge(right, on=["k", "k2"], how=how)
+    elif how == "semi":
+        exp = left.merge(right[["k", "k2"]].drop_duplicates(),
+                         on=["k", "k2"])
+    else:
+        marked = left.merge(right[["k", "k2"]].drop_duplicates(),
+                            on=["k", "k2"], how="left", indicator=True)
+        exp = (marked[marked["_merge"] == "left_only"]
+               .drop(columns=["_merge"]))
+    cols = sorted(exp.columns)
+    a = (got[cols].astype("float64")
+         .sort_values(cols, kind="mergesort").reset_index(drop=True))
+    e = (exp[cols].astype("float64")
+         .sort_values(cols, kind="mergesort").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, e)
