@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_weekly_retention": Q.users_weekly_retention,  # cohort
         "suppliers_sole_return": Q.suppliers_sole_return,  # Q21 EXISTS
         "daily_activity_union": Q.daily_activity_union,  # UNION ALL
+        "events_asof_fwd": Q.events_asof_fwd,            # forward as-of
     }
 
 
@@ -1251,5 +1252,34 @@ def oracle_sql() -> dict[str, str]:
                            AS day,
                        'orders' AS source FROM orders)
             GROUP BY 1, 2
+        """,
+        "events_asof_fwd": """
+            WITH m AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                           AS side
+                FROM events WHERE event_type IN ('view', 'purchase')
+            ), w AS (
+                SELECT *,
+                    first_value(CASE WHEN side = 0 THEN event_id END
+                                IGNORE NULLS) OVER
+                        (PARTITION BY user_id
+                         ORDER BY ts, side DESC, event_id
+                         ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING)
+                        AS matched_event_id,
+                    first_value(CASE WHEN side = 0 THEN ts END
+                                IGNORE NULLS) OVER
+                        (PARTITION BY user_id
+                         ORDER BY ts, side DESC, event_id
+                         ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING)
+                        AS matched_ts
+                FROM m
+            )
+            SELECT event_id, user_id, ts, matched_event_id, matched_ts,
+                   round(date_diff('microsecond', ts, matched_ts)
+                         / 1000000.0, 6) AS lead_s
+            FROM w WHERE side = 1 AND matched_event_id IS NOT NULL
         """,
     }

@@ -54,22 +54,30 @@ def _arrow_type(typ) -> pa.DataType:
 
 def asof_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
               by: list[str], attach: list[str], tiebreak: str,
+              direction: str = "backward",
               num_buckets: int = 64) -> rd.Dataset:
-    """Backward inclusive as-of join (DuckDB ``ASOF JOIN`` semantics,
-    deterministic tie-break).
+    """Inclusive as-of join (DuckDB ``ASOF JOIN`` semantics,
+    deterministic tie-break), backward or forward.
 
-    For every left row, attach the right-side row with the greatest
-    ``(on, tiebreak)`` among right rows in the same ``by`` group with
-    ``right.on <= left.on``; unmatched left rows drop (inner).  The
-    attached columns come back as ``r_<name>`` (``on`` is always
-    attached as ``r_<on>``).  Integer columns (left and attached) that
-    the merge's null fill float-promoted are restored to int64.
+    ``direction="backward"``: for every left row, attach the
+    right-side row with the greatest ``(on, tiebreak)`` among right
+    rows in the same ``by`` group with ``right.on <= left.on``.
+    ``direction="forward"``: the smallest ``(on, tiebreak)`` among
+    right rows with ``right.on >= left.on``.  Unmatched left rows
+    drop (inner).  The attached columns come back as ``r_<name>``
+    (``on`` is always attached as ``r_<on>``).  Integer columns (left
+    and attached) that the merge's null fill float-promoted are
+    restored to int64.
 
     Deterministic contract (mirrors the oracle): among right rows with
-    equal ``on``, the one with the larger ``tiebreak`` wins, and a
-    right row at exactly ``left.on`` is eligible.
+    equal ``on``, the larger ``tiebreak`` wins backward and the
+    SMALLER wins forward, and a right row at exactly ``left.on`` is
+    eligible either way.
     """
     from ..util import key_hash_buckets
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported direction={direction!r}")
 
     srcs = list(dict.fromkeys([on, *attach]))
     acols = [f"r_{c}" for c in srcs]
@@ -110,11 +118,20 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
                 if c not in ("_side", "_tb") and pa.types.is_integer(t)]
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        # stable sort: right rows (side 0) precede left rows at equal
-        # `on` (inclusive match); among equal-`on` right rows the
-        # larger tiebreak sorts last, so ffill picks it
-        g = g.sort_values([on, "_side", "_tb"], kind="mergesort")
-        g[acols] = g.groupby(by, sort=False)[acols].ffill()
+        if direction == "backward":
+            # stable sort: right rows (side 0) precede left rows at
+            # equal `on` (inclusive match); among equal-`on` right
+            # rows the larger tiebreak sorts last, so ffill picks it
+            g = g.sort_values([on, "_side", "_tb"], kind="mergesort")
+            g[acols] = g.groupby(by, sort=False)[acols].ffill()
+        else:
+            # forward mirror: left rows precede right rows at equal
+            # `on` (inclusive), and among equal-`on` right rows the
+            # smaller tiebreak sorts first, so bfill picks it
+            g = g.sort_values([on, "_side", "_tb"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+            g[acols] = g.groupby(by, sort=False)[acols].bfill()
         out = g[(g["_side"] == 1) & g[f"r_{on}"].notna()]
         out = out.drop(columns=["_side", "_tb"]).reset_index(drop=True)
         # un-promote EVERY int column the union's null fill floated —

@@ -2150,3 +2150,32 @@ def daily_activity_union(sf_dir: str) -> pd.DataFrame:
     out["day"] = pd.to_datetime(out["day"]).astype("datetime64[us]")
     return (out.sort_values(["source", "day"])
             .reset_index(drop=True)[["day", "source", "n"]])
+
+
+def events_asof_fwd(sf_dir: str) -> pd.DataFrame:
+    """Forward as-of join: each view matched to the NEXT (inclusive)
+    purchase by the same user — the time-to-conversion shape.  Same
+    single user-bucketed exchange as the backward join, with the
+    in-bucket fill reversed (sort + bfill) and the tie-break
+    mirrored (smallest event_id at equal ts)."""
+    from ..ops import joins
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def typed(t: pa.Table, typ: str) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], typ)).drop(["event_type"])
+
+    left = ds.map_batches(lambda t: typed(t, "view"),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    right = ds.map_batches(lambda t: typed(t, "purchase"),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    out = joins.asof_join(left, right, on="ts", by=["user_id"],
+                          attach=["event_id"], tiebreak="event_id",
+                          direction="forward").to_pandas()
+    out = out.rename(columns={"r_ts": "matched_ts",
+                              "r_event_id": "matched_event_id"})
+    out["matched_event_id"] = out["matched_event_id"].astype("int64")
+    out["lead_s"] = (out["matched_ts"] - out["ts"]).dt.total_seconds()
+    out = round_cols(out, ["lead_s"])
+    return out[["event_id", "user_id", "ts", "matched_event_id",
+                "matched_ts", "lead_s"]]

@@ -285,3 +285,35 @@ def test_hash_join_matches_pandas_merge(ray_session, seed, how):
     e = (exp[cols].astype("float64")
          .sort_values(cols, kind="mergesort").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, e)
+
+
+def test_asof_forward_inclusive_and_ties():
+    left = pd.DataFrame({
+        "u": [1, 1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00",
+                              "2024-01-01 12:30", "2024-01-01 10:00"]),
+        "lid": [100, 101, 102, 103]})
+    right = pd.DataFrame({
+        "u": [1, 1, 1, 1],
+        "ts": pd.to_datetime(["2024-01-01 11:00", "2024-01-01 11:00",
+                              "2024-01-01 12:00", "2024-01-01 09:00"]),
+        "rid": [7, 5, 9, 1]})
+    out = (joins.asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="ts", by=["u"],
+        attach=["rid"], tiebreak="rid", direction="forward",
+        num_buckets=4)
+        .to_pandas().sort_values("lid").reset_index(drop=True))
+    # 10:00 -> next right at 11:00, tie (7,5) -> SMALLER rid wins (5)
+    # 11:00 -> inclusive equal-ts match, same tie -> 5
+    # 12:30 -> no following right row: dropped; u=2: no rights: dropped
+    assert list(out["lid"]) == [100, 101]
+    assert list(out["r_rid"].astype("int64")) == [5, 5]
+    assert out["r_rid"].dtype == np.int64 or not out["r_rid"].isna().any()
+
+
+def test_asof_rejects_bad_direction():
+    l = rd.from_pandas(pd.DataFrame(
+        {"u": [1], "ts": pd.to_datetime(["2024-01-01"]), "lid": [1]}))
+    with pytest.raises(ValueError, match="direction"):
+        joins.asof_join(l, l, on="ts", by=["u"], attach=["lid"],
+                        tiebreak="lid", direction="nearest")
