@@ -167,6 +167,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_sole_return": Q.suppliers_sole_return,  # Q21 EXISTS
         "daily_activity_union": Q.daily_activity_union,  # UNION ALL
         "events_asof_fwd": Q.events_asof_fwd,            # forward as-of
+        # -- round-3d: Q14/Q15/Q18/Q19/Q3/Q12 shapes ---------------------
+        "parts_promo_share": Q.parts_promo_share,        # conditional agg
+        "supplier_top_revenue": Q.supplier_top_revenue,  # argmax w/ ties
+        "orders_big_qty": Q.orders_big_qty,              # HAVING join-back
+        "parts_filter_revenue": Q.parts_filter_revenue,  # disjunctive arms
+        "orders_unshipped_top": Q.orders_unshipped_top,  # Q3 topk join
+        "orders_late_priority": Q.orders_late_priority,  # Q12 lateness
     }
 
 
@@ -1281,5 +1288,84 @@ def oracle_sql() -> dict[str, str]:
                    round(date_diff('microsecond', ts, matched_ts)
                          / 1000000.0, 6) AS lead_s
             FROM w WHERE side = 1 AND matched_event_id IS NOT NULL
+        """,
+        "parts_promo_share": """
+            WITH j AS (
+                SELECT l.l_extendedprice * (1 - l.l_discount) AS rev,
+                       CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END
+                           AS is_promo
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE l.l_shipdate >= '1996-01-01'
+                  AND l.l_shipdate <  '1996-02-01')
+            SELECT count(*) AS n_items,
+                   round(sum(CASE WHEN is_promo = 1 THEN rev
+                             ELSE 0 END), 2) AS promo_revenue,
+                   round(sum(rev), 2) AS total_revenue,
+                   round(100.0 * sum(CASE WHEN is_promo = 1 THEN rev
+                                     ELSE 0 END) / sum(rev), 6)
+                       AS promo_share
+            FROM j
+        """,
+        "supplier_top_revenue": """
+            WITH r AS (
+                SELECT l_suppkey AS s_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= '1996-01-01'
+                  AND l_shipdate <  '1996-04-01'
+                GROUP BY 1)
+            SELECT r.s_suppkey, s.s_name, r.total_revenue
+            FROM r JOIN supplier s USING (s_suppkey)
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM r)
+            ORDER BY r.s_suppkey
+        """,
+        "orders_big_qty": """
+            WITH q AS (
+                SELECT l_orderkey,
+                       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+                FROM lineitem GROUP BY 1
+                HAVING sum(l_quantity) > 250)
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   round(o.o_totalprice, 2) AS o_totalprice, q.sum_qty
+            FROM q
+            JOIN orders o   ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "parts_filter_revenue": """
+            SELECT count(*) AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "orders_unshipped_top": """
+            WITH r AS (
+                SELECT o.o_orderkey, o.o_orderdate,
+                       round(sum(l.l_extendedprice * (1 - l.l_discount)),
+                             2) AS revenue
+                FROM customer c
+                JOIN orders o   ON o.o_custkey = c.c_custkey
+                               AND c.c_mktsegment = 'BUILDING'
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderdate < '1998-01-01'
+                  AND l.l_shipdate  > '1998-01-01'
+                GROUP BY 1, 2)
+            SELECT o_orderkey, o_orderdate, revenue FROM r
+            ORDER BY revenue DESC, o_orderkey DESC LIMIT 10
+        """,
+        "orders_late_priority": """
+            SELECT o.o_orderpriority,
+                   count(*) AS n_items,
+                   CAST(sum(CASE WHEN l.l_shipdate >
+                                      o.o_orderdate + INTERVAL 90 DAY
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1 ORDER BY 1
         """,
     }

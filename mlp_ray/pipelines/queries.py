@@ -2179,3 +2179,330 @@ def events_asof_fwd(sf_dir: str) -> pd.DataFrame:
     out = round_cols(out, ["lead_s"])
     return out[["event_id", "user_id", "ts", "matched_event_id",
                 "matched_ts", "lead_s"]]
+
+
+# --- round-3d: TPC-H Q14/Q15/Q18/Q19/Q3/Q12 shapes ----------------------
+def _dense_lookup(keys: np.ndarray, values: np.ndarray, n_slots: int,
+                  fill) -> np.ndarray:
+    """Dense key→value array for broadcast-side lookups (TPC-H keys
+    are dense integers; past the broadcast budget callers flip to
+    ``hash_join``)."""
+    lk = np.full(n_slots, fill, dtype=values.dtype)
+    lk[keys] = values
+    return lk
+
+
+def parts_promo_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14-shaped conditional-aggregate join: the share of
+    January-1996 revenue from PROMO-type parts.  The part→is-promo bit
+    broadcasts once via ``ray.put`` as a dense uint8 array; each
+    lineitem block ships a single (n, promo_rev, total_rev) partial
+    row, so the exchange is O(blocks) regardless of corpus size."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    n_slots = int(pc.max(part["p_partkey"]).as_py()) + 1
+    promo = _dense_lookup(
+        part["p_partkey"].to_numpy(),
+        pc.equal(part["p_type"], "PROMO").to_numpy(
+            zero_copy_only=False).astype(np.uint8),
+        n_slots, 0)
+    promo_ref = ray.put(promo)
+    lo = np.datetime64("1996-01-01").astype("datetime64[ns]")
+    hi = np.datetime64("1996-02-01").astype("datetime64[ns]")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        pr = ray.get(promo_ref)
+        ship = df["l_shipdate"].to_numpy().astype("datetime64[ns]")
+        m = (ship >= lo) & (ship < hi)
+        rev = (df["l_extendedprice"].to_numpy()[m]
+               * (1.0 - df["l_discount"].to_numpy()[m]))
+        is_promo = pr[df["l_partkey"].to_numpy(dtype=np.int64)[m]] == 1
+        return pd.DataFrame({
+            "n_items": pd.array([int(m.sum())], dtype="int64"),
+            "promo_revenue": [float(rev[is_promo].sum())],
+            "total_revenue": [float(rev.sum())]})
+
+    p = li.map_batches(arrow_partials(partials),
+                       batch_format="pandas").to_pandas()
+    n = int(p["n_items"].sum())
+    promo_rev, total_rev = float(p["promo_revenue"].sum()), \
+        float(p["total_revenue"].sum())
+    out = pd.DataFrame({
+        "n_items": pd.array([n], dtype="int64"),
+        "promo_revenue": [promo_rev],
+        "total_revenue": [total_rev],
+        "promo_share": [100.0 * promo_rev / total_rev if total_rev else 0.0],
+    })
+    out = round_cols(out, ["promo_revenue", "total_revenue"], ndigits=2)
+    return round_cols(out, ["promo_share"])
+
+
+def supplier_top_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15-shaped argmax-with-ties: the supplier(s) with the
+    highest Q1-1996 revenue.  Per-block (suppkey, revenue) partials
+    merge in a bucketed exchange; revenue is rounded to cents BEFORE
+    the max so the tie set is identical to the oracle's.  The winner
+    set joins supplier names driver-side (it is ≤ #ties rows)."""
+    lo = np.datetime64("1996-01-01").astype("datetime64[ns]")
+    hi = np.datetime64("1996-04-01").astype("datetime64[ns]")
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        ship = df["l_shipdate"].to_numpy().astype("datetime64[ns]")
+        m = (ship >= lo) & (ship < hi)
+        rev = (df["l_extendedprice"].to_numpy()[m]
+               * (1.0 - df["l_discount"].to_numpy()[m]))
+        out = (pd.DataFrame({"s_suppkey":
+                             df["l_suppkey"].to_numpy(dtype=np.int64)[m],
+                             "total_revenue": rev})
+               .groupby("s_suppkey", sort=False)["total_revenue"]
+               .sum().reset_index())
+        return out
+
+    agg = merge_partials(
+        li.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["s_suppkey"], ["total_revenue"], merge="bucketed")
+    agg = round_cols(agg, ["total_revenue"], ndigits=2)
+    top = agg[agg["total_revenue"] == agg["total_revenue"].max()].copy()
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = top.merge(sup, on="s_suppkey", how="left")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return (out[["s_suppkey", "s_name", "total_revenue"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+def orders_big_qty(sf_dir: str, threshold: float = 250.0) -> pd.DataFrame:
+    """TPC-H Q18-shaped HAVING-join: orders whose total lineitem
+    quantity exceeds ``threshold``, with customer names attached.
+    Pass 1 merges per-block (orderkey, qty) partials in a bucketed
+    exchange (quantities are integer-valued doubles — the sum is exact
+    in any order); the qualifying set (~p99 tail) broadcasts back as a
+    dense qty array so the orders scan filters locally; names attach
+    driver-side on the tiny winner frame."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def qty_partials(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("l_orderkey", sort=False)["l_quantity"]
+                .sum().rename("q").reset_index())
+
+    agg = merge_partials(
+        li.map_batches(arrow_partials(qty_partials), batch_format="pandas"),
+        ["l_orderkey"], ["q"], merge="bucketed")
+    big = agg[agg["q"] > threshold]
+    n_slots = int(agg["l_orderkey"].max()) + 1
+    qty_lk = _dense_lookup(big["l_orderkey"].to_numpy(dtype=np.int64),
+                           big["q"].to_numpy(), n_slots, np.nan)
+    qty_ref = ray.put(qty_lk)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(qty_ref)
+        k = df["o_orderkey"].to_numpy(dtype=np.int64)
+        q = np.where(k < len(lk), lk[np.clip(k, 0, len(lk) - 1)], np.nan)
+        out = df.loc[~np.isnan(q)].copy()
+        out["sum_qty"] = q[~np.isnan(q)].astype(np.int64)
+        return out
+
+    got = orders.map_batches(arrow_partials(pick),
+                             batch_format="pandas").to_pandas()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    out = got.merge(cust, left_on="o_custkey", right_on="c_custkey",
+                    how="left").drop(columns=["o_custkey"])
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    out = round_cols(out, ["o_totalprice"], ndigits=2)
+    return (out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice", "sum_qty"]]
+            .sort_values("o_orderkey").reset_index(drop=True))
+
+
+_Q19_ARMS = (("Brand#11", 1, 5, 1.0, 11.0),
+             ("Brand#21", 1, 10, 10.0, 20.0),
+             ("Brand#25", 1, 15, 20.0, 30.0))
+
+
+def parts_filter_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate join: revenue from
+    lineitems matching any of three (brand, size-range, qty-range)
+    arms.  Part attributes (brand code int8, size int16) broadcast
+    once as dense arrays; the predicate is a pure numpy mask per
+    block and only a 1-row (n_items, revenue) partial leaves it."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    brands = [a[0] for a in _Q19_ARMS]
+    bcode = np.full(len(part), -1, dtype=np.int8)
+    pb = part["p_brand"].to_pandas()
+    for i, b in enumerate(brands):
+        bcode[(pb == b).to_numpy()] = i
+    n_slots = int(pc.max(part["p_partkey"]).as_py()) + 1
+    pk = part["p_partkey"].to_numpy()
+    code_lk = _dense_lookup(pk, bcode, n_slots, np.int8(-1))
+    size_lk = _dense_lookup(
+        pk, part["p_size"].to_numpy().astype(np.int16), n_slots,
+        np.int16(0))
+    code_ref, size_ref = ray.put(code_lk), ray.put(size_lk)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        code, size = ray.get(code_ref), ray.get(size_ref)
+        k = df["l_partkey"].to_numpy(dtype=np.int64)
+        c, s = code[k], size[k]
+        q = df["l_quantity"].to_numpy()
+        m = np.zeros(len(df), dtype=bool)
+        for i, (_, s_lo, s_hi, q_lo, q_hi) in enumerate(_Q19_ARMS):
+            m |= ((c == i) & (s >= s_lo) & (s <= s_hi)
+                  & (q >= q_lo) & (q <= q_hi))
+        rev = (df["l_extendedprice"].to_numpy()[m]
+               * (1.0 - df["l_discount"].to_numpy()[m]))
+        return pd.DataFrame({"n_items": pd.array([int(m.sum())],
+                                                 dtype="int64"),
+                             "revenue": [float(rev.sum())]})
+
+    p = li.map_batches(arrow_partials(partials),
+                       batch_format="pandas").to_pandas()
+    out = pd.DataFrame({"n_items": pd.array([int(p["n_items"].sum())],
+                                            dtype="int64"),
+                        "revenue": [float(p["revenue"].sum())]})
+    return round_cols(out, ["revenue"], ndigits=2)
+
+
+def orders_unshipped_top(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3-shaped shipping-priority top-k: the k highest-revenue
+    BUILDING-segment orders placed before 1998-01-01 with lineitems
+    still shipping after it.  The segment membership broadcasts as a
+    dense bool; the post-cut lineitem revenue merges bucketed by
+    orderkey; both sides meet in one ``hash_join`` exchange and each
+    joined block emits only its local top-k (rounded first, orderkey
+    tie-break) so the driver reduces k×blocks rows."""
+    from ..ops import joins
+
+    cut = np.datetime64("1998-01-01").astype("datetime64[ns]")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    n_slots = int(pc.max(cust["c_custkey"]).as_py()) + 1
+    seg = _dense_lookup(
+        cust["c_custkey"].to_numpy(),
+        pc.equal(cust["c_mktsegment"], "BUILDING").to_numpy(
+            zero_copy_only=False).astype(np.uint8),
+        n_slots, 0)
+    seg_ref = ray.put(seg)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def keep_orders(df: pd.DataFrame) -> pd.DataFrame:
+        sg = ray.get(seg_ref)
+        ck = df["o_custkey"].to_numpy(dtype=np.int64)
+        m = ((df["o_orderdate"].to_numpy().astype("datetime64[ns]") < cut)
+             & (sg[np.clip(ck, 0, len(sg) - 1)] == 1) & (ck < len(sg)))
+        return df.loc[m, ["o_orderkey", "o_orderdate"]]
+
+    o_f = orders.map_batches(arrow_partials(keep_orders),
+                             batch_format="pandas")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def rev_partials(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["l_shipdate"].to_numpy().astype("datetime64[ns]") > cut
+        rev = (df["l_extendedprice"].to_numpy()[m]
+               * (1.0 - df["l_discount"].to_numpy()[m]))
+        return (pd.DataFrame({"l_orderkey":
+                              df["l_orderkey"].to_numpy(dtype=np.int64)[m],
+                              "revenue": rev})
+                .groupby("l_orderkey", sort=False)["revenue"]
+                .sum().reset_index())
+
+    from ..util import bucketed_groups
+
+    rev = li.map_batches(arrow_partials(rev_partials),
+                         batch_format="pandas")
+    rev_ds = bucketed_groups(
+        rev, ["l_orderkey"],
+        lambda df: (df.groupby("l_orderkey", sort=False)["revenue"]
+                    .sum().reset_index()))
+    j = joins.hash_join(o_f, rev_ds, on=["o_orderkey"],
+                        right_on=["l_orderkey"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = df["revenue"].round(2)
+        return (df.sort_values(["revenue", "o_orderkey"],
+                               ascending=[False, False], kind="mergesort")
+                .head(k))
+
+    parts = j.map_batches(arrow_partials(local_topk),
+                          batch_format="pandas").to_pandas()
+    out = (parts.sort_values(["revenue", "o_orderkey"],
+                             ascending=[False, False], kind="mergesort")
+           .head(k).reset_index(drop=True))
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out[["o_orderkey", "o_orderdate", "revenue"]]
+
+
+def orders_late_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12-shaped late-shipment audit: per order priority, how
+    many lineitems shipped more than 90 days after the order date.
+    The orders side broadcasts once as two dense arrays (orderdate ns
+    int64 + priority code int8); lineitem blocks emit (priority,
+    n_items, n_late) partials — 5 rows per block — so nothing
+    order-shaped ever shuffles."""
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_orderdate",
+                                    "o_orderpriority"])
+    prios = sorted(set(pc.unique(orders["o_orderpriority"]).to_pylist()))
+    pcode = {p: i for i, p in enumerate(prios)}
+    n_slots = int(pc.max(orders["o_orderkey"]).as_py()) + 1
+    ok = orders["o_orderkey"].to_numpy()
+    date_lk = _dense_lookup(
+        ok, orders["o_orderdate"].to_numpy().astype(
+            "datetime64[ns]").astype(np.int64), n_slots, np.int64(0))
+    code_lk = _dense_lookup(
+        ok, np.fromiter((pcode[p] for p in
+                         orders["o_orderpriority"].to_pylist()),
+                        dtype=np.int8, count=len(orders)),
+        n_slots, np.int8(-1))
+    date_ref, code_ref = ray.put(date_lk), ray.put(code_lk)
+    lateness_ns = np.int64(90) * 86_400 * 1_000_000_000
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        dlk, clk = ray.get(date_ref), ray.get(code_ref)
+        k = df["l_orderkey"].to_numpy(dtype=np.int64)
+        ship = df["l_shipdate"].to_numpy().astype(
+            "datetime64[ns]").astype(np.int64)
+        known = clk[k] >= 0  # guard: lineitems without a parent order
+        k, ship = k[known], ship[known]
+        late = (ship > dlk[k] + lateness_ns).astype(np.int64)
+        out = (pd.DataFrame({"pcode": clk[k], "late": late})
+               .groupby("pcode", sort=False)["late"]
+               .agg(n_items="size", n_late="sum").reset_index())
+        out["n_items"] = out["n_items"].astype("int64")
+        return out
+
+    agg = merge_partials(
+        li.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["pcode"], ["n_items", "n_late"], merge="driver")
+    agg["o_orderpriority"] = [prios[i] for i in agg["pcode"]]
+    agg["n_items"] = agg["n_items"].astype("int64")
+    agg["n_late"] = agg["n_late"].astype("int64")
+    return (agg[["o_orderpriority", "n_items", "n_late"]]
+            .sort_values("o_orderpriority").reset_index(drop=True))
