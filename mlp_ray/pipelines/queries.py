@@ -74,10 +74,14 @@ def events_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
                                               ("event_id", "descending")])
         return t.take(order[:k])
 
-    out = (ds.map_batches(local_topk, batch_format="pyarrow",
-                          zero_copy_batch=True)
-           .sort(["value", "event_id"], descending=[True, True])
-           .limit(k).to_pandas())
+    # final reduce is driver-side on the pruned ≤ k×blocks rows —
+    # Dataset.sort would pay a full range-partition exchange for a
+    # frame that is already tiny by construction
+    pruned = ds.map_batches(local_topk, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    out = (pruned.sort_values(["value", "event_id"],
+                              ascending=[False, False], kind="mergesort")
+           .head(k).reset_index(drop=True))
     return round_cols(out, ["value"])
 
 
@@ -642,12 +646,12 @@ def orders_lineitem_join(sf_dir: str) -> pd.DataFrame:
         out["n_items"] = out["n_items"].astype("int64")
         return out
 
-    out = (j.map_batches(arrow_partials(rev_partials),
-                          batch_format="pandas")
-           .groupby("o_orderpriority")
-           .aggregate(Sum("n_items", alias_name="n_items"),
-                      Sum("revenue", alias_name="revenue"))
-           .to_pandas())
+    # the partials are (priority, n, sum) — 5 rows per block — so the
+    # final merge is driver-sized; Dataset.groupby would pay a full
+    # sort exchange for it
+    out = merge_partials(
+        j.map_batches(arrow_partials(rev_partials), batch_format="pandas"),
+        ["o_orderpriority"], ["n_items", "revenue"], merge="driver")
     out["n_items"] = out["n_items"].astype("int64")
     return round_cols(out, ["revenue"], ndigits=2)
 
