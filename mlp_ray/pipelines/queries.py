@@ -158,19 +158,26 @@ def orders_by_nation(sf_dir: str) -> pd.DataFrame:
     lookup[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
     ref = ray.put(lookup)  # broadcast once, read per task from plasma
 
-    def enrich(t: pa.Table) -> pa.Table:
+    # nations are a bounded key space (25): the enrich and the group
+    # partials fuse into one map pass and only (nation, n, sum) rows
+    # leave each block — no groupby sort exchange
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
         lk = ray.get(ref)
-        nk = lk[t["o_custkey"].to_numpy()]
-        return t.append_column("nationkey", pa.array(nk, pa.int64()))
+        out = (pd.DataFrame({"nationkey":
+                             lk[df["o_custkey"].to_numpy(dtype=np.int64)],
+                             "p": df["o_totalprice"].to_numpy()})
+               .groupby("nationkey", sort=False)["p"]
+               .agg(order_count="size", total_revenue="sum")
+               .reset_index())
+        out["order_count"] = out["order_count"].astype("int64")
+        return out
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
-    out = (ds.map_batches(enrich, batch_format="pyarrow",
-                          zero_copy_batch=True)
-           .groupby("nationkey")
-           .aggregate(Count(alias_name="order_count"),
-                      Sum("o_totalprice", alias_name="total_revenue"))
-           .to_pandas())
+    out = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["nationkey"], ["order_count", "total_revenue"], merge="driver")
+    out["order_count"] = out["order_count"].astype("int64")
     # money sums round to cents: absorbs float re-association between
     # the distributed partial sums and the oracle's sequential sum
     return round_cols(out, ["total_revenue"], ndigits=2)
@@ -238,21 +245,28 @@ def lineitem_pricing(sf_dir: str) -> pd.DataFrame:
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"])
 
-    def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less_equal(
-            t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-01"))))
-        disc = pc.multiply(t["l_extendedprice"],
-                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc)
+    # flag×status is ≤ 6 groups: per-block partials + a driver merge,
+    # not a Dataset.groupby sort exchange over the full scan
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["l_shipdate"] <= pd.Timestamp("1998-09-01")]
+        disc = d["l_extendedprice"] * (1.0 - d["l_discount"])
+        out = (d.assign(disc_price=disc)
+               .groupby(["l_returnflag", "l_linestatus"], sort=False)
+               .agg(sum_qty=("l_quantity", "sum"),
+                    sum_base_price=("l_extendedprice", "sum"),
+                    sum_disc_price=("disc_price", "sum"),
+                    count_order=("l_quantity", "size"))
+               .reset_index())
+        out["count_order"] = out["count_order"].astype("int64")
+        return out
 
-    out = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("l_extendedprice", alias_name="sum_base_price"),
-                      Sum("disc_price", alias_name="sum_disc_price"),
-                      Mean("l_quantity", alias_name="avg_qty"),
-                      Count(alias_name="count_order"))
-           .to_pandas())
+    out = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_base_price", "sum_disc_price", "count_order"],
+        merge="driver")
+    out["count_order"] = out["count_order"].astype("int64")
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
     round_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price"], ndigits=2)
     return round_cols(out, ["avg_qty"])
 
