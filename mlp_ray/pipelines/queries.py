@@ -44,14 +44,24 @@ def events_main_agg(sf_dir: str) -> pd.DataFrame:
 
 # --- A6 analogue: error-slice grouped agg ------------------------------
 def events_error_by_user(sf_dir: str) -> pd.DataFrame:
+    """Error-slice per-user stats: filter + (user, n, sum) partials in
+    one fused map pass, merged through the key-bucketed exchange (user
+    cardinality scales with the data, so no driver merge)."""
     ds = _events(sf_dir, ["event_type", "user_id", "value"])
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.equal(t["event_type"], "error")),
-        batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby("user_id").aggregate(
-        Count(alias_name="count"),
-        Mean("value", alias_name="avg_value")).to_pandas()
-    return round_cols(out, ["avg_value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["event_type"] == "error"]
+        out = (d.groupby("user_id", sort=False)["value"]
+               .agg(count="size", s="sum").reset_index())
+        out["count"] = out["count"].astype("int64")
+        return out
+
+    out = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["user_id"], ["count", "s"], merge="bucketed")
+    out["count"] = out["count"].astype("int64")
+    out["avg_value"] = out["s"] / out["count"]
+    return round_cols(out.drop(columns=["s"]), ["avg_value"])
 
 
 # --- routing analogue: predicate fan-out, row equality -----------------
@@ -136,16 +146,21 @@ def events_type_share(sf_dir: str) -> pd.DataFrame:
 
 # --- temporal binning --------------------------------------------------
 def events_daily(sf_dir: str) -> pd.DataFrame:
+    """Temporal binning: days are a bounded key space, so each block
+    ships (day, n, sum) partials and the merge is driver-sized."""
     ds = _events(sf_dir, ["ts", "value"])
 
-    def add_day(t: pa.Table) -> pa.Table:
-        return t.append_column("day", pc.floor_temporal(t["ts"], unit="day"))
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.assign(day=df["ts"].dt.floor("D"))
+               .groupby("day", sort=False)["value"]
+               .agg(count="size", sum_value="sum").reset_index())
+        out["count"] = out["count"].astype("int64")
+        return out
 
-    out = (ds.map_batches(add_day, batch_format="pyarrow",
-                          zero_copy_batch=True)
-           .groupby("day").aggregate(Count(alias_name="count"),
-                                     Sum("value", alias_name="sum_value"))
-           .to_pandas())
+    out = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["day"], ["count", "sum_value"], merge="driver")
+    out["count"] = out["count"].astype("int64")
     return round_cols(out, ["sum_value"])
 
 
@@ -192,10 +207,17 @@ def orders_top_customers(sf_dir: str, k: int = 3) -> pd.DataFrame:
     float association can't flip adjacent ranks."""
     from ..util import bucketed_groups
 
-    totals = (rd.read_parquet(f"{sf_dir}/orders.parquet",
-                              columns=["o_custkey", "o_totalprice"])
-              .groupby("o_custkey")
-              .aggregate(Sum("o_totalprice", alias_name="total")))
+    def sum_partials(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("o_custkey", sort=False)["o_totalprice"]
+                .sum().rename("total").reset_index())
+
+    totals = bucketed_groups(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+        .map_batches(arrow_partials(sum_partials), batch_format="pandas"),
+        ["o_custkey"],
+        lambda df: (df.groupby("o_custkey", sort=False)["total"]
+                    .sum().reset_index()))
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_nationkey"])
@@ -686,8 +708,19 @@ def customers_no_urgent_orders(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow", zero_copy_batch=True)
     j = joins.hash_join(cust, urgent, on=["c_custkey"],
                         right_on=["o_custkey"], how="anti")
-    return (j.groupby("c_nationkey")
-            .aggregate(Count(alias_name="n_customers")).to_pandas())
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("c_nationkey", sort=False).size()
+               .rename("n_customers").reset_index())
+        out["n_customers"] = out["n_customers"].astype("int64")
+        return out
+
+    # nations are bounded: the survivor count merges driver-side
+    out = merge_partials(
+        j.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["c_nationkey"], ["n_customers"], merge="driver")
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out
 
 
 def doc_chunk(sf_dir: str) -> pd.DataFrame:
@@ -793,11 +826,11 @@ def events_pivot(sf_dir: str) -> pd.DataFrame:
         ct.columns.name = None
         return ct.astype("int64").reset_index()
 
-    out = (ds.map_batches(arrow_partials(partials), batch_format="pandas")
-           .groupby("user_id")
-           .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}")
-                        for t in types])
-           .to_pandas())
+    out = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["user_id"], [f"n_{t}" for t in types], merge="bucketed")
+    for t in types:
+        out[f"n_{t}"] = out[f"n_{t}"].astype("int64")
     return out
 
 
@@ -809,16 +842,17 @@ def events_rollup(sf_dir: str) -> pd.DataFrame:
     standard rollup trick — never N passes over the input)."""
     ds = _events(sf_dir, ["ts", "event_type", "value"])
 
-    def add_day(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "day", pc.floor_temporal(t["ts"], unit="day"))
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.assign(day=df["ts"].dt.floor("D"))
+               .groupby(["event_type", "day"], sort=False)["value"]
+               .agg(n="size", sum_value="sum").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
 
-    fine = (ds.map_batches(add_day, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby(["event_type", "day"])
-            .aggregate(Count(alias_name="n"),
-                       Sum("value", alias_name="sum_value"))
-            .to_pandas())
+    # type×day is bounded (≤ types × days): partials merge driver-side
+    fine = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["event_type", "day"], ["n", "sum_value"], merge="driver")
     # match DuckDB CAST(TIMESTAMP AS VARCHAR): '2024-01-01 00:00:00'
     fine["day"] = pd.to_datetime(fine["day"]).dt.strftime(
         "%Y-%m-%d %H:%M:%S")
