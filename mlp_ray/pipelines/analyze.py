@@ -196,11 +196,14 @@ def slow_planning_topk(cds: rd.Dataset, k: int = 50) -> rd.Dataset:
                           ("doc_id", "descending")])
         return t.take(order[:k])
 
-    return (
-        cds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
-        .sort(["planning_time_us", "doc_id"], descending=[True, True])
-        .limit(k)
-    )
+    # final reduce is driver-side on the pruned ≤ k×blocks rows — a
+    # Dataset.sort would pay a full range-partition exchange for it
+    pruned = cds.map_batches(local_topk, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    out = (pruned.sort_values(["planning_time_us", "doc_id"],
+                              ascending=[False, False], kind="mergesort")
+           .head(k).reset_index(drop=True))
+    return rd.from_pandas(out)
 
 
 # --- A11: global timestamp range (LogParser.java:1183-1192) ------------
