@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_filter_revenue": Q.parts_filter_revenue,  # disjunctive arms
         "orders_unshipped_top": Q.orders_unshipped_top,  # Q3 topk join
         "orders_late_priority": Q.orders_late_priority,  # Q12 lateness
+        "events_value_corr": Q.events_value_corr,        # moment merge
     }
 
 
@@ -1367,5 +1368,13 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
             FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "events_value_corr": """
+            SELECT event_type, count(*) AS n,
+                   round(corr(value, epoch(ts)), 6) AS corr_ts_value,
+                   round(regr_slope(value, epoch(ts)), 6) AS slope,
+                   round(regr_intercept(value, epoch(ts)), 6)
+                       AS intercept
+            FROM events GROUP BY 1
         """,
     }

@@ -2558,3 +2558,56 @@ def orders_late_priority(sf_dir: str) -> pd.DataFrame:
     agg["n_late"] = agg["n_late"].astype("int64")
     return (agg[["o_orderpriority", "n_items", "n_late"]]
             .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def events_value_corr(sf_dir: str) -> pd.DataFrame:
+    """Single-pass bivariate statistics from sufficient statistics:
+    Pearson correlation plus least-squares slope/intercept of value
+    against event time, per event type.  Each block ships ONE
+    (type, n, Σx, Σy, Σxx, Σyy, Σxy) row — the classic
+    moment-merge aggregate family (corr / covar / regr_*) that never
+    shuffles raw rows.  x is epoch seconds (exactly DuckDB's
+    ``epoch(ts)``: microseconds / 1e6) so the oracle is bit-compatible
+    modulo float association."""
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+    # fixed centering constant: epoch seconds are ~8.8e8, so raw
+    # moments would cancel ~9 digits; shifting x by a CONSTANT leaves
+    # corr/slope unchanged (intercept un-shifted below) and keeps the
+    # one-pass merge exact enough to match the oracle's stable kernel
+    x0 = 860_000_000.0
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        x = (df["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) / 1e6) - x0
+        y = df["value"].to_numpy()
+        d = pd.DataFrame({"event_type": df["event_type"], "x": x, "y": y,
+                          "xx": x * x, "yy": y * y, "xy": x * y})
+        out = (d.groupby("event_type", sort=False)
+               .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                    sxx=("xx", "sum"), syy=("yy", "sum"),
+                    sxy=("xy", "sum"))
+               .reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    m = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["event_type"], ["n", "sx", "sy", "sxx", "syy", "sxy"],
+        merge="driver")
+    n = m["n"].to_numpy(dtype=np.float64)
+    sx, sy = m["sx"].to_numpy(), m["sy"].to_numpy()
+    sxx, syy, sxy = m["sxx"].to_numpy(), m["syy"].to_numpy(), \
+        m["sxy"].to_numpy()
+    cov_n = sxy - sx * sy / n          # n * covariance
+    var_x = sxx - sx * sx / n
+    var_y = syy - sy * sy / n
+    slope = cov_n / var_x
+    out = pd.DataFrame({
+        "event_type": m["event_type"],
+        "n": m["n"].astype("int64"),
+        "corr_ts_value": cov_n / np.sqrt(var_x * var_y),
+        "slope": slope,
+        # un-shift: with u = x - x0, y = a' + b·u = (a' - b·x0) + b·x,
+        # so the intercept at x = 0 is a' - b·x0 (sx sums the SHIFTED u)
+        "intercept": (sy - slope * sx) / n - slope * x0})
+    return round_cols(out, ["corr_ts_value", "slope", "intercept"])
