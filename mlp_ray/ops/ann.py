@@ -27,7 +27,21 @@ def _normalize(x: np.ndarray) -> np.ndarray:
 
 
 def _stack(col) -> np.ndarray:
-    return np.stack([np.asarray(e, dtype=np.float64) for e in col.to_pylist()])
+    """list<float> column → (rows × dim) float64 matrix, zero-copy via
+    Arrow flatten for the fixed-dim/no-null fast path (ragged or
+    null-bearing columns fall back to the per-row copy)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, (pa.ListArray, pa.LargeListArray,
+                        pa.FixedSizeListArray)) and col.null_count == 0:
+        try:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(col), -1).astype(np.float64)
+        except ValueError:  # ragged lengths: reshape refuses
+            pass
+    # extension arrays (Ray tensor type), nulls, ragged: row copy
+    return np.stack([np.asarray(e, dtype=np.float64)
+                     for e in col.to_pylist()])
 
 
 class BruteForceScorer:

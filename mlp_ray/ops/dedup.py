@@ -735,8 +735,8 @@ class HyperplaneLSH:
             return pa.table({"vec_id": pa.nulls(0, pa.int64()),
                              "bucket": pa.nulls(0, pa.int64()),
                              "embedding": batch["embedding"]})
-        x = np.stack([np.asarray(e, dtype=np.float32)
-                      for e in batch["embedding"].to_pylist()])
+        from .ann import _stack
+        x = _stack(batch["embedding"]).astype(np.float32)
         norms = np.linalg.norm(x, axis=1, keepdims=True)
         x = x / np.maximum(norms, 1e-12)
         n = x.shape[0]
