@@ -86,3 +86,39 @@ def test_user_gaps_layout_and_bucket_invariance(ray_session):
     b = bucketed_groups(rd.from_arrow(tbl).repartition(13), ["user_id"],
                         _gaps_bulk, num_buckets=7).to_pandas()
     assert_frames_match(a, b, ["user_id"])
+
+
+def test_sf_queries_layout_invariance(ray_session, tmp_path_factory):
+    """sf_dir-based queries must return identical results when every
+    input table is re-sharded into many small files (a different
+    cluster's write layout).  Covers the round-3d shapes whose merges
+    mix bucketed exchanges, broadcasts and driver-side final reduces."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from mlp_ray.pipelines import queries as Q
+
+    src = pathlib.Path("/root/testdata/sf0.001")
+    dst = tmp_path_factory.mktemp("resharded_sf0001")
+    for t in ["events", "orders", "lineitem", "customer", "supplier",
+              "part"]:
+        tbl = pq.read_table(src / f"{t}.parquet")
+        d = dst / f"{t}.parquet"
+        d.mkdir()
+        n = max(1, tbl.num_rows // 7)
+        for i, lo in enumerate(range(0, tbl.num_rows, n)):
+            pq.write_table(tbl.slice(lo, n), d / f"part-{i:03d}.parquet")
+
+    checks = [
+        ("events_value_corr", ["event_type"]),
+        ("orders_unshipped_top", ["o_orderkey"]),
+        ("orders_big_qty", ["o_orderkey"]),
+        ("supplier_top_revenue", ["s_suppkey"]),
+        ("events_topk", ["event_id"]),
+        ("lineitem_pricing", ["l_returnflag", "l_linestatus"]),
+        ("orders_late_priority", ["o_orderpriority"]),
+    ]
+    for name, keys in checks:
+        fn = getattr(Q, name)
+        assert_frames_match(fn(str(src)), fn(str(dst)), keys)
