@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_unshipped_top": Q.orders_unshipped_top,  # Q3 topk join
         "orders_late_priority": Q.orders_late_priority,  # Q12 lateness
         "events_value_corr": Q.events_value_corr,        # moment merge
+        "events_window_distinct": Q.events_window_distinct,  # window n-distinct
     }
 
 
@@ -1376,5 +1377,16 @@ def oracle_sql() -> dict[str, str]:
                    round(regr_intercept(value, epoch(ts)), 6)
                        AS intercept
             FROM events GROUP BY 1
+        """,
+        "events_window_distinct": """
+            WITH du AS (
+                SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                           AS day, user_id
+                FROM events),
+            days AS (SELECT DISTINCT day FROM du)
+            SELECT d.day, count(DISTINCT u.user_id) AS distinct_users
+            FROM days d
+            JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+            GROUP BY 1
         """,
     }

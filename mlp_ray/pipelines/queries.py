@@ -2611,3 +2611,52 @@ def events_value_corr(sf_dir: str) -> pd.DataFrame:
         # so the intercept at x = 0 is a' - b·x0 (sx sums the SHIFTED u)
         "intercept": (sy - slope * sx) / n - slope * x0})
     return round_cols(out, ["corr_ts_value", "slope", "intercept"])
+
+
+def events_window_distinct(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """COUNT(DISTINCT) over a sliding window — trailing-7-day distinct
+    users per day.  Distinct-in-window can't ride a sum merge (windows
+    overlap, users repeat), so: per-batch (day, user) dedup partials →
+    ONE user-bucketed exchange (each bucket owns whole users) → inside
+    the bucket each user's day set expands to the windows it covers
+    and dedups LOCALLY → disjoint (window, n) partials sum driver-side
+    (bounded by #days).  Nothing user×day-shaped shuffles twice."""
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.assign(day=df["ts"].dt.floor("D"))[["day", "user_id"]]
+                .drop_duplicates())
+
+    def window_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()  # merge per-block partials
+        day = g["day"].to_numpy().astype("datetime64[D]")
+        user = g["user_id"].to_numpy()
+        # expand: a user active on day d covers windows d .. d+6
+        off = np.arange(window_days, dtype="timedelta64[D]")
+        win = (day[:, None] + off[None, :]).ravel()
+        u = np.repeat(user, window_days)
+        d = pd.DataFrame({"day": win, "user_id": u}).drop_duplicates()
+        out = (d.groupby("day", sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        # the expansion invents anchor days the corpus never saw (gaps,
+        # the tail past the last event) — the oracle counts per
+        # OBSERVED day only, so each bucket also marks its real days
+        out["observed"] = np.int64(0)
+        obs = pd.DataFrame({"day": np.unique(day),
+                            "n": np.int64(0),
+                            "observed": np.int64(1)})
+        return pd.concat([out, obs], ignore_index=True)
+
+    parts = bucketed_groups(
+        ds.map_batches(arrow_partials(pair_partials),
+                       batch_format="pandas"),
+        ["user_id"], window_counts).to_pandas()
+    out = (parts.groupby("day", as_index=False)
+           .agg(distinct_users=("n", "sum"), observed=("observed", "sum")))
+    out = out.loc[out["observed"] > 0, ["day", "distinct_users"]].copy()
+    out["distinct_users"] = out["distinct_users"].astype("int64")
+    out["day"] = pd.to_datetime(out["day"]).astype("datetime64[us]")
+    return out.reset_index(drop=True)
