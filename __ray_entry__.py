@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_late_priority": Q.orders_late_priority,  # Q12 lateness
         "events_value_corr": Q.events_value_corr,        # moment merge
         "events_window_distinct": Q.events_window_distinct,  # window n-distinct
+        "doc_normalize": Q.doc_normalize,                # NFC/case/space
     }
 
 
@@ -1388,5 +1389,14 @@ def oracle_sql() -> dict[str, str]:
             FROM days d
             JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
             GROUP BY 1
+        """,
+        "doc_normalize": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '\\s+', ' ', 'g')) AS text_norm,
+                   length(trim(regexp_replace(lower(nfc_normalize(text)),
+                                              '\\s+', ' ', 'g')))
+                       AS n_chars
+            FROM documents
         """,
     }

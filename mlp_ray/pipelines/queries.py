@@ -2660,3 +2660,36 @@ def events_window_distinct(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
     out["distinct_users"] = out["distinct_users"].astype("int64")
     out["day"] = pd.to_datetime(out["day"]).astype("datetime64[us]")
     return out.reset_index(drop=True)
+
+
+def doc_normalize(sf_dir: str) -> pd.DataFrame:
+    """Canonical text normalization (the first stage of every training
+    corpus: NFC unicode form → lowercase → whitespace collapse →
+    strip).  Lower/collapse/strip run as Arrow kernels on the whole
+    column; the NFC pass touches only the rows that are non-ASCII
+    (``string_is_ascii`` mask — NFC is the identity on ASCII), so the
+    Python fallback cost scales with the foreign-text fraction, not
+    the corpus."""
+    import unicodedata
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        txt = t["text"]
+        ascii_mask = pc.string_is_ascii(txt).to_numpy(zero_copy_only=False)
+        if not ascii_mask.all():
+            vals = txt.to_pylist()
+            vals = [v if v is None or ascii_mask[i]
+                    else unicodedata.normalize("NFC", v)
+                    for i, v in enumerate(vals)]
+            txt = pa.chunked_array([pa.array(vals, pa.string())])
+        out = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(txt), r"\s+", " "))
+        return pa.table({"doc_id": t["doc_id"], "text_norm": out,
+                         "n_chars": pc.utf8_length(out)})
+
+    out = ds.map_batches(norm, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out

@@ -640,3 +640,35 @@ def test_ngram_heavy_hitters_multibatch_exact(docs_ds, docs_df):
     got = list(zip(out["gram"], out["count"]))
     assert got == exp
     assert list(out["rnk"]) == list(range(1, 31))
+
+
+def test_doc_normalize_nfc_path(ray_session, tmp_path):
+    """Non-ASCII rows go through the NFC branch and still match the
+    DuckDB oracle (NFD input: 'e' + combining acute must compose)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mlp_ray.pipelines.queries import doc_normalize
+
+    rows = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["Plain  ASCII\ttext ",
+                 "Café  DU  Monde",      # NFD é + case + runs
+                 "  Éclairß  ",      # precomposed É, ß
+                 ""]})
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False),
+                   tmp_path / "documents.parquet")
+    got = (doc_normalize(str(tmp_path))
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet'")
+    import __ray_entry__ as entrymod
+    exp = (con.execute(entrymod.oracle_sql()["doc_normalize"]).fetchdf()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["text_norm"].tolist() == exp["text_norm"].tolist()
+    assert got["n_chars"].astype(int).tolist() == \
+        exp["n_chars"].astype(int).tolist()
+    assert got.loc[1, "text_norm"] == "café du monde"
