@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_corr": Q.events_value_corr,        # moment merge
         "events_window_distinct": Q.events_window_distinct,  # window n-distinct
         "doc_normalize": Q.doc_normalize,                # NFC/case/space
+        "doc_decontaminate_bloom":
+            Q.doc_decontaminate_bloom,                   # rows-only (fp≥0)
     }
 
 

@@ -224,3 +224,87 @@ def stratified_sample(ds: rd.Dataset, rates: dict[str, int], *,
         return batch.filter(pa.array(buckets < thr))
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+# --- Bloom-gated decontamination (the > broadcast-budget path) ----------
+class BloomFilter:
+    """Vectorized Bloom filter over uint64 keys: ``m`` bits,
+    ``n_hashes`` derived probes per key via splitmix64-style mixing
+    (fp ≈ (1 - e^{-kn/m})^k: 16 bits/key at 8 hashes ≈ 5.6e-4).
+    Numpy-only — build and probe are whole-array ops, the bit array
+    ships once via ``ray.put`` (m/8 bytes regardless of key count).
+    False positives mark a clean doc contaminated (conservative for
+    training-data hygiene); false negatives are impossible."""
+
+    __slots__ = ("bits", "m", "n_hashes")
+
+    def __init__(self, m_bits: int, n_hashes: int = 8):
+        self.m = int(m_bits)
+        self.n_hashes = int(n_hashes)
+        self.bits = np.zeros((self.m + 7) // 8, dtype=np.uint8)
+
+    @staticmethod
+    def _mix(x: np.ndarray, salt: np.uint64) -> np.ndarray:
+        # splitmix64 finalizer, salted per probe
+        x = (x + salt) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x ^= x >> np.uint64(30)
+        x = (x * np.uint64(0xBF58476D1CE4E5B9)) & \
+            np.uint64(0xFFFFFFFFFFFFFFFF)
+        x ^= x >> np.uint64(27)
+        x = (x * np.uint64(0x94D049BB133111EB)) & \
+            np.uint64(0xFFFFFFFFFFFFFFFF)
+        return x ^ (x >> np.uint64(31))
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        cols = [self._mix(keys, np.uint64((0x9E3779B97F4A7C15 * (i + 1))
+                                          & 0xFFFFFFFFFFFFFFFF))
+                % np.uint64(self.m) for i in range(self.n_hashes)]
+        return np.stack(cols, axis=1)  # (n, n_hashes)
+
+    def add(self, keys: np.ndarray) -> None:
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3,
+                         (1 << (pos & 7)).astype(np.uint8))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(keys)
+        got = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return got.all(axis=1)
+
+
+def decontaminate_bloom(docs_ds: rd.Dataset, bench_grams: np.ndarray, *,
+                        k: int = 5, threshold: int = 1,
+                        bits_per_key: int = 16, n_hashes: int = 8,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> rd.Dataset:
+    """``decontaminate`` for benchmark sets too large to broadcast
+    exactly: the gram set compresses into a Bloom filter
+    (``bits_per_key`` bits/key: 16 → fp ≈ 5.6e-4 per gram at 8
+    hashes, 2 bytes/key vs the exact set's 8), shipping once and
+    probing vectorized.  Overlap counts are an UPPER bound
+    (fp-inflated ≈ n_grams × fp extra per doc, so at threshold=1 a
+    long clean doc can over-flag); ``contaminated`` can only
+    over-flag, never leak a contaminated doc through."""
+    bench = np.asarray(bench_grams, dtype=np.uint64)
+    bf = BloomFilter(max(64, bits_per_key * max(1, len(bench))), n_hashes)
+    bf.add(bench)
+    ref = ray.put(bf)
+
+    def probe(batch: pa.Table, _ref=ref, _k=k, _thr=threshold):
+        f = _cached_stage(("decon_bloom", _ref), lambda: ray.get(_ref))
+        texts = [t or "" for t in batch[text_col].to_pylist()]
+        d, g, n = _distinct_grams_per_doc(texts, _k)
+        n_grams = np.bincount(d, minlength=n).astype(np.int64)
+        hit = f.contains(g)
+        overlap = np.bincount(d[hit], minlength=n).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_grams": pa.array(n_grams),
+            "overlap_grams": pa.array(overlap),
+            "contaminated": pa.array((overlap >= _thr).astype(np.int64)),
+        })
+
+    return docs_ds.map_batches(probe, batch_format="pyarrow")

@@ -2693,3 +2693,14 @@ def doc_normalize(sf_dir: str) -> pd.DataFrame:
                          zero_copy_batch=True).to_pandas()
     out["n_chars"] = out["n_chars"].astype("int64")
     return out
+
+
+def doc_decontaminate_bloom(sf_dir: str) -> pd.DataFrame:
+    """Bloom-gated decontamination (the scale path when the benchmark
+    gram set outgrows the broadcast budget).  Overlap counts are a
+    conservative upper bound — rows-only here; the exact sibling
+    ``doc_decontaminate`` carries the oracle, and the no-false-negative
+    contract is pinned in tests/test_ops.py."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bg = scrub.benchmark_gram_set(_bench_docs(docs), k=5)
+    return scrub.decontaminate_bloom(docs, bg, k=5).to_pandas()

@@ -672,3 +672,43 @@ def test_doc_normalize_nfc_path(ray_session, tmp_path):
     assert got["n_chars"].astype(int).tolist() == \
         exp["n_chars"].astype(int).tolist()
     assert got.loc[1, "text_norm"] == "café du monde"
+
+
+def test_bloom_filter_contract():
+    """No false negatives ever; false-positive rate within ~2x of the
+    theoretical bound at 16 bits/key, 8 hashes (~5.6e-4)."""
+    import numpy as np
+
+    from mlp_ray.ops.scrub import BloomFilter
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**63, size=20_000, dtype=np.uint64)
+    bf = BloomFilter(16 * len(keys), n_hashes=8)
+    bf.add(keys)
+    assert bf.contains(keys).all()  # never a false negative
+    probe = rng.integers(0, 2**63, size=100_000, dtype=np.uint64)
+    fresh = probe[~np.isin(probe, keys)]
+    fp = bf.contains(fresh).mean()
+    assert fp < 2e-3, fp
+
+
+def test_decontaminate_bloom_upper_bounds_exact(ray_session):
+    """Bloom-gated overlap ≥ exact overlap per doc (fp can only
+    inflate), contaminated never under-flags, and on this corpus the
+    flag sets agree exactly."""
+    from mlp_ray.pipelines.queries import (doc_decontaminate,
+                                           doc_decontaminate_bloom)
+
+    sf = "/root/testdata/sf0.001"
+    a = (doc_decontaminate(sf).sort_values("doc_id")
+         .reset_index(drop=True))
+    b = (doc_decontaminate_bloom(sf).sort_values("doc_id")
+         .reset_index(drop=True))
+    assert (b["overlap_grams"] >= a["overlap_grams"]).all()
+    assert (b["contaminated"] >= a["contaminated"]).all()
+    assert a["contaminated"].sum() > 0  # the fixture plants overlap
+    # exact-contaminated ⊆ bloom-contaminated (already asserted);
+    # over-flagging is fp-bounded: ≈ n_grams × 5.6e-4 per clean doc
+    clean = a["contaminated"] == 0
+    over = (b.loc[clean, "contaminated"] == 1).mean()
+    assert over < 0.25, over
