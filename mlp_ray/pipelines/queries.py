@@ -2677,7 +2677,8 @@ def doc_normalize(sf_dir: str) -> pd.DataFrame:
     def norm(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         txt = t["text"]
-        ascii_mask = pc.string_is_ascii(txt).to_numpy(zero_copy_only=False)
+        ascii_mask = pc.fill_null(pc.string_is_ascii(txt), False) \
+            .to_numpy(zero_copy_only=False)
         if not ascii_mask.all():
             vals = txt.to_pylist()
             vals = [v if v is None or ascii_mask[i]
@@ -2691,7 +2692,8 @@ def doc_normalize(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(norm, batch_format="pyarrow",
                          zero_copy_batch=True).to_pandas()
-    out["n_chars"] = out["n_chars"].astype("int64")
+    if out["n_chars"].notna().all():
+        out["n_chars"] = out["n_chars"].astype("int64")
     return out
 
 

@@ -653,11 +653,12 @@ def test_doc_normalize_nfc_path(ray_session, tmp_path):
     from mlp_ray.pipelines.queries import doc_normalize
 
     rows = pd.DataFrame({
-        "doc_id": [0, 1, 2, 3],
+        "doc_id": [0, 1, 2, 3, 4],
         "text": ["Plain  ASCII\ttext ",
                  "Café  DU  Monde",      # NFD é + case + runs
                  "  Éclairß  ",      # precomposed É, ß
-                 ""]})
+                 "",
+                 None]})  # null text: string_is_ascii -> null, must not crash
     pq.write_table(pa.Table.from_pandas(rows, preserve_index=False),
                    tmp_path / "documents.parquet")
     got = (doc_normalize(str(tmp_path))
@@ -669,8 +670,8 @@ def test_doc_normalize_nfc_path(ray_session, tmp_path):
     exp = (con.execute(entrymod.oracle_sql()["doc_normalize"]).fetchdf()
            .sort_values("doc_id").reset_index(drop=True))
     assert got["text_norm"].tolist() == exp["text_norm"].tolist()
-    assert got["n_chars"].astype(int).tolist() == \
-        exp["n_chars"].astype(int).tolist()
+    assert got["n_chars"].fillna(-1).astype(int).tolist() == \
+        exp["n_chars"].fillna(-1).astype(int).tolist()
     assert got.loc[1, "text_norm"] == "café du monde"
 
 
