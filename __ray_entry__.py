@@ -179,6 +179,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": Q.doc_normalize,                # NFC/case/space
         "doc_decontaminate_bloom":
             Q.doc_decontaminate_bloom,                   # rows-only (fp≥0)
+        # -- round-3e: segment dedup + Q7/Q8/Q10 shapes ------------------
+        "doc_segment_dedup": Q.doc_segment_dedup,        # substring dedup
+        "nations_volume_shipping":
+            Q.nations_volume_shipping,                   # Q7 trade volume
+        "nation_market_share": Q.nation_market_share,    # Q8 share ratio
+        "customers_returned_top":
+            Q.customers_returned_top,                    # Q10 returns topk
     }
 
 
@@ -1400,5 +1407,86 @@ def oracle_sql() -> dict[str, str]:
                                               '\\s+', ' ', 'g')))
                        AS n_chars
             FROM documents
+        """,
+        "doc_segment_dedup": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(text, '\\s+', ' ',
+                                                        'g')), ' ') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            segs AS (
+                SELECT doc_id, i AS seg_idx,
+                       array_to_string(toks[(i*16+1):(i*16+16)], ' ') AS seg
+                FROM w, UNNEST(range(CAST(ceil(len(toks) / 16.0) AS BIGINT)))
+                     AS t(i)
+            ),
+            keep AS (
+                SELECT doc_id, seg_idx, seg,
+                       row_number() OVER (PARTITION BY seg
+                                          ORDER BY doc_id, seg_idx) AS rn
+                FROM segs
+            )
+            SELECT doc_id,
+                   count(*) AS n_segs,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                                       ORDER BY seg_idx), '') AS text_dedup
+            FROM keep GROUP BY doc_id
+        """,
+        "nations_volume_shipping": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+              AND l.l_shipdate >= '1996-01-01'
+              AND l.l_shipdate <  '1998-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "nation_market_share": """
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0 END)
+                         / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                       AS mkt_share
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+            WHERE n1.n_regionkey = (SELECT n_regionkey FROM nation
+                                    WHERE n_name = 'NATION_3')
+              AND p.p_type = 'PROMO'
+            GROUP BY 1
+        """,
+        "customers_returned_top": """
+            WITH r AS (
+                SELECT o.o_custkey AS c_custkey,
+                       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                           AS revenue
+                FROM orders o
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderdate >= '1996-01-01'
+                  AND o.o_orderdate <  '1996-04-01'
+                  AND l.l_returnflag = 'R'
+                GROUP BY 1
+            )
+            SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal, r.revenue
+            FROM r
+            JOIN customer c ON c.c_custkey = r.c_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY r.revenue DESC, c.c_custkey LIMIT 20
         """,
     }

@@ -2706,3 +2706,280 @@ def doc_decontaminate_bloom(sf_dir: str) -> pd.DataFrame:
     docs = _docs(sf_dir, ["doc_id", "text"])
     bg = scrub.benchmark_gram_set(_bench_docs(docs), k=5)
     return scrub.decontaminate_bloom(docs, bg, k=5).to_pandas()
+
+
+def doc_segment_dedup(sf_dir: str, k: int = 16) -> pd.DataFrame:
+    """Exact segment-level dedup (the 'dedup at substring granularity'
+    curation step from Lee et al., *Deduplicating Training Data Makes
+    Language Models Better*, done at fixed k-token segment boundaries):
+    every doc splits into non-overlapping k-token segments; a segment
+    that already occurred anywhere in the corpus keeps only its FIRST
+    occurrence (smallest ``(doc_id, seg_idx)``); docs are reassembled
+    from their surviving segments.
+
+    Two corpus-volume bucketed exchanges, nothing on the driver:
+      1. segment rows bucket by the segment text — each bucket owns
+         whole segment groups and flags the keep-first winner with one
+         vectorized ``duplicated()`` pass;
+      2. all segment rows (winners AND losers — losers still count
+         toward ``n_segs``) bucket by doc_id, where one sort +
+         groupby-agg pass per bucket rebuilds the deduped text in
+         ``seg_idx`` order.
+    At 100 TB the exchange-byte halving lever is to ship
+    ``md5(seg)[:16]`` instead of the text through exchange 1 and
+    re-derive segment text from the co-bucketed doc rows in exchange 2;
+    the exchange COUNT and the keep-first semantics are unchanged.
+    """
+    from ..util import bucketed_groups
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def segments(t: pa.Table) -> pd.DataFrame:
+        t = t.combine_chunks()
+        txt = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.fill_null(t["text"], ""), r"\s+", " "))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        doc_ids, seg_idx, segs = [], [], []
+        for did, s in zip(ids, txt.to_pylist()):
+            if not s:            # blank docs: excluded (oracle contract)
+                continue
+            toks = s.split(" ")
+            for i in range(0, len(toks), k):
+                doc_ids.append(did)
+                seg_idx.append(i // k)
+                segs.append(" ".join(toks[i:i + k]))
+        return pd.DataFrame({
+            "doc_id": pd.array(doc_ids, dtype="int64"),
+            "seg_idx": pd.array(seg_idx, dtype="int64"),
+            "seg": pd.array(segs, dtype="object")})
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["seg", "doc_id", "seg_idx"], kind="mergesort")
+        g["keep"] = ~g["seg"].duplicated()
+        return g
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "seg_idx"], kind="mergesort")
+        out = (g.groupby("doc_id", sort=False)
+               .agg(n_segs=("seg_idx", "size")).reset_index())
+        kept = g.loc[g["keep"]]
+        n_kept = kept.groupby("doc_id", sort=False).size()
+        txt = kept.groupby("doc_id", sort=False)["seg"].agg(" ".join)
+        out["n_kept"] = out["doc_id"].map(n_kept).fillna(0).astype("int64")
+        out["text_dedup"] = out["doc_id"].map(txt).fillna("")
+        out["n_segs"] = out["n_segs"].astype("int64")
+        return out
+
+    seg_rows = ds.map_batches(segments, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    marked = bucketed_groups(seg_rows, ["seg"], mark)
+    return bucketed_groups(marked, ["doc_id"], assemble).to_pandas()
+
+
+def nations_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7-shaped directional trade-volume join: revenue shipped
+    between NATION_1 and NATION_2 (both directions) per ship year.
+    orders ⨝ lineitem is the one large exchange (``hash_join`` on
+    orderkey); customer→nation and supplier→nation broadcast as dense
+    int lookups; the (supp, cust, year) rollup is ≤ 2 × years rows so
+    partials merge on the driver."""
+    from ..ops import joins
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    name_by_key = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    pair = {int(nation.loc[nation["n_name"] == n, "n_nationkey"].iloc[0])
+            for n in ("NATION_1", "NATION_2")}
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    c_lk = _dense_lookup(cust["c_custkey"].to_numpy(),
+                         cust["c_nationkey"].to_numpy().astype(np.int64),
+                         int(pc.max(cust["c_custkey"]).as_py()) + 1, -1)
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    s_lk = _dense_lookup(sup["s_suppkey"].to_numpy(),
+                         sup["s_nationkey"].to_numpy().astype(np.int64),
+                         int(pc.max(sup["s_suppkey"]).as_py()) + 1, -1)
+    c_ref, s_ref = ray.put(c_lk), ray.put(s_lk)
+    a, b = sorted(pair)
+    lo = np.datetime64("1996-01-01").astype("datetime64[ns]")
+    hi = np.datetime64("1998-01-01").astype("datetime64[ns]")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+    j = joins.hash_join(orders, li, on=["o_orderkey"],
+                        right_on=["l_orderkey"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        clk, slk = ray.get(c_ref), ray.get(s_ref)
+        ck = df["o_custkey"].to_numpy(dtype=np.int64)
+        sk = df["l_suppkey"].to_numpy(dtype=np.int64)
+        cn = clk[np.clip(ck, 0, len(clk) - 1)]
+        sn = slk[np.clip(sk, 0, len(slk) - 1)]
+        ship = df["l_shipdate"].to_numpy().astype("datetime64[ns]")
+        ok = (ck >= 0) & (ck < len(clk)) & (sk >= 0) & (sk < len(slk)) \
+            & (ship >= lo) & (ship < hi) \
+            & (((sn == a) & (cn == b)) | ((sn == b) & (cn == a)))
+        rev = (df["l_extendedprice"].to_numpy()[ok]
+               * (1.0 - df["l_discount"].to_numpy()[ok]))
+        year = ship[ok].astype("datetime64[Y]").astype(np.int64) + 1970
+        return (pd.DataFrame({"sn": sn[ok], "cn": cn[ok], "l_year": year,
+                              "revenue": rev})
+                .groupby(["sn", "cn", "l_year"], sort=False)["revenue"]
+                .sum().reset_index())
+
+    out = merge_partials(
+        j.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["sn", "cn", "l_year"], ["revenue"], merge="driver")
+    out["supp_nation"] = out["sn"].map(name_by_key)
+    out["cust_nation"] = out["cn"].map(name_by_key)
+    out["l_year"] = out["l_year"].astype("int64")
+    out = out[["supp_nation", "cust_nation", "l_year", "revenue"]]
+    return round_cols(out, ["revenue"], ndigits=2)
+
+
+def nation_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8-shaped market-share ratio: NATION_3 suppliers' share of
+    PROMO-part revenue sold to customers in NATION_3's region, per
+    order year.  One large orders ⨝ lineitem exchange; part-type,
+    customer-region and supplier-nation predicates broadcast as dense
+    uint8 masks; each block ships one (year, nation_rev, total_rev)
+    partial so the final merge is O(years)."""
+    from ..ops import joins
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name",
+                                    "n_regionkey"]).to_pandas()
+    target = nation.loc[nation["n_name"] == "NATION_3"].iloc[0]
+    t_key, t_region = int(target["n_nationkey"]), int(target["n_regionkey"])
+    region_nations = set(
+        nation.loc[nation["n_regionkey"] == t_region, "n_nationkey"])
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    in_region = np.fromiter(
+        (int(nk in region_nations) for nk in
+         cust["c_nationkey"].to_numpy()), dtype=np.uint8, count=len(cust))
+    c_lk = _dense_lookup(cust["c_custkey"].to_numpy(), in_region,
+                         int(pc.max(cust["c_custkey"]).as_py()) + 1, 0)
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    s_lk = _dense_lookup(
+        sup["s_suppkey"].to_numpy(),
+        (sup["s_nationkey"].to_numpy() == t_key).astype(np.uint8),
+        int(pc.max(sup["s_suppkey"]).as_py()) + 1, 0)
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    p_lk = _dense_lookup(
+        part["p_partkey"].to_numpy(),
+        pc.equal(part["p_type"], "PROMO").to_numpy(
+            zero_copy_only=False).astype(np.uint8),
+        int(pc.max(part["p_partkey"]).as_py()) + 1, 0)
+    c_ref, s_ref, p_ref = ray.put(c_lk), ray.put(s_lk), ray.put(p_lk)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    j = joins.hash_join(orders, li, on=["o_orderkey"],
+                        right_on=["l_orderkey"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        clk, slk, plk = ray.get(c_ref), ray.get(s_ref), ray.get(p_ref)
+        ck = df["o_custkey"].to_numpy(dtype=np.int64)
+        sk = df["l_suppkey"].to_numpy(dtype=np.int64)
+        pk = df["l_partkey"].to_numpy(dtype=np.int64)
+        ok = (ck >= 0) & (ck < len(clk)) & (clk[np.clip(ck, 0, len(clk) - 1)] == 1) \
+            & (pk >= 0) & (pk < len(plk)) & (plk[np.clip(pk, 0, len(plk) - 1)] == 1) \
+            & (sk >= 0) & (sk < len(slk))
+        rev = (df["l_extendedprice"].to_numpy()[ok]
+               * (1.0 - df["l_discount"].to_numpy()[ok]))
+        is_target = slk[sk[ok]] == 1
+        year = df["o_orderdate"].to_numpy().astype("datetime64[ns]")[ok] \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return (pd.DataFrame({"o_year": year, "nation_rev":
+                              np.where(is_target, rev, 0.0),
+                              "total_rev": rev})
+                .groupby("o_year", sort=False)
+                .agg(nation_rev=("nation_rev", "sum"),
+                     total_rev=("total_rev", "sum")).reset_index())
+
+    out = merge_partials(
+        j.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["o_year"], ["nation_rev", "total_rev"], merge="driver")
+    out["o_year"] = out["o_year"].astype("int64")
+    out["mkt_share"] = out["nation_rev"] / out["total_rev"]
+    out = out[["o_year", "mkt_share"]]
+    return round_cols(out, ["mkt_share"])
+
+
+def customers_returned_top(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10-shaped returned-item ranking: the top-k customers by
+    revenue lost to returned (``l_returnflag = 'R'``) lineitems for
+    orders placed in Q1-1996.  Both scans prune at the read and filter
+    per batch BEFORE the one orderkey ``hash_join``; custkey partial
+    sums merge in a bounded exchange (≤ customer-count rows) and only
+    the cent-rounded top-k set reaches the driver, where customer name
+    / nation attach from broadcast-scale dimension tables."""
+    from ..ops import joins
+    from ..util import round_half_away
+
+    lo = np.datetime64("1996-01-01").astype("datetime64[ns]")
+    hi = np.datetime64("1996-04-01").astype("datetime64[ns]")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(
+                pd.Timestamp("1996-01-01"))),
+                pc.less(t["o_orderdate"], pa.scalar(
+                    pd.Timestamp("1996-04-01"))))).select(
+            ["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["l_returnflag"], "R")).select(
+            ["l_orderkey", "l_extendedprice", "l_discount"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    j = joins.hash_join(orders, li, on=["o_orderkey"],
+                        right_on=["l_orderkey"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].to_numpy() \
+            * (1.0 - df["l_discount"].to_numpy())
+        return (pd.DataFrame({"c_custkey": df["o_custkey"].to_numpy(
+            dtype=np.int64), "revenue": rev})
+            .groupby("c_custkey", sort=False)["revenue"].sum()
+            .reset_index())
+
+    totals = merge_partials(
+        j.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["c_custkey"], ["revenue"], merge="driver")
+    # rank on the cent-rounded figure (mirrored by the oracle) so
+    # distributed float association can't flip adjacent ranks
+    totals["revenue"] = round_half_away(totals["revenue"].to_numpy(), 2)
+    top = (totals.sort_values(["revenue", "c_custkey"],
+                              ascending=[False, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]) \
+        .to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = (top.merge(cust, on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey"))
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out[["c_custkey", "c_name", "n_name", "c_acctbal", "revenue"]]
