@@ -186,6 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_market_share": Q.nation_market_share,    # Q8 share ratio
         "customers_returned_top":
             Q.customers_returned_top,                    # Q10 returns topk
+        "events_value_skew": Q.events_value_skew,        # G1/G2 moments
+        "emb_covariance": Q.emb_covariance,              # d×d Gram pass
+        "emb_pca": Q.emb_pca,                            # rows-only (eigh)
     }
 
 
@@ -1488,5 +1491,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON c.c_custkey = r.c_custkey
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             ORDER BY r.revenue DESC, c.c_custkey LIMIT 20
+        """,
+        "events_value_skew": """
+            SELECT event_type, count(*) AS n,
+                   round(skewness(value), 6) AS skew,
+                   round(kurtosis(value), 6) AS kurt
+            FROM events GROUP BY event_type
+        """,
+        "emb_covariance": """
+            WITH u AS (
+                SELECT vec_id, i - 1 AS dim,
+                       CAST(embedding[i] AS DOUBLE) AS v
+                FROM embeddings,
+                     UNNEST(range(1, len(embedding) + 1)) AS t(i)
+            )
+            SELECT a.dim AS i, b.dim AS j,
+                   round(covar_samp(a.v, b.v), 6) AS cov
+            FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+            GROUP BY 1, 2
         """,
     }

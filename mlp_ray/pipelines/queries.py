@@ -2983,3 +2983,131 @@ def customers_returned_top(sf_dir: str, k: int = 20) -> pd.DataFrame:
            .merge(nation, left_on="c_nationkey", right_on="n_nationkey"))
     out["c_custkey"] = out["c_custkey"].astype("int64")
     return out[["c_custkey", "c_name", "n_name", "c_acctbal", "revenue"]]
+
+
+def events_value_skew(sf_dir: str) -> pd.DataFrame:
+    """Higher-moment statistics per event type — sample skewness and
+    excess kurtosis (DuckDB / Fisher-Pearson bias-corrected G1 / G2) —
+    from ONE moment-merge pass: each block ships a single
+    (type, n, Σd, Σd², Σd³, Σd⁴) row with d = value − 50 (a constant
+    shift near the global mean keeps the raw→central moment recovery,
+    which is EXACT algebra at any shift, from cancelling digits)."""
+    ds = _events(sf_dir, ["event_type", "value"])
+    c = 50.0
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["value"].to_numpy() - c
+        t = pd.DataFrame({"event_type": df["event_type"], "d1": d,
+                          "d2": d * d, "d3": d * d * d, "d4": d * d * d * d})
+        out = (t.groupby("event_type", sort=False)
+               .agg(n=("d1", "size"), s1=("d1", "sum"), s2=("d2", "sum"),
+                    s3=("d3", "sum"), s4=("d4", "sum")).reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    m = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["event_type"], ["n", "s1", "s2", "s3", "s4"], merge="driver")
+    n = m["n"].to_numpy(dtype=np.float64)
+    m1 = m["s1"].to_numpy() / n
+    m2 = m["s2"].to_numpy() / n - m1 ** 2
+    m3 = m["s3"].to_numpy() / n - 3 * m1 * (m["s2"].to_numpy() / n) \
+        + 2 * m1 ** 3
+    m4 = m["s4"].to_numpy() / n - 4 * m1 * (m["s3"].to_numpy() / n) \
+        + 6 * m1 ** 2 * (m["s2"].to_numpy() / n) - 3 * m1 ** 4
+    g1 = m3 / m2 ** 1.5
+    skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+    g2 = m4 / m2 ** 2 - 3.0
+    kurt = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    out = pd.DataFrame({"event_type": m["event_type"],
+                        "n": m["n"].astype("int64"),
+                        "skew": skew, "kurt": kurt})
+    return round_cols(out, ["skew", "kurt"])
+
+
+def _emb_moment_stats(sf_dir: str) -> pd.DataFrame:
+    """One corpus pass → merged second-moment sufficient statistics of
+    the embedding table, long-form: (i, j≥i, Σxᵢxⱼ) upper-triangle Gram
+    rows, (i, -1, Σxᵢ) column sums, and an (-1, -1, n) row.  Exchange
+    volume is O(blocks · d²), never O(rows)."""
+    from ..ops.ann import _stack
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        X = _stack(t.combine_chunks()["embedding"])
+        d = X.shape[1]
+        g = X.T @ X
+        i, j = np.triu_indices(d)
+        rows_i = np.concatenate([i, np.arange(d), [-1]])
+        rows_j = np.concatenate([j, np.full(d, -1), [-1]])
+        vals = np.concatenate([g[i, j], X.sum(axis=0), [float(len(X))]])
+        return pd.DataFrame({"i": rows_i.astype("int64"),
+                             "j": rows_j.astype("int64"), "val": vals})
+
+    return merge_partials(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["i", "j"], ["val"], merge="driver")
+
+
+def emb_covariance(sf_dir: str) -> pd.DataFrame:
+    """Distributed covariance matrix of the embedding table — THE
+    sufficient-statistics pass under distributed PCA / linear models:
+    each block reduces its (rows × d) slab to one d×d Gram update
+    (`X.T @ X`, a single BLAS call) plus a d-vector column sum, shipped
+    long-form as (i, j, val) rows, so exchange volume is O(blocks · d²)
+    and never O(rows).  The driver recovers
+    cov = (Σxy − ΣxΣy/n)/(n−1) for the upper triangle."""
+    m = _emb_moment_stats(sf_dir)
+    n = float(m.loc[(m["i"] == -1) & (m["j"] == -1), "val"].iloc[0])
+    sx = (m.loc[(m["j"] == -1) & (m["i"] >= 0)]
+          .sort_values("i")["val"].to_numpy())
+    tri = m.loc[m["j"] >= 0].sort_values(["i", "j"])
+    i = tri["i"].to_numpy(dtype=np.int64)
+    j = tri["j"].to_numpy(dtype=np.int64)
+    cov = (tri["val"].to_numpy() - sx[i] * sx[j] / n) / (n - 1.0)
+    out = pd.DataFrame({"i": i, "j": j, "cov": cov})
+    return round_cols(out, ["cov"])
+
+
+def emb_pca(sf_dir: str, n_components: int = 4) -> pd.DataFrame:
+    """Distributed PCA over the embedding column: the corpus is touched
+    ONCE for the d×d covariance sufficient statistics (same exchange
+    shape as ``emb_covariance``); the eigendecomposition runs on the
+    driver where the d×d matrix is trivially small.  (When d² itself
+    outgrows the driver, the scale path is iterated `Xᵀ(Xv)` passes —
+    one corpus scan per power-iteration step — with this same
+    per-block BLAS reduction.)  Rows-only in the driver battery; the
+    loadings are pinned against a direct numpy eigendecomposition in
+    tests/test_ops.py.  Sign convention: each component's
+    largest-|loading| entry is positive."""
+    m = _emb_moment_stats(sf_dir)
+    n = float(m.loc[(m["i"] == -1) & (m["j"] == -1), "val"].iloc[0])
+    sx = (m.loc[(m["j"] == -1) & (m["i"] >= 0)]
+          .sort_values("i")["val"].to_numpy())
+    d = len(sx)
+    cov = np.zeros((d, d))
+    tri = m.loc[m["j"] >= 0]
+    ii = tri["i"].to_numpy(dtype=np.int64)
+    jj = tri["j"].to_numpy(dtype=np.int64)
+    cv = (tri["val"].to_numpy() - sx[ii] * sx[jj] / n) / (n - 1.0)
+    cov[ii, jj] = cv
+    cov[jj, ii] = cv
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components]
+    total_var = float(w.sum())
+    frames = []
+    for rank, k in enumerate(order):
+        vec = v[:, k]
+        if vec[np.argmax(np.abs(vec))] < 0:
+            vec = -vec
+        frames.append(pd.DataFrame({
+            "component": np.full(d, rank, dtype=np.int64),
+            "dim": np.arange(d, dtype=np.int64),
+            "loading": vec,
+            "eigval": np.full(d, float(w[k])),
+            "explained_ratio": np.full(d, float(w[k]) / total_var)}))
+    out = pd.concat(frames, ignore_index=True)
+    return round_cols(out, ["loading", "eigval", "explained_ratio"])

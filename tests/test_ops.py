@@ -713,3 +713,32 @@ def test_decontaminate_bloom_upper_bounds_exact(ray_session):
     clean = a["contaminated"] == 0
     over = (b.loc[clean, "contaminated"] == 1).mean()
     assert over < 0.25, over
+
+
+def test_emb_pca_matches_numpy(ray_session):
+    """Distributed sufficient-stats PCA == direct numpy eigh on the
+    full in-memory matrix (loadings up to documented sign convention,
+    eigenvalues, explained ratios)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mlp_ray.ops.ann import _stack
+    from mlp_ray.pipelines.queries import emb_pca
+
+    sf = "/root/testdata/sf0.001"
+    out = emb_pca(sf)
+    X = _stack(pq.read_table(f"{sf}/embeddings.parquet",
+                             columns=["embedding"])["embedding"]
+               .combine_chunks())
+    cov = np.cov(X, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    for rank, k in enumerate(order):
+        vec = v[:, k]
+        if vec[np.argmax(np.abs(vec))] < 0:
+            vec = -vec
+        got = out.loc[out["component"] == rank].sort_values("dim")
+        assert np.allclose(got["loading"].to_numpy(), vec, atol=5e-6), rank
+        assert abs(got["eigval"].iloc[0] - w[k]) < 1e-6
+        assert abs(got["explained_ratio"].iloc[0]
+                   - w[k] / w.sum()) < 1e-6
