@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_skew": Q.events_value_skew,        # G1/G2 moments
         "emb_covariance": Q.emb_covariance,              # d×d Gram pass
         "emb_pca": Q.emb_pca,                            # rows-only (eigh)
+        "doc_split_safe": Q.doc_split_safe,              # canonical-gated
     }
 
 
@@ -1497,6 +1498,19 @@ def oracle_sql() -> dict[str, str]:
                    round(skewness(value), 6) AS skew,
                    round(kurtosis(value), 6) AS kurt
             FROM events GROUP BY event_type
+        """,
+        "doc_split_safe": """
+            WITH h AS (SELECT doc_id, md5(text) AS th FROM documents),
+            c AS (SELECT th, min(doc_id) AS canonical FROM h GROUP BY th)
+            SELECT h.doc_id, c.canonical AS canonical_doc_id,
+                   CASE WHEN CAST('0x' || substr(md5(CAST(c.canonical
+                                  AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10
+                        THEN 'val'
+                        WHEN CAST('0x' || substr(md5(CAST(c.canonical
+                                  AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 20
+                        THEN 'test'
+                        ELSE 'train' END AS split
+            FROM h JOIN c ON c.th = h.th
         """,
         "emb_covariance": """
             WITH u AS (

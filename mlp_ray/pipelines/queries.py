@@ -3111,3 +3111,44 @@ def emb_pca(sf_dir: str, n_components: int = 4) -> pd.DataFrame:
             "explained_ratio": np.full(d, float(w[k]) / total_var)}))
     out = pd.concat(frames, ignore_index=True)
     return round_cols(out, ["loading", "eigval", "explained_ratio"])
+
+
+def doc_split_safe(sf_dir: str) -> pd.DataFrame:
+    """Leakage-safe train/val/test split: every doc is gated by the
+    md5 bucket of its exact-dup CANONICAL id (min doc_id over identical
+    text), so byte-identical duplicates can never straddle the eval
+    boundary — the split-leakage failure mode of per-doc gating on a
+    deduplicatable corpus.  One text-hash-bucketed exchange resolves
+    the canonical and attaches it to every member row in-bucket (no
+    second join); the md5 gate itself stays a pure per-row map,
+    re-shard/resume stable like ``doc_split``."""
+    import hashlib
+
+    from ..ops.dedup import md5_hash_batch
+    from ..util import bucketed_groups
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def hash_rows(batch: pa.Table) -> pd.DataFrame:
+        t = md5_hash_batch(batch, "text")
+        df = t.select(["text_hash", "doc_id"]).to_pandas()
+        df["doc_id"] = df["doc_id"].astype("int64")
+        return df
+
+    def attach_canonical(g: pd.DataFrame) -> pd.DataFrame:
+        canon = g.groupby("text_hash", sort=False)["doc_id"].transform("min")
+        out = pd.DataFrame({"doc_id": g["doc_id"],
+                            "canonical_doc_id":
+                                canon.astype("int64")})
+        b = np.fromiter(
+            (int(hashlib.md5(str(c).encode()).hexdigest()[:8], 16) % 100
+             for c in out["canonical_doc_id"]),
+            dtype=np.int64, count=len(out))
+        out["split"] = np.where(b < 10, "val",
+                                np.where(b < 20, "test", "train"))
+        return out
+
+    return bucketed_groups(
+        ds.map_batches(hash_rows, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["text_hash"], attach_canonical).to_pandas()

@@ -742,3 +742,35 @@ def test_emb_pca_matches_numpy(ray_session):
         assert abs(got["eigval"].iloc[0] - w[k]) < 1e-6
         assert abs(got["explained_ratio"].iloc[0]
                    - w[k] / w.sum()) < 1e-6
+
+
+def test_doc_split_safe_no_dup_leakage(ray_session, tmp_path):
+    """Byte-identical duplicates always land in the SAME split (the
+    per-doc md5 gate would let them straddle the eval boundary)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mlp_ray.pipelines.queries import doc_split_safe
+
+    # pick a duplicate id pair whose PLAIN per-doc gates disagree
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+    dup_id = next(i for i in range(1000, 5000)
+                  if (bucket(i) < 10) != (bucket(7) < 10))
+    rows = pd.DataFrame({
+        "doc_id": [7, dup_id, 8, 9],
+        "text": ["same exact text", "same exact text", "unique a",
+                 "unique b"]})
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False),
+                   tmp_path / "documents.parquet")
+    out = doc_split_safe(str(tmp_path)).set_index("doc_id")
+    assert out.loc[dup_id, "canonical_doc_id"] == 7
+    assert out.loc[dup_id, "split"] == out.loc[7, "split"]
+    # and the gate is the canonical's bucket, not the member's
+    want = ("val" if bucket(7) < 10
+            else "test" if bucket(7) < 20 else "train")
+    assert out.loc[7, "split"] == want == out.loc[dup_id, "split"]
