@@ -68,6 +68,12 @@ def merge_partials(partials_ds, keys: list[str], sum_cols: list[str], *,
       space grows with the data (part keys, users, docs)."""
 
     def _reduce(df):
+        if df.empty and not set(keys) <= set(df.columns):
+            # every block filtered to zero rows: Ray hands back a
+            # schema-less empty frame — restore the contract columns
+            import pandas as pd
+
+            return pd.DataFrame(columns=[*keys, *sum_cols])
         out = (df.groupby(keys, sort=False, dropna=False)[sum_cols]
                .sum().reset_index())
         return out

@@ -102,7 +102,7 @@ def test_sf_queries_layout_invariance(ray_session, tmp_path_factory):
     src = pathlib.Path("/root/testdata/sf0.001")
     dst = tmp_path_factory.mktemp("resharded_sf0001")
     for t in ["events", "orders", "lineitem", "customer", "supplier",
-              "part"]:
+              "part", "nation", "documents", "embeddings"]:
         tbl = pq.read_table(src / f"{t}.parquet")
         d = dst / f"{t}.parquet"
         d.mkdir()
@@ -118,6 +118,16 @@ def test_sf_queries_layout_invariance(ray_session, tmp_path_factory):
         ("events_topk", ["event_id"]),
         ("lineitem_pricing", ["l_returnflag", "l_linestatus"]),
         ("orders_late_priority", ["o_orderpriority"]),
+        # round-3e shapes
+        ("doc_segment_dedup", ["doc_id"]),
+        ("nations_volume_shipping",
+         ["supp_nation", "cust_nation", "l_year"]),
+        ("nation_market_share", ["o_year"]),
+        ("customers_returned_top", ["c_custkey"]),
+        ("events_value_skew", ["event_type"]),
+        ("emb_covariance", ["i", "j"]),
+        ("doc_split_safe", ["doc_id"]),
+        ("emb_pca", ["component", "dim"]),
     ]
     for name, keys in checks:
         fn = getattr(Q, name)
