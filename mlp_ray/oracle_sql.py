@@ -436,6 +436,34 @@ GROUP BY 1 ORDER BY 1
 
 # pack_plan (ops/pack.py): exclusive prefix sum over the total doc_id
 # order — exactly a window SUM; the query compares the per-bin rollup
+# pack_greedy: the first-fit break recursion re-expressed as a
+# per-source recursive CTE walking docs in doc_id order — bin keeps
+# filling while fill + n_tok <= cap; an oversized doc sits alone
+# (mirrors ops/pack.greedy_bins exactly)
+_PACK_GREEDY_SQL = f"""
+WITH RECURSIVE s AS (
+  SELECT source, doc_id, n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM read_parquet('{FLAGSHIP_ORACLE_PATH}')
+),
+r AS (
+  SELECT source, doc_id, n_tok, rn,
+         CAST(0 AS BIGINT) AS pack_bin, CAST(n_tok AS BIGINT) AS fill
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.source, s.doc_id, s.n_tok, s.rn,
+         CASE WHEN r.fill + s.n_tok <= 2048 THEN r.pack_bin
+              ELSE r.pack_bin + 1 END,
+         CASE WHEN r.fill + s.n_tok <= 2048 THEN r.fill + s.n_tok
+              ELSE CAST(s.n_tok AS BIGINT) END
+  FROM r JOIN s ON s.source = r.source AND s.rn = r.rn + 1
+)
+SELECT source, pack_bin, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS start_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM r GROUP BY 1, 2
+"""
+
 _PACK_PLAN_SQL = f"""
 WITH c AS (
   SELECT doc_id, n_tok,
@@ -476,6 +504,7 @@ FLAGSHIP_SQL: dict[str, str] = {
     "flagship_token_bigrams": _TOKEN_BIGRAMS_SQL,
     "flagship_seq_lengths": _SEQ_LENGTHS_SQL,
     "flagship_pack_plan": _PACK_PLAN_SQL,
+    "flagship_pack_greedy": _PACK_GREEDY_SQL,
     "flagship_main_ops": _main_ops_sql(
         "ns, op, coalesce(app_name, 'unknown') AS app_name"),
     "flagship_main_ops_by_shard": _main_ops_sql(
