@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_covariance": Q.emb_covariance,              # d×d Gram pass
         "emb_pca": Q.emb_pca,                            # rows-only (eigh)
         "doc_split_safe": Q.doc_split_safe,              # canonical-gated
+        "events_value_quantile_select":
+            Q.events_value_quantile_select,              # exact k-select
     }
 
 
@@ -1498,6 +1500,17 @@ def oracle_sql() -> dict[str, str]:
                    round(skewness(value), 6) AS skew,
                    round(kurtosis(value), 6) AS kurt
             FROM events GROUP BY event_type
+        """,
+        "events_value_quantile_select": """
+            SELECT 0.25 AS q, round(CAST(quantile_cont(value, 0.25)
+                                         AS DOUBLE), 6) AS value
+            FROM events
+            UNION ALL SELECT 0.5, round(CAST(quantile_cont(value, 0.5)
+                                             AS DOUBLE), 6) FROM events
+            UNION ALL SELECT 0.75, round(CAST(quantile_cont(value, 0.75)
+                                              AS DOUBLE), 6) FROM events
+            UNION ALL SELECT 0.99, round(CAST(quantile_cont(value, 0.99)
+                                              AS DOUBLE), 6) FROM events
         """,
         "doc_split_safe": """
             WITH h AS (SELECT doc_id, md5(text) AS th FROM documents),

@@ -3152,3 +3152,19 @@ def doc_split_safe(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(hash_rows, batch_format="pyarrow",
                        zero_copy_batch=True),
         ["text_hash"], attach_canonical).to_pandas()
+
+
+def events_value_quantile_select(sf_dir: str) -> pd.DataFrame:
+    """Global exact p25/p50/p75/p99 by distributed SELECTION
+    (``ops/selection.distributed_quantiles``): iterative histogram
+    refinement — O(bins) counts per pass, a ≤ leaf-sized value collect
+    at the end, never the value multiset through an exchange.  The
+    third exactness/boundedness point next to the fold's exact value
+    arrays and its bounded approximate sketch."""
+    from ..ops.selection import distributed_quantiles
+
+    ds = _events(sf_dir, ["value"])
+    qs = [0.25, 0.5, 0.75, 0.99]
+    got = distributed_quantiles(ds, "value", qs)
+    out = pd.DataFrame({"q": qs, "value": [got[q] for q in qs]})
+    return round_cols(out, ["q", "value"])

@@ -774,3 +774,32 @@ def test_doc_split_safe_no_dup_leakage(ray_session, tmp_path):
     want = ("val" if bucket(7) < 10
             else "test" if bucket(7) < 20 else "train")
     assert out.loc[7, "split"] == want == out.loc[dup_id, "split"]
+
+
+def test_distributed_quantiles_stress(ray_session):
+    """Histogram-refinement selection is exact under forced multi-round
+    refinement (tiny bins/leaf), heavy ties (a value holding 30% of
+    mass — degenerate bracket fast-path), and a constant column."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from mlp_ray.ops.selection import distributed_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.normal(100, 25, 7000),
+        np.full(3000, 77.7),          # massive tie
+        [0.0, 1000.0]])               # extremes
+    rng.shuffle(vals)
+    ds = rd.from_pandas(pd.DataFrame({"value": vals})) \
+        .repartition(13)
+    qs = [0.0, 0.25, 0.5, 0.75, 0.99, 1.0]
+    got = distributed_quantiles(ds, "value", qs, bins=4, leaf=8)
+    exp = {q: float(np.quantile(vals, q, method="linear")) for q in qs}
+    for q in qs:
+        assert got[q] == pytest.approx(exp[q], abs=1e-9), q
+
+    const = rd.from_pandas(pd.DataFrame({"value": np.full(100, 5.0)}))
+    got_c = distributed_quantiles(const, "value", [0.5], bins=4, leaf=8)
+    assert got_c[0.5] == 5.0
