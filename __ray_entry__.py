@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_safe": Q.doc_split_safe,              # canonical-gated
         "events_value_quantile_select":
             Q.events_value_quantile_select,              # exact k-select
+        "source_gram_overlap": Q.source_gram_overlap,    # pair contamination
     }
 
 
@@ -1500,6 +1501,31 @@ def oracle_sql() -> dict[str, str]:
                    round(skewness(value), 6) AS skew,
                    round(kurtosis(value), 6) AS kurt
             FROM events GROUP BY event_type
+        """,
+        "source_gram_overlap": r"""
+            WITH t AS (
+              SELECT DISTINCT source, gram
+              FROM (SELECT source,
+                           unnest([array_to_string(toks[i:i+4], ' ')
+                                   FOR i IN range(1, greatest(len(toks) - 3,
+                                                              2))]) AS gram
+                    FROM (SELECT source,
+                                 regexp_split_to_array(trim(text), '\s+')
+                                     AS toks
+                          FROM documents))),
+            cnt AS (SELECT source, count(*) AS n FROM t GROUP BY 1)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS shared_grams,
+                   any_value(ca.n) AS n_grams_a,
+                   any_value(cb.n) AS n_grams_b,
+                   round(CAST(count(*) AS DOUBLE)
+                         / (any_value(ca.n) + any_value(cb.n) - count(*)),
+                         6) AS jaccard
+            FROM t a
+            JOIN t b ON a.gram = b.gram AND a.source < b.source
+            JOIN cnt ca ON ca.source = a.source
+            JOIN cnt cb ON cb.source = b.source
+            GROUP BY 1, 2
         """,
         "events_value_quantile_select": """
             SELECT 0.25 AS q, round(CAST(quantile_cont(value, 0.25)

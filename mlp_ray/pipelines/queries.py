@@ -3168,3 +3168,60 @@ def events_value_quantile_select(sf_dir: str) -> pd.DataFrame:
     got = distributed_quantiles(ds, "value", qs)
     out = pd.DataFrame({"q": qs, "value": [got[q] for q in qs]})
     return round_cols(out, ["q", "value"])
+
+
+def source_gram_overlap(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    number of distinct word-5-grams present in BOTH sources plus the
+    gram-set Jaccard — the "is my web scrape leaking into my books
+    pile?" audit.  Per-batch distinct (gram, source) pairs → ONE
+    gram-bucketed exchange where each bucket counts per-source grams
+    and per-pair intersections (a self-merge over bucket-local rows —
+    sources are bounded, grams are not, so the pair blow-up is
+    |sources|² per gram, never |grams|²); bucket partials are disjoint
+    by construction and sum exactly on the driver."""
+    from ..ops.scrub import _distinct_grams_per_doc
+    from ..util import bucketed_groups
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def gram_rows(batch: pa.Table) -> pd.DataFrame:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        d, g, _n = _distinct_grams_per_doc(texts, k)
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        return (pd.DataFrame({"source": src[d], "gram": g})
+                .drop_duplicates())
+
+    def bucket_counts(gdf: pd.DataFrame) -> pd.DataFrame:
+        gdf = gdf.drop_duplicates(["gram", "source"])
+        per_src = (gdf.groupby("source", sort=False).size()
+                   .rename("n").reset_index())
+        per_src = pd.DataFrame({"source_a": per_src["source"],
+                                "source_b": "", "n": per_src["n"]})
+        j = gdf.merge(gdf, on="gram")
+        j = j.loc[j["source_x"] < j["source_y"]]
+        pair = (j.groupby(["source_x", "source_y"], sort=False).size()
+                .rename("n").reset_index()
+                .rename(columns={"source_x": "source_a",
+                                 "source_y": "source_b"}))
+        out = pd.concat([per_src, pair], ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = bucketed_groups(
+        ds.map_batches(gram_rows, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["gram"], bucket_counts).to_pandas()
+    agg = (parts.groupby(["source_a", "source_b"], as_index=False)["n"]
+           .sum())
+    totals = (agg.loc[agg["source_b"] == ""]
+              .set_index("source_a")["n"])
+    out = agg.loc[agg["source_b"] != ""].copy()
+    out = out.rename(columns={"n": "shared_grams"})
+    out["n_grams_a"] = out["source_a"].map(totals).astype("int64")
+    out["n_grams_b"] = out["source_b"].map(totals).astype("int64")
+    out["shared_grams"] = out["shared_grams"].astype("int64")
+    out["jaccard"] = out["shared_grams"] / (
+        out["n_grams_a"] + out["n_grams_b"] - out["shared_grams"])
+    out = out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    return round_cols(out, ["jaccard"])
