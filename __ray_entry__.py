@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantile_select":
             Q.events_value_quantile_select,              # exact k-select
         "source_gram_overlap": Q.source_gram_overlap,    # pair contamination
+        "events_anomaly_zscore":
+            Q.events_anomaly_zscore,                     # 2-pass outliers
     }
 
 
@@ -1501,6 +1503,17 @@ def oracle_sql() -> dict[str, str]:
                    round(skewness(value), 6) AS skew,
                    round(kurtosis(value), 6) AS kurt
             FROM events GROUP BY event_type
+        """,
+        "events_anomaly_zscore": """
+            SELECT event_id, event_type, round(value, 6) AS value,
+                   round((value - avg(value) OVER (PARTITION BY event_type))
+                         / stddev_samp(value)
+                               OVER (PARTITION BY event_type), 6) AS zscore
+            FROM events
+            QUALIFY abs((value - avg(value) OVER (PARTITION BY event_type))
+                        / stddev_samp(value)
+                              OVER (PARTITION BY event_type)) > 3.0
+            ORDER BY event_id
         """,
         "source_gram_overlap": r"""
             WITH t AS (

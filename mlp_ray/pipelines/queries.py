@@ -3225,3 +3225,56 @@ def source_gram_overlap(sf_dir: str, k: int = 5) -> pd.DataFrame:
         out["n_grams_a"] + out["n_grams_b"] - out["shared_grams"])
     out = out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
     return round_cols(out, ["jaccard"])
+
+
+def events_anomaly_zscore(sf_dir: str, z: float = 3.0) -> pd.DataFrame:
+    """Per-type outlier detection: events whose value sits more than
+    ``z`` sample standard deviations from their type's mean.  Two
+    passes, both bounded: pass 1 is the (n, Σv, Σv²) moment merge
+    (types are a bounded key space); the per-type (mean, std) table
+    then rides to every task of pass 2 as a closure constant, where
+    the filter is one vectorized mask — anomalies are rare, so the
+    result stream is tiny by construction."""
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        t = pd.DataFrame({"event_type": df["event_type"], "v": v,
+                          "vv": v * v})
+        out = (t.groupby("event_type", sort=False)
+               .agg(n=("v", "size"), s=("v", "sum"), ss=("vv", "sum"))
+               .reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    m = merge_partials(
+        ds.map_batches(arrow_partials(moments), batch_format="pandas"),
+        ["event_type"], ["n", "s", "ss"], merge="driver")
+    n = m["n"].to_numpy(dtype=np.float64)
+    mean = m["s"].to_numpy() / n
+    var = (m["ss"].to_numpy() - m["s"].to_numpy() ** 2 / n) / (n - 1.0)
+    std = np.sqrt(np.maximum(var, 0.0))
+    stats = {t: (mu, sd) for t, mu, sd in zip(m["event_type"], mean, std)}
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        mu = df["event_type"].map({k: v[0] for k, v in stats.items()}) \
+            .to_numpy(dtype=np.float64)
+        sd = df["event_type"].map({k: v[1] for k, v in stats.items()}) \
+            .to_numpy(dtype=np.float64)
+        zs = (df["value"].to_numpy() - mu) / np.where(sd > 0, sd, np.inf)
+        keep = np.abs(zs) > z
+        out = pd.DataFrame({
+            "event_id": df["event_id"].to_numpy()[keep],
+            "event_type": df["event_type"].to_numpy()[keep],
+            "value": df["value"].to_numpy()[keep],
+            "zscore": zs[keep]})
+        return out
+
+    out = (ds.map_batches(arrow_partials(flag), batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        out = pd.DataFrame(columns=["event_id", "event_type", "value",
+                                    "zscore"])
+    out["event_id"] = out["event_id"].astype("int64")
+    out = out.sort_values("event_id").reset_index(drop=True)
+    return round_cols(out, ["value", "zscore"])
