@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_gram_overlap": Q.source_gram_overlap,    # pair contamination
         "events_anomaly_zscore":
             Q.events_anomaly_zscore,                     # 2-pass outliers
+        "events_transitions": Q.events_transitions,      # Markov counts
     }
 
 
@@ -1503,6 +1504,16 @@ def oracle_sql() -> dict[str, str]:
                    round(skewness(value), 6) AS skew,
                    round(kurtosis(value), 6) AS kurt
             FROM events GROUP BY event_type
+        """,
+        "events_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                FROM events)
+            SELECT prev AS from_type, event_type AS to_type,
+                   count(*) AS n
+            FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
         """,
         "events_anomaly_zscore": """
             SELECT event_id, event_type, round(value, 6) AS value,

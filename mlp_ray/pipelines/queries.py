@@ -3278,3 +3278,31 @@ def events_anomaly_zscore(sf_dir: str, z: float = 3.0) -> pd.DataFrame:
     out["event_id"] = out["event_id"].astype("int64")
     out = out.sort_values("event_id").reset_index(drop=True)
     return round_cols(out, ["value", "zscore"])
+
+
+def events_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order behavioral transition matrix: counts of consecutive
+    (from_type → to_type) steps in each user's ts-ordered sequence.
+    One user-bucketed exchange gives each bucket whole users; a single
+    vectorized sort + shift per bucket derives the transitions, and
+    only the bounded (from, to, n) rollup leaves the bucket."""
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g["event_type"].shift()
+        same = g["user_id"].eq(g["user_id"].shift())
+        d = pd.DataFrame({"from_type": prev[same],
+                          "to_type": g["event_type"][same]})
+        out = (d.groupby(["from_type", "to_type"], sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = bucketed_groups(ds, ["user_id"], trans).to_pandas()
+    out = (parts.groupby(["from_type", "to_type"], as_index=False)["n"]
+           .sum())
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
