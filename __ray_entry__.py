@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly_zscore":
             Q.events_anomaly_zscore,                     # 2-pass outliers
         "events_transitions": Q.events_transitions,      # Markov counts
+        "doc_dedup_stats": Q.doc_dedup_stats,            # dup-rate audit
     }
 
 
@@ -1504,6 +1505,13 @@ def oracle_sql() -> dict[str, str]:
                    round(skewness(value), 6) AS skew,
                    round(kurtosis(value), 6) AS kurt
             FROM events GROUP BY event_type
+        """,
+        "doc_dedup_stats": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT text) AS n_distinct,
+                   round(1.0 - count(DISTINCT text) * 1.0 / count(*), 6)
+                       AS dup_rate
+            FROM documents GROUP BY source
         """,
         "events_transitions": """
             WITH s AS (

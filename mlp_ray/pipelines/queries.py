@@ -3306,3 +3306,48 @@ def events_transitions(sf_dir: str) -> pd.DataFrame:
            .sum())
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+def doc_dedup_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-source duplication audit: docs, distinct texts, and the
+    duplication rate — the first number a curation run reports.
+    Distinct (source, text_hash) pairs prune per batch; the one
+    hash-bucketed exchange owns whole hashes, so per-bucket distinct
+    counts are disjoint and the driver sum IS count-distinct (the
+    ``events_distinct_users`` contract applied to content hashes)."""
+    from ..ops.dedup import md5_hash_batch
+    from ..util import bucketed_groups
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def pair_partials(batch: pa.Table) -> pd.DataFrame:
+        t = md5_hash_batch(batch, "text")
+        df = t.select(["text_hash"]).to_pandas()
+        df["source"] = batch["source"].to_pylist()
+        out = (df.groupby(["source", "text_hash"], sort=False).size()
+               .rename("n_docs").reset_index())
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["source", "text_hash"], sort=False)["n_docs"]
+               .sum().reset_index()
+               .groupby("source", sort=False)
+               .agg(n_docs=("n_docs", "sum"),
+                    n_distinct=("text_hash", "size")).reset_index())
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["n_distinct"] = out["n_distinct"].astype("int64")
+        return out
+
+    parts = bucketed_groups(
+        ds.map_batches(pair_partials, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["text_hash"], bucket_counts).to_pandas()
+    out = (parts.groupby("source", as_index=False)
+           .agg(n_docs=("n_docs", "sum"),
+                n_distinct=("n_distinct", "sum")))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    out["dup_rate"] = 1.0 - out["n_distinct"] / out["n_docs"]
+    out = out.sort_values("source").reset_index(drop=True)
+    return round_cols(out, ["dup_rate"])
