@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Q.events_anomaly_zscore,                     # 2-pass outliers
         "events_transitions": Q.events_transitions,      # Markov counts
         "doc_dedup_stats": Q.doc_dedup_stats,            # dup-rate audit
+        "events_user_rfm": Q.events_user_rfm,            # ntile segments
     }
 
 
@@ -1505,6 +1506,17 @@ def oracle_sql() -> dict[str, str]:
                    round(skewness(value), 6) AS skew,
                    round(kurtosis(value), 6) AS kurt
             FROM events GROUP BY event_type
+        """,
+        "events_user_rfm": """
+            WITH u AS (
+                SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+                       round(sum(value), 2) AS monetary
+                FROM events GROUP BY 1)
+            SELECT user_id, last_ts, freq, monetary,
+                   ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS r_q,
+                   ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
+                   ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+            FROM u
         """,
         "doc_dedup_stats": """
             SELECT source, count(*) AS n_docs,

@@ -3351,3 +3351,51 @@ def doc_dedup_stats(sf_dir: str) -> pd.DataFrame:
     out["dup_rate"] = 1.0 - out["n_distinct"] / out["n_docs"]
     out = out.sort_values("source").reset_index(drop=True)
     return round_cols(out, ["dup_rate"])
+
+
+def events_user_rfm(sf_dir: str) -> pd.DataFrame:
+    """RFM user segmentation (recency / frequency / monetary quartile
+    codes — the classic cohort-marketing rollup): the per-user
+    aggregate runs once through a user-bucketed merge, then each
+    metric's exact global NTILE(4) comes from the distributed rank
+    primitive (``ops/window.global_rank``) over the USER-cardinality
+    rollup — the raw event stream is read exactly once.  Monetary is
+    cents-rounded BEFORE ranking (both sides) so distributed float
+    association can't flip quartile boundaries."""
+    from ..ops.window import global_rank
+    from ..util import bucketed_groups, round_half_away
+
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("user_id", sort=False)
+               .agg(last_ts=("ts", "max"), freq=("ts", "size"),
+                    monetary=("value", "sum")).reset_index())
+        out["freq"] = out["freq"].astype("int64")
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("user_id", sort=False)
+               .agg(last_ts=("last_ts", "max"), freq=("freq", "sum"),
+                    monetary=("monetary", "sum")).reset_index())
+        out["freq"] = out["freq"].astype("int64")
+        out["monetary"] = round_half_away(out["monetary"].to_numpy(), 2)
+        return out
+
+    users = bucketed_groups(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["user_id"], merge)
+    r = global_rank(users, ["last_ts", "user_id"],
+                    descending=[True, False], rank_col="_r",
+                    ntile=4, ntile_col="r_q")
+    f = global_rank(r, ["freq", "user_id"], descending=[True, False],
+                    rank_col="_f", ntile=4, ntile_col="f_q")
+    m = global_rank(f, ["monetary", "user_id"],
+                    descending=[True, False], rank_col="_m",
+                    ntile=4, ntile_col="m_q")
+    out = m.to_pandas().drop(columns=["_r", "_f", "_m"])
+    out = out[["user_id", "last_ts", "freq", "monetary",
+               "r_q", "f_q", "m_q"]]
+    for c in ("r_q", "f_q", "m_q"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
