@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": Q.events_transitions,      # Markov counts
         "doc_dedup_stats": Q.doc_dedup_stats,            # dup-rate audit
         "events_user_rfm": Q.events_user_rfm,            # ntile segments
+        "events_activity_heatmap":
+            Q.events_activity_heatmap,                   # dow×hour cells
     }
 
 
@@ -1506,6 +1508,13 @@ def oracle_sql() -> dict[str, str]:
                    round(skewness(value), 6) AS skew,
                    round(kurtosis(value), 6) AS kurt
             FROM events GROUP BY event_type
+        """,
+        "events_activity_heatmap": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   count(*) AS n,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
         """,
         "events_user_rfm": """
             WITH u AS (

@@ -3399,3 +3399,31 @@ def events_user_rfm(sf_dir: str) -> pd.DataFrame:
     for c in ("r_q", "f_q", "m_q"):
         out[c] = out[c].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_activity_heatmap(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (count + mean value
+    per cell): 7×24 bounded cells, so the enrich and the rollup fuse
+    into one map pass and each block ships ≤ 168 partial rows — the
+    canonical dashboard aggregate with zero exchange beyond the
+    driver merge.  ISO day numbering (Mon=1..Sun=7) on both sides."""
+    ds = _events(sf_dir, ["ts", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        dow = (df["ts"].dt.dayofweek + 1).to_numpy(dtype=np.int64)
+        hour = df["ts"].dt.hour.to_numpy(dtype=np.int64)
+        t = pd.DataFrame({"dow": dow, "hour": hour,
+                          "v": df["value"].to_numpy()})
+        out = (t.groupby(["dow", "hour"], sort=False)["v"]
+               .agg(n="size", sum_value="sum").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    out = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["dow", "hour"], ["n", "sum_value"], merge="driver")
+    out["n"] = out["n"].astype("int64")
+    out["avg_value"] = out["sum_value"] / out["n"]
+    out = out.drop(columns=["sum_value"]) \
+        .sort_values(["dow", "hour"]).reset_index(drop=True)
+    return round_cols(out, ["avg_value"])
