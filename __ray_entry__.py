@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_rfm": Q.events_user_rfm,            # ntile segments
         "events_activity_heatmap":
             Q.events_activity_heatmap,                   # dow×hour cells
+        "events_ab_welch": Q.events_ab_welch,            # pairwise t-test
     }
 
 
@@ -1508,6 +1509,20 @@ def oracle_sql() -> dict[str, str]:
                    round(skewness(value), 6) AS skew,
                    round(kurtosis(value), 6) AS kurt
             FROM events GROUP BY event_type
+        """,
+        "events_ab_welch": """
+            WITH g AS (
+                SELECT event_type, count(*) AS n, avg(value) AS m,
+                       var_samp(value) AS v
+                FROM events GROUP BY 1)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   round(a.m - b.m, 6) AS mean_diff,
+                   round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6)
+                       AS t_stat,
+                   round(pow(a.v / a.n + b.v / b.n, 2)
+                         / (pow(a.v / a.n, 2) / (a.n - 1)
+                            + pow(b.v / b.n, 2) / (b.n - 1)), 6) AS dof
+            FROM g a JOIN g b ON a.event_type < b.event_type
         """,
         "events_activity_heatmap": """
             SELECT CAST(isodow(ts) AS BIGINT) AS dow,

@@ -3427,3 +3427,45 @@ def events_activity_heatmap(sf_dir: str) -> pd.DataFrame:
     out = out.drop(columns=["sum_value"]) \
         .sort_values(["dow", "hour"]).reset_index(drop=True)
     return round_cols(out, ["avg_value"])
+
+
+def events_ab_welch(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Welch's t-statistics between event types (the A/B-test
+    readout): everything derives from the SAME one-pass
+    (n, Σv, Σv²) moment merge — the corpus is read once for all
+    ``types × (types−1) / 2`` comparisons, which are pure driver
+    arithmetic afterwards.  Reports mean difference, Welch t, and the
+    Welch-Satterthwaite degrees of freedom."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        t = pd.DataFrame({"event_type": df["event_type"], "v": v,
+                          "vv": v * v})
+        out = (t.groupby("event_type", sort=False)
+               .agg(n=("v", "size"), s=("v", "sum"), ss=("vv", "sum"))
+               .reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    m = merge_partials(
+        ds.map_batches(arrow_partials(moments), batch_format="pandas"),
+        ["event_type"], ["n", "s", "ss"], merge="driver") \
+        .sort_values("event_type").reset_index(drop=True)
+    n = m["n"].to_numpy(dtype=np.float64)
+    mean = m["s"].to_numpy() / n
+    var = (m["ss"].to_numpy() - m["s"].to_numpy() ** 2 / n) / (n - 1.0)
+    types = m["event_type"].tolist()
+    rows = []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            se2_i, se2_j = var[i] / n[i], var[j] / n[j]
+            se2 = se2_i + se2_j
+            t_stat = (mean[i] - mean[j]) / np.sqrt(se2)
+            dof = se2 ** 2 / (se2_i ** 2 / (n[i] - 1.0)
+                              + se2_j ** 2 / (n[j] - 1.0))
+            rows.append({"type_a": types[i], "type_b": types[j],
+                         "mean_diff": mean[i] - mean[j],
+                         "t_stat": t_stat, "dof": dof})
+    out = pd.DataFrame(rows)
+    return round_cols(out, ["mean_diff", "t_stat", "dof"])
