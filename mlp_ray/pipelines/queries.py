@@ -3469,3 +3469,17 @@ def events_ab_welch(sf_dir: str) -> pd.DataFrame:
                          "t_stat": t_stat, "dof": dof})
     out = pd.DataFrame(rows)
     return round_cols(out, ["mean_diff", "t_stat", "dof"])
+
+
+def media_spectrogram(sf_dir: str) -> pd.DataFrame:
+    """Real audio spectral features (numpy STFT → log-band energies +
+    dominant frequency) over the synthetic media table's genuine WAV
+    payloads — actor-pool stage, small batches (binary payloads).
+    Rows-only: the sine-tone frequency recovery contract is pinned in
+    tests/test_multimodal_trim.py."""
+    from ..ops.multimodal import SpectrogramExtractor, synth_media_table
+    tbl = synth_media_table(256, real_payloads=True)
+    return (rd.from_arrow(tbl)
+            .map_batches(SpectrogramExtractor, batch_format="pyarrow",
+                         batch_size=64, concurrency=(1, 4))
+            .to_pandas())

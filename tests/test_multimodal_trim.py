@@ -181,3 +181,46 @@ def test_malformed_payloads_never_hang_or_crash():
     assert list(res["payload"]) == bad  # passed through untouched
     frames = multimodal.FrameSampler()(tbl).to_pandas()
     assert set(frames["media_id"]) == set(range(len(bad)))
+
+
+def test_spectrogram_recovers_tone_frequency(ray_session):
+    """A pure sine at f Hz must put the dominant rfft bin within one
+    bin width (sr/n_fft) of f, and its log-band energy must peak in
+    the band containing f."""
+    import numpy as np
+
+    from mlp_ray.ops.multimodal import (encode_wav_pcm16,
+                                        decode_wav_pcm16,
+                                        stft_band_energies)
+
+    sr = 8000
+    for f in (150.0, 440.0, 1000.0, 3500.0):
+        t = np.arange(sr)  # 1 s
+        tone = (np.sin(2 * np.pi * f * t / sr) * 12000).astype(np.int16)
+        samples, got_sr = decode_wav_pcm16(encode_wav_pcm16(tone, sr))
+        e, hz = stft_band_energies(samples, got_sr)
+        assert got_sr == sr
+        assert abs(hz - f) <= sr / 512 + 1e-9, (f, hz)
+        edges = np.geomspace(50.0, sr / 2.0, 17)
+        want_band = int(np.searchsorted(edges, f, side="right") - 1)
+        assert int(np.argmax(e)) == want_band, (f, np.argmax(e))
+
+
+def test_spectrogram_stage_routes_non_audio(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from mlp_ray.ops.multimodal import (SpectrogramExtractor,
+                                        synth_media_table)
+
+    tbl = synth_media_table(64, real_payloads=True)
+    out = (rd.from_arrow(tbl)
+           .map_batches(SpectrogramExtractor, batch_format="pyarrow",
+                        batch_size=16, concurrency=(1, 2))
+           .to_pandas())
+    assert len(out) == 64
+    kinds = tbl["media_type"].to_pylist()
+    assert (out["decoded"].to_numpy()
+            == np.array([k == "audio" for k in kinds])).all()
+    aud = out.loc[out["decoded"]]
+    assert (aud["dominant_hz"] > 0).all()
