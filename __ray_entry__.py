@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": Q.media_resize,
         "media_frame_plan": Q.media_frame_plan,
         "media_spectrogram": Q.media_spectrogram,        # numpy STFT bands
+        "media_sharpness": Q.media_sharpness,            # blur gate
         # trim tool
         "events_trim_props": Q.events_trim_props,        # rows-only
         "flagship_pack_greedy": Q.flagship_pack_greedy,  # rows-only

@@ -428,3 +428,66 @@ class SpectrogramExtractor:
             "dominant_hz": pa.array(doms, pa.float64()),
             "decoded": pa.array(ok, pa.bool_()),
         })
+
+
+def laplacian_variance(img: np.ndarray) -> float:
+    """Variance of the 4-neighbour Laplacian over the luma plane — the
+    classic single-number blur detector (sharp image → high-frequency
+    edges → high variance; blurred image → low).  Pure numpy."""
+    luma = img.astype(np.float64).mean(axis=2)
+    lap = (-4.0 * luma[1:-1, 1:-1] + luma[:-2, 1:-1] + luma[2:, 1:-1]
+           + luma[1:-1, :-2] + luma[1:-1, 2:])
+    return float(lap.var()) if lap.size else 0.0
+
+
+def box_blur(img: np.ndarray, radius: int = 2) -> np.ndarray:
+    """Separable box blur via padded cumulative sums (numpy-only) —
+    used by the sharpness tests to manufacture a blurred twin."""
+    k = 2 * radius + 1
+    x = img.astype(np.float64)
+    for axis in (0, 1):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (radius + 1, radius)
+        xp = np.pad(x, pad, mode="edge")
+        c = np.cumsum(xp, axis=axis)
+        hi = np.take(c, np.arange(k, k + x.shape[axis]), axis=axis)
+        lo = np.take(c, np.arange(x.shape[axis]), axis=axis)
+        x = (hi - lo) / k
+    return np.clip(np.round(x), 0, 255).astype(np.uint8)
+
+
+class SharpnessScorer:
+    """Actor-pool stage: image payload → (laplacian_var, is_sharp)
+    blur gate — the curation step that drops soft/duplicate-resize
+    images before training.  Non-image rows and undecodable payloads
+    route out with ``decoded=False``."""
+
+    def __init__(self, threshold: float = 50.0):
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, lv, sharp, ok = [], [], [], []
+        for mid, mt, p in zip(batch["media_id"].to_pylist(),
+                              batch["media_type"].to_pylist(),
+                              batch["payload"].to_pylist()):
+            try:
+                if mt != "image":
+                    raise ValueError("not image")
+                kind, img = decode_payload(p)
+                if kind != "image":
+                    raise ValueError("not image")
+                v = laplacian_variance(img)
+                lv.append(v)
+                sharp.append(bool(v >= self.threshold))
+                ok.append(True)
+            except Exception:
+                lv.append(0.0)
+                sharp.append(False)
+                ok.append(False)
+            ids.append(mid)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "laplacian_var": pa.array(lv, pa.float64()),
+            "is_sharp": pa.array(sharp, pa.bool_()),
+            "decoded": pa.array(ok, pa.bool_()),
+        })

@@ -3483,3 +3483,16 @@ def media_spectrogram(sf_dir: str) -> pd.DataFrame:
             .map_batches(SpectrogramExtractor, batch_format="pyarrow",
                          batch_size=64, concurrency=(1, 4))
             .to_pandas())
+
+
+def media_sharpness(sf_dir: str) -> pd.DataFrame:
+    """Blur-gate curation pass (variance-of-Laplacian) over the
+    synthetic media table's real PPM/BMP payloads.  Rows-only: the
+    sharp-vs-blurred ordering contract is pinned in
+    tests/test_multimodal_trim.py."""
+    from ..ops.multimodal import SharpnessScorer, synth_media_table
+    tbl = synth_media_table(256, real_payloads=True)
+    return (rd.from_arrow(tbl)
+            .map_batches(SharpnessScorer, batch_format="pyarrow",
+                         batch_size=64, concurrency=(1, 4))
+            .to_pandas())

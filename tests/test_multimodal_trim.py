@@ -224,3 +224,39 @@ def test_spectrogram_stage_routes_non_audio(ray_session):
             == np.array([k == "audio" for k in kinds])).all()
     aud = out.loc[out["decoded"]]
     assert (aud["dominant_hz"] > 0).all()
+
+
+def test_sharpness_orders_blurred_below_sharp(ray_session):
+    """For any noise image, its box-blurred twin must score a LOWER
+    laplacian variance, and the stage must route non-images out."""
+    import numpy as np
+    import ray.data as rd
+    import pyarrow as pa
+
+    from mlp_ray.ops.multimodal import (SharpnessScorer, box_blur,
+                                        encode_ppm, laplacian_variance,
+                                        synth_media_table)
+
+    rng = np.random.default_rng(3)
+    sharp = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    blurred = box_blur(sharp, radius=3)
+    assert laplacian_variance(blurred) < laplacian_variance(sharp) / 4
+
+    tbl = pa.table({
+        "media_id": pa.array([0, 1, 2], pa.int64()),
+        "payload": pa.array([encode_ppm(sharp), encode_ppm(blurred),
+                             b"garbage"], pa.binary()),
+        "media_type": pa.array(["image", "image", "image"], pa.string()),
+    })
+    out = (rd.from_arrow(tbl)
+           .map_batches(SharpnessScorer, batch_format="pyarrow",
+                        batch_size=8, concurrency=(1, 2))
+           .to_pandas().set_index("media_id"))
+    assert out.loc[0, "laplacian_var"] > out.loc[1, "laplacian_var"]
+    assert not out.loc[2, "decoded"]
+
+    full = (rd.from_arrow(synth_media_table(64, real_payloads=True))
+            .map_batches(SharpnessScorer, batch_format="pyarrow",
+                         batch_size=16, concurrency=(1, 2))
+            .to_pandas())
+    assert (full["decoded"] == (full["laplacian_var"] > 0)).all()
