@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_plan": Q.media_frame_plan,
         "media_spectrogram": Q.media_spectrogram,        # numpy STFT bands
         "media_sharpness": Q.media_sharpness,            # blur gate
+        "media_phash_dedup": Q.media_phash_dedup,        # pHash LSH
         # trim tool
         "events_trim_props": Q.events_trim_props,        # rows-only
         "flagship_pack_greedy": Q.flagship_pack_greedy,  # rows-only

@@ -491,3 +491,152 @@ class SharpnessScorer:
             "is_sharp": pa.array(sharp, pa.bool_()),
             "decoded": pa.array(ok, pa.bool_()),
         })
+
+
+def _dct2_even(x: np.ndarray) -> np.ndarray:
+    """Orthonormal-ish 2-D DCT-II via the even-extension FFT identity
+    (no scipy in this environment): DCT along each axis in turn."""
+    def dct1(a, axis):
+        n = a.shape[axis]
+        ext = np.concatenate([a, np.flip(a, axis=axis)], axis=axis)
+        F = np.fft.fft(ext, axis=axis)
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(0, n)
+        shape = [1] * a.ndim
+        shape[axis] = n
+        w = np.exp(-1j * np.pi * np.arange(n) / (2 * n)).reshape(shape)
+        return np.real(F[tuple(sl)] * w) / 2.0
+    return dct1(dct1(x, 0), 1)
+
+
+def phash64(img: np.ndarray) -> np.uint64:
+    """64-bit perceptual hash: luma → 32×32 nn-resize → 2-D DCT →
+    low-frequency 8×8 block (DC dropped, next coefficient in) →
+    median-threshold bits.  Robust to resize/blur/small noise; flips
+    under content change — the image analogue of SimHash."""
+    luma = img.astype(np.float64).mean(axis=2)
+    small = luma[np.linspace(0, luma.shape[0] - 1, 32).astype(int)][
+        :, np.linspace(0, luma.shape[1] - 1, 32).astype(int)]
+    d = _dct2_even(small)
+    block = d[:8, :8].ravel()[1:]          # drop DC
+    bits = block > np.median(block)
+    out = np.uint64(0)
+    for b in bits[:64]:
+        out = np.uint64(out << np.uint64(1)) | np.uint64(bool(b))
+    return out
+
+
+def hamming64(a: np.uint64, b: np.uint64) -> int:
+    return int(bin(int(a) ^ int(b)).count("1"))
+
+
+class PHasher:
+    """Actor-pool stage: image payload → (phash, 8×8-bit bands).
+    Band equality is the LSH bucket key for near-dup candidate
+    generation: two hashes within Hamming ≤ 7 of each other share at
+    least one exact 8-bit band by pigeonhole (8 bands, ≤7 differing
+    bits).  8-bit bands collide more than 16-bit ones — buckets stay
+    small because verification is a vectorized XOR+popcount."""
+
+    N_BANDS = 8
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hs, ok = [], [], []
+        bands = [[] for _ in range(self.N_BANDS)]
+        for mid, mt, p in zip(batch["media_id"].to_pylist(),
+                              batch["media_type"].to_pylist(),
+                              batch["payload"].to_pylist()):
+            try:
+                if mt != "image":
+                    raise ValueError("not image")
+                kind, img = decode_payload(p)
+                if kind != "image":
+                    raise ValueError("not image")
+                h = int(phash64(img))
+                hs.append(h)
+                for i in range(self.N_BANDS):
+                    bands[i].append((h >> (8 * i)) & 0xFF)
+                ok.append(True)
+            except Exception:
+                hs.append(0)
+                for i in range(self.N_BANDS):
+                    bands[i].append(-1)
+                ok.append(False)
+            ids.append(mid)
+        cols = {
+            "media_id": pa.array(ids, pa.int64()),
+            "phash": pa.array(hs, pa.uint64()),
+        }
+        for i in range(self.N_BANDS):
+            cols[f"band{i}"] = pa.array(bands[i], pa.int64())
+        cols["decoded"] = pa.array(ok, pa.bool_())
+        return pa.table(cols)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (no np.popcount in this numpy)."""
+    v = x.copy().view(np.uint64)
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) \
+        + ((v >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((v * np.uint64(0x0101010101010101)) >> np.uint64(56)) \
+        .astype(np.int64)
+
+
+def phash_near_dup(ds, *, max_hamming: int = 6):
+    """Image near-duplicate candidates via banded pHash LSH: each
+    decoded image emits 8 (band_idx, band_val) keys; a bucketed
+    exchange on the key co-locates exact-band matches (pigeonhole: any
+    pair within Hamming ≤ 7 of each other shares a band), and each
+    bucket verifies true Hamming vectorized (XOR + popcount).  Returns
+    (media_id, dup_of, hamming) with dup_of = the earliest matching
+    id — the image analogue of ``dedup.simhash_candidates``.  Only
+    band-key rows shuffle; payloads never leave the hash stage."""
+    import pandas as pd
+
+    from ..util import bucketed_groups
+
+    hashed = ds.map_batches(PHasher, batch_format="pyarrow",
+                            batch_size=64, concurrency=(1, 4))
+
+    def band_rows(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df = df.loc[df["decoded"]]
+        out = []
+        for i in range(PHasher.N_BANDS):
+            out.append(pd.DataFrame({
+                "band_idx": np.int64(i),
+                "band_val": df[f"band{i}"].to_numpy(dtype=np.int64),
+                "media_id": df["media_id"].to_numpy(dtype=np.int64),
+                "phash": df["phash"].to_numpy(dtype=np.uint64)}))
+        return pd.concat(out, ignore_index=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band_idx", "band_val", "media_id"])
+        j = g.merge(g, on=["band_idx", "band_val"])
+        j = j.loc[j["media_id_x"] > j["media_id_y"]]
+        if j.empty:
+            return pd.DataFrame({"media_id": pd.array([], dtype="int64"),
+                                 "dup_of": pd.array([], dtype="int64"),
+                                 "hamming": pd.array([], dtype="int64")})
+        ham = _popcount64(np.bitwise_xor(
+            j["phash_x"].to_numpy(dtype=np.uint64),
+            j["phash_y"].to_numpy(dtype=np.uint64)))
+        keep = ham <= max_hamming
+        out = pd.DataFrame({
+            "media_id": j["media_id_x"].to_numpy(dtype=np.int64)[keep],
+            "dup_of": j["media_id_y"].to_numpy(dtype=np.int64)[keep],
+            "hamming": ham[keep]})
+        # one row per (id, dup_of) inside the bucket
+        return out.drop_duplicates(["media_id", "dup_of"])
+
+    cand = bucketed_groups(hashed.map_batches(
+        band_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["band_idx", "band_val"], pairs).to_pandas()
+    if cand.empty:
+        return cand
+    # earliest dup_of per id (pairs can surface from several bands)
+    cand = cand.sort_values(["media_id", "dup_of", "hamming"]) \
+        .drop_duplicates(["media_id"], keep="first")
+    return cand.reset_index(drop=True)

@@ -3496,3 +3496,22 @@ def media_sharpness(sf_dir: str) -> pd.DataFrame:
             .map_batches(SharpnessScorer, batch_format="pyarrow",
                          batch_size=64, concurrency=(1, 4))
             .to_pandas())
+
+
+def media_phash_dedup(sf_dir: str) -> pd.DataFrame:
+    """Perceptual-hash image near-dup candidates over a corpus with
+    planted blurred twins (resize/blur survivors are THE image-dedup
+    target).  Rows-only: planted-recall and band-pigeonhole contracts
+    are pinned in tests/test_multimodal_trim.py."""
+    from ..ops.multimodal import (box_blur, decode_payload, encode_ppm,
+                                  phash_near_dup, synth_media_table)
+
+    base = synth_media_table(128, real_payloads=True).to_pandas()
+    imgs = base.loc[base["media_type"] == "image"]
+    twins = imgs.head(8).copy()
+    twins["media_id"] = twins["media_id"] + 100_000
+    twins["payload"] = [
+        encode_ppm(box_blur(decode_payload(p)[1], 1))
+        for p in twins["payload"]]
+    corpus = pd.concat([base, twins], ignore_index=True)
+    return phash_near_dup(rd.from_pandas(corpus))

@@ -260,3 +260,51 @@ def test_sharpness_orders_blurred_below_sharp(ray_session):
                          batch_size=16, concurrency=(1, 2))
             .to_pandas())
     assert (full["decoded"] == (full["laplacian_var"] > 0)).all()
+
+
+def test_phash_near_dup_planted_recall(ray_session):
+    """Blurred twins of structured images must pair with their source
+    at small Hamming distance; the pair set must contain every planted
+    twin (8-band pigeonhole at max_hamming=6)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mlp_ray.ops.multimodal import (box_blur, encode_ppm,
+                                        phash_near_dup)
+
+    rng = np.random.default_rng(11)
+    rows = []
+    y, x = np.mgrid[0:48, 0:64]
+    for i in range(12):
+        img = np.stack([(x * (i + 2)) % 256, (y * (i + 3)) % 256,
+                        ((x + y) * (i + 1)) % 256], axis=2) \
+            .astype(np.uint8)
+        img[8 + i:30 + i, 10:50] = (i * 37) % 256
+        rows.append((i, encode_ppm(img), img))
+    planted = []
+    for i, (mid, _p, img) in enumerate(rows[:5]):
+        planted.append((100_000 + mid,
+                        encode_ppm(box_blur(img, 1))))
+    tbl = pa.table({
+        "media_id": pa.array([r[0] for r in rows]
+                             + [p[0] for p in planted], pa.int64()),
+        "payload": pa.array([r[1] for r in rows]
+                            + [p[1] for p in planted], pa.binary()),
+        "media_type": pa.array(["image"] * (len(rows) + len(planted)),
+                               pa.string()),
+    })
+    out = phash_near_dup(rd.from_arrow(tbl))
+    got = dict(zip(out["media_id"], out["dup_of"]))
+    from mlp_ray.ops.multimodal import hamming64, phash64, decode_payload
+    for pid, payload in planted:
+        # every twin is flagged; its canonical is the EARLIEST image
+        # within threshold (may precede the true source when two
+        # originals are themselves similar — same contract as simhash)
+        assert pid in got, (pid, got)
+        assert got[pid] <= pid - 100_000
+        src_img = rows[pid - 100_000][2]
+        twin_img = decode_payload(payload)[1]
+        assert hamming64(phash64(src_img), phash64(twin_img)) <= 6
+    assert (out["hamming"] <= 6).all()
