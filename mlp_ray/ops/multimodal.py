@@ -635,7 +635,11 @@ def phash_near_dup(ds, *, max_hamming: int = 6):
         band_rows, batch_format="pyarrow", zero_copy_batch=True),
         ["band_idx", "band_val"], pairs).to_pandas()
     if cand.empty:
-        return cand
+        # all-unique corpus: Ray returns a schema-less empty frame —
+        # restore the contract columns
+        return pd.DataFrame({"media_id": pd.array([], dtype="int64"),
+                             "dup_of": pd.array([], dtype="int64"),
+                             "hamming": pd.array([], dtype="int64")})
     # earliest dup_of per id (pairs can surface from several bands)
     cand = cand.sort_values(["media_id", "dup_of", "hamming"]) \
         .drop_duplicates(["media_id"], keep="first")

@@ -3499,19 +3499,26 @@ def media_sharpness(sf_dir: str) -> pd.DataFrame:
 
 
 def media_phash_dedup(sf_dir: str) -> pd.DataFrame:
-    """Perceptual-hash image near-dup candidates over a corpus with
-    planted blurred twins (resize/blur survivors are THE image-dedup
-    target).  Rows-only: planted-recall and band-pigeonhole contracts
-    are pinned in tests/test_multimodal_trim.py."""
-    from ..ops.multimodal import (box_blur, decode_payload, encode_ppm,
-                                  phash_near_dup, synth_media_table)
+    """Perceptual-hash image near-dup candidates over a deterministic
+    STRUCTURED image corpus with planted blurred twins (resize/blur
+    survivors are THE image-dedup target; pure-noise images are the
+    documented pathological case for pHash — no low-frequency content
+    to preserve).  Rows-only: planted-recall and band-pigeonhole
+    contracts are pinned in tests/test_multimodal_trim.py."""
+    from ..ops.multimodal import box_blur, encode_ppm, phash_near_dup
 
-    base = synth_media_table(128, real_payloads=True).to_pandas()
-    imgs = base.loc[base["media_type"] == "image"]
-    twins = imgs.head(8).copy()
-    twins["media_id"] = twins["media_id"] + 100_000
-    twins["payload"] = [
-        encode_ppm(box_blur(decode_payload(p)[1], 1))
-        for p in twins["payload"]]
-    corpus = pd.concat([base, twins], ignore_index=True)
+    y, x = np.mgrid[0:48, 0:64]
+    ids, payloads, imgs = [], [], []
+    for i in range(32):
+        img = np.stack([(x * (i + 2)) % 256, (y * (i + 3)) % 256,
+                        ((x + y) * (i + 1)) % 256], axis=2)             .astype(np.uint8)
+        img[(8 + i) % 20:(30 + i) % 40 + 8, 10:50] = (i * 37) % 256
+        ids.append(i)
+        payloads.append(encode_ppm(img))
+        imgs.append(img)
+    for i in range(8):
+        ids.append(100_000 + i)
+        payloads.append(encode_ppm(box_blur(imgs[i], 1)))
+    corpus = pd.DataFrame({"media_id": ids, "payload": payloads,
+                           "media_type": "image"})
     return phash_near_dup(rd.from_pandas(corpus))
