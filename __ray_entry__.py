@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_spectrogram": Q.media_spectrogram,        # numpy STFT bands
         "media_sharpness": Q.media_sharpness,            # blur gate
         "media_phash_dedup": Q.media_phash_dedup,        # pHash LSH
+        "doc_word_topk_cms": Q.doc_word_topk_cms,        # CMS hitters
         # trim tool
         "events_trim_props": Q.events_trim_props,        # rows-only
         "flagship_pack_greedy": Q.flagship_pack_greedy,  # rows-only

@@ -104,3 +104,101 @@ def hll_distinct(ds: rd.Dataset, *, key: str, value: str,
 
     out = bucketed_groups(part, [key], merge).to_pandas()
     return out.sort_values(key).reset_index(drop=True)
+
+
+# --- Count-Min sketch: bounded-memory heavy hitters ---------------------
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): ``depth``
+    rows × ``width`` counters; add/query hash each key with ``depth``
+    independent SplitMix64 streams.  Estimates are one-sided
+    (est ≥ true) with err ≤ e·N/width at confidence 1−(1/e)^depth;
+    merge is an elementwise sum, so per-block partials compose exactly
+    like the fold's — the bounded-memory stand-in for the exact
+    gram-bucketed heavy-hitter exchange when the distinct-gram space
+    outgrows it."""
+
+    def __init__(self, width: int = 16384, depth: int = 4):
+        self.width = int(width)
+        self.depth = int(depth)
+        self.table = np.zeros((self.depth, self.width), dtype=np.int64)
+
+    def _cols(self, keys: np.ndarray) -> np.ndarray:
+        """(depth × n) counter columns for uint64 ``keys``."""
+        out = np.empty((self.depth, len(keys)), dtype=np.int64)
+        k = keys.astype(np.uint64)
+        for d in range(self.depth):
+            with np.errstate(over="ignore"):
+                h = _splitmix64(k + np.uint64(0xD6E8FEB86659FD93) *
+                                np.uint64(d + 1))
+            out[d] = (h % np.uint64(self.width)).astype(np.int64)
+        return out
+
+    def add(self, keys: np.ndarray, counts: np.ndarray | None = None):
+        counts = (np.ones(len(keys), dtype=np.int64) if counts is None
+                  else counts.astype(np.int64))
+        cols = self._cols(keys)
+        for d in range(self.depth):
+            np.add.at(self.table[d], cols[d], counts)
+
+    def query(self, keys: np.ndarray) -> np.ndarray:
+        cols = self._cols(keys)
+        est = self.table[0][cols[0]]
+        for d in range(1, self.depth):
+            est = np.minimum(est, self.table[d][cols[d]])
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        self.table += other.table
+        return self
+
+
+def cms_heavy_hitters(ds: rd.Dataset, key_fn, *, k: int = 30,
+                      width: int = 16384, depth: int = 4,
+                      cand_per_block: int = 200) -> pd.DataFrame:
+    """Approximate top-k heavy hitters under BOUNDED memory: each block
+    reduces to (a) one Count-Min table (depth×width ints — constant,
+    independent of the block's distinct-key count) and (b) its local
+    top-``cand_per_block`` candidate keys.  The driver sums the tables
+    (CMS merge is exact) and ranks the candidate union by CMS estimate.
+
+    ``key_fn(batch) -> (labels, hashes, counts)`` maps a pyarrow batch
+    to string labels + uint64 key hashes + int64 counts.  A true
+    global heavy hitter is necessarily a local heavy hitter in some
+    block, so the candidate union covers the real top-k for skewed
+    distributions; counts are CMS estimates (≥ true).  The exact
+    sibling is ``text.ngram_heavy_hitters``."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        labels, hashes, counts = key_fn(batch)
+        cms = CountMinSketch(width, depth)
+        cms.add(hashes, counts)
+        df = pd.DataFrame({"label": labels, "h": hashes, "n": counts})
+        top = (df.groupby(["label", "h"], sort=False)["n"].sum()
+               .nlargest(cand_per_block).reset_index())
+        return pd.DataFrame({
+            "kind": ["cms"] + ["cand"] * len(top),
+            "label": [""] + top["label"].tolist(),
+            "h": np.concatenate([[np.uint64(0)],
+                                 top["h"].to_numpy(np.uint64)]),
+            "payload": [cms.table.tobytes()] + [b""] * len(top)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    total = CountMinSketch(width, depth)
+    for buf in parts.loc[parts["kind"] == "cms", "payload"]:
+        other = CountMinSketch(width, depth)
+        other.table = np.frombuffer(buf, dtype=np.int64) \
+            .reshape(depth, width).copy()
+        total.merge(other)
+    cand = (parts.loc[parts["kind"] == "cand", ["label", "h"]]
+            .drop_duplicates())
+    est = total.query(cand["h"].to_numpy(np.uint64))
+    out = pd.DataFrame({"gram": cand["label"].to_numpy(),
+                        "est_count": est.astype("int64")})
+    out = (out.sort_values(["est_count", "gram"],
+                           ascending=[False, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
+    out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out

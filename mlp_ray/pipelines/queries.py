@@ -3522,3 +3522,27 @@ def media_phash_dedup(sf_dir: str) -> pd.DataFrame:
     corpus = pd.DataFrame({"media_id": ids, "payload": payloads,
                            "media_type": "image"})
     return phash_near_dup(rd.from_pandas(corpus))
+
+
+def doc_word_topk_cms(sf_dir: str, k: int = 30) -> pd.DataFrame:
+    """Bounded-memory word heavy hitters via Count-Min sketch: every
+    block ships one constant-size (depth×width) table + a local
+    candidate list, never its distinct-word set — the scale path when
+    the vocabulary outgrows the exact gram-bucketed exchange
+    (``doc_ngram_topk`` is the exact oracle-attested sibling).
+    Estimates are one-sided (≥ true); rows-only, with the error-bound
+    and exact-top-k-recovery contracts pinned in tests/test_ops.py."""
+    from ..ops.sketch import cms_heavy_hitters
+
+    def key_fn(batch: pa.Table):
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(pc.fill_null(batch["text"], "")))
+        flat = pc.list_flatten(toks).to_pandas()
+        flat = flat[flat != ""]
+        labels = flat.to_numpy(dtype=object)
+        hashes = pd.util.hash_pandas_object(flat, index=False) \
+            .to_numpy(dtype=np.uint64)
+        counts = np.ones(len(flat), dtype=np.int64)
+        return labels, hashes, counts
+
+    return cms_heavy_hitters(_docs(sf_dir, ["text"]), key_fn, k=k)

@@ -803,3 +803,59 @@ def test_distributed_quantiles_stress(ray_session):
     const = rd.from_pandas(pd.DataFrame({"value": np.full(100, 5.0)}))
     got_c = distributed_quantiles(const, "value", [0.5], bins=4, leaf=8)
     assert got_c[0.5] == 5.0
+
+
+def test_count_min_sketch_contracts():
+    """One-sided error (est >= true, always), the e·N/width bound at
+    the paper's confidence, and exact merge composition."""
+    import numpy as np
+
+    from mlp_ray.ops.sketch import CountMinSketch
+
+    rng = np.random.default_rng(13)
+    keys = rng.integers(0, 5000, 200_000).astype(np.uint64)
+    true = {}
+    for kk in keys:
+        true[int(kk)] = true.get(int(kk), 0) + 1
+    cms = CountMinSketch(width=16384, depth=4)
+    cms.add(keys)
+    uniq = np.array(sorted(true), dtype=np.uint64)
+    est = cms.query(uniq)
+    tr = np.array([true[int(u)] for u in uniq])
+    assert (est >= tr).all()                      # one-sided, always
+    bound = np.e * len(keys) / 16384
+    assert float(np.mean(est - tr <= bound)) > 0.99
+
+    a, b = CountMinSketch(16384, 4), CountMinSketch(16384, 4)
+    a.add(keys[:100_000]); b.add(keys[100_000:])
+    assert (a.merge(b).table == cms.table).all()
+
+
+def test_cms_heavy_hitters_recovers_exact_topk(ray_session, tmp_path):
+    """On a skewed corpus the CMS top-k label set equals the exact
+    top-k, and every estimate is >= the true count."""
+    import collections
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mlp_ray.pipelines.queries import doc_word_topk_cms
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    weights = 1.0 / np.arange(1, len(vocab) + 1) ** 1.3   # zipf-ish
+    weights /= weights.sum()
+    texts = [" ".join(rng.choice(vocab, 60, p=weights))
+             for _ in range(400)]
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        preserve_index=False), tmp_path / "documents.parquet")
+    got = doc_word_topk_cms(str(tmp_path), k=10)
+    true = collections.Counter(w for t in texts for w in t.split())
+    exact_top = [w for w, _ in sorted(true.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[:10]]
+    assert set(got["gram"]) == set(exact_top)
+    for _, r in got.iterrows():
+        assert r["est_count"] >= true[r["gram"]]
