@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_sharpness": Q.media_sharpness,            # blur gate
         "media_phash_dedup": Q.media_phash_dedup,        # pHash LSH
         "doc_word_topk_cms": Q.doc_word_topk_cms,        # CMS hitters
+        "events_seasonal_decompose":
+            Q.events_seasonal_decompose,                 # trend/season/resid
         # trim tool
         "events_trim_props": Q.events_trim_props,        # rows-only
         "flagship_pack_greedy": Q.flagship_pack_greedy,  # rows-only
@@ -1513,6 +1515,23 @@ def oracle_sql() -> dict[str, str]:
                    round(skewness(value), 6) AS skew,
                    round(kurtosis(value), 6) AS kurt
             FROM events GROUP BY event_type
+        """,
+        "events_seasonal_decompose": """
+            WITH d AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1),
+            t AS (
+                SELECT day, n,
+                       avg(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                                    AND 3 FOLLOWING) AS trend
+                FROM d),
+            s AS (SELECT *, n - trend AS det, isodow(day) AS dow FROM t),
+            m AS (SELECT dow, avg(det) AS seasonal FROM s GROUP BY 1)
+            SELECT s.day, s.n, round(s.trend, 6) AS trend,
+                   round(m.seasonal, 6) AS seasonal,
+                   round(s.det - m.seasonal, 6) AS residual
+            FROM s JOIN m ON m.dow = s.dow
         """,
         "events_ab_welch": """
             WITH g AS (

@@ -3546,3 +3546,36 @@ def doc_word_topk_cms(sf_dir: str, k: int = 30) -> pd.DataFrame:
         return labels, hashes, counts
 
     return cms_heavy_hitters(_docs(sf_dir, ["text"]), key_fn, k=k)
+
+
+def events_seasonal_decompose(sf_dir: str) -> pd.DataFrame:
+    """Classical seasonal decomposition of the daily event-count
+    series: centered 7-row moving-average trend → day-of-week seasonal
+    means over the detrended series → residual.  The only distributed
+    work is the bounded daily rollup (one partial row per (block,
+    day)); the decomposition itself is driver arithmetic on the
+    day-cardinality series, mirrored row-for-row by the oracle's
+    window frame (ROWS 3 PRECEDING..3 FOLLOWING over day order)."""
+    ds = _events(sf_dir, ["ts"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.assign(day=df["ts"].dt.floor("D"))
+               .groupby("day", sort=False).size().rename("n")
+               .reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    d = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["day"], ["n"], merge="driver").sort_values("day") \
+        .reset_index(drop=True)
+    d["n"] = d["n"].astype("int64")
+    d["trend"] = d["n"].rolling(7, center=True, min_periods=1).mean()
+    det = d["n"] - d["trend"]
+    dow = d["day"].dt.dayofweek + 1
+    seasonal = det.groupby(dow).transform("mean")
+    d["seasonal"] = seasonal
+    d["residual"] = det - seasonal
+    d["day"] = pd.to_datetime(d["day"]).astype("datetime64[us]")
+    return round_cols(d[["day", "n", "trend", "seasonal", "residual"]],
+                      ["trend", "seasonal", "residual"])
