@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_word_topk_cms": Q.doc_word_topk_cms,        # CMS hitters
         "events_seasonal_decompose":
             Q.events_seasonal_decompose,                 # trend/season/resid
+        "doc_lang_logreg": Q.doc_lang_logreg,            # IRLS training
         # trim tool
         "events_trim_props": Q.events_trim_props,        # rows-only
         "flagship_pack_greedy": Q.flagship_pack_greedy,  # rows-only

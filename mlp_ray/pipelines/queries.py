@@ -3579,3 +3579,38 @@ def events_seasonal_decompose(sf_dir: str) -> pd.DataFrame:
     d["day"] = pd.to_datetime(d["day"]).astype("datetime64[us]")
     return round_cols(d[["day", "n", "trend", "seasonal", "residual"]],
                       ["trend", "seasonal", "residual"])
+
+
+def doc_lang_logreg(sf_dir: str) -> pd.DataFrame:
+    """Distributed IRLS logistic regression (ops/learn.logreg_train):
+    predict ``lang == 'en'`` from the corpus's own text statistics.
+    Each Newton pass ships one (grad, Hessian, loss) sufficient-stat
+    row per block — O(blocks · d²) exchange, ≤ ~8 corpus passes to
+    quadratic convergence.  Rows-only: the planted-separator recovery
+    and partition-invariance contracts are pinned in tests/test_ops.py.
+    Returns the fitted standardized weights + bias + training accuracy."""
+    from ..ops import text
+    from ..ops.learn import logreg_train
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def features(t: pa.Table) -> pa.Table:
+        stats = text.token_stats_batch(t)
+        return pa.table({
+            "n_ws_tokens": pc.cast(stats["n_ws_tokens"], pa.float64()),
+            "avg_tok_len": stats["avg_tok_len"],
+            "stopword_ratio": stats["stopword_ratio"],
+            "y": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
+        })
+
+    feats = ds.map_batches(features, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    fit = logreg_train(feats, ["n_ws_tokens", "avg_tok_len",
+                               "stopword_ratio"], "y")
+    out = pd.DataFrame({
+        "term": ["n_ws_tokens", "avg_tok_len", "stopword_ratio", "bias"],
+        "weight": [*fit["weights"], fit["bias"]],
+        "accuracy": fit["accuracy"],
+        "n": np.int64(fit["n"]),
+        "iters": np.int64(fit["iters"])})
+    return round_cols(out, ["weight", "accuracy"])

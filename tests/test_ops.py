@@ -859,3 +859,32 @@ def test_cms_heavy_hitters_recovers_exact_topk(ray_session, tmp_path):
     assert set(got["gram"]) == set(exact_top)
     for _, r in got.iterrows():
         assert r["est_count"] >= true[r["gram"]]
+
+
+def test_logreg_recovers_planted_separator(ray_session):
+    """IRLS logistic regression on a planted noisy linear concept:
+    > 90% accuracy, weight DIRECTION within 10 degrees of the true
+    separator, and partition-invariant to 1e-6."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from mlp_ray.ops.learn import logreg_train
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    X = rng.normal(0, 1, (n, 3))
+    true_w = np.array([2.0, -1.0, 0.0])
+    y = ((X @ true_w + rng.normal(0, 0.5, n)) > 0).astype(np.int64)
+    df = pd.DataFrame({"f0": X[:, 0], "f1": X[:, 1], "f2": X[:, 2],
+                       "y": y})
+    fit = logreg_train(rd.from_pandas(df).repartition(6),
+                       ["f0", "f1", "f2"], "y")
+    assert fit["accuracy"] > 0.9
+    w = fit["weights"]
+    cos = (w @ true_w) / (np.linalg.norm(w) * np.linalg.norm(true_w))
+    assert cos > 0.985  # within ~10 degrees
+    fit2 = logreg_train(rd.from_pandas(df).repartition(13),
+                        ["f0", "f1", "f2"], "y")
+    assert np.allclose(fit["weights"], fit2["weights"], atol=1e-6)
+    assert abs(fit["bias"] - fit2["bias"]) < 1e-6
