@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonal_decompose":
             Q.events_seasonal_decompose,                 # trend/season/resid
         "doc_lang_logreg": Q.doc_lang_logreg,            # IRLS training
+        "emb_semantic_dedup": Q.emb_semantic_dedup,      # SemDeDup
         # trim tool
         "events_trim_props": Q.events_trim_props,        # rows-only
         "flagship_pack_greedy": Q.flagship_pack_greedy,  # rows-only

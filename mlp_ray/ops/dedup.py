@@ -953,3 +953,70 @@ def exact_cosine_pairs(ds: rd.Dataset, *, threshold: float = 0.4,
 
     return (ds.select_columns(["vec_id"])
             .map_batches(compare, batch_format="pyarrow"))
+
+
+def semantic_dedup(emb_ds, *, n_clusters: int = 16,
+                   cos_threshold: float = 0.95,
+                   id_col: str = "vec_id") -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023)-style cluster-partitioned semantic
+    dedup: k-means partitions the embedding space (the existing
+    deterministic ``ann.train_centroids``), every vector routes to its
+    nearest centroid, and duplicate candidates are resolved by exact
+    pairwise cosine WITHIN each cluster — one cluster-bucketed
+    exchange whose per-bucket work is |cluster|², never |corpus|².
+    Returns (vec_id, dup_of, cos) with dup_of = the earliest in-cluster
+    vector above threshold.  Near-pairs straddling a cluster boundary
+    are the method's documented recall loss (the LSH sibling
+    ``embedding_near_dup`` covers them)."""
+    import ray
+
+    from ..ops.ann import _normalize, _stack, train_centroids
+    from ..util import bucketed_groups
+
+    cent = train_centroids(emb_ds, n_clusters)
+    c_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        c = ray.get(c_ref)
+        x = _normalize(_stack(t.combine_chunks()["embedding"]))
+        a = (x @ c.T).argmax(axis=1)
+        return pd.DataFrame({
+            "cluster": a.astype(np.int64),
+            id_col: t[id_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "v": [row.astype(np.float32).tobytes() for row in x]})
+
+    def in_cluster_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("cluster", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(id_col, kind="mergesort")
+            ids = grp[id_col].to_numpy()
+            X = np.stack([np.frombuffer(b, dtype=np.float32)
+                          for b in grp["v"]]).astype(np.float64)
+            sims = X @ X.T
+            ii, jj = np.nonzero(np.triu(sims >= cos_threshold, k=1))
+            if len(ii) == 0:
+                continue
+            d = pd.DataFrame({id_col: ids[jj], "dup_of": ids[ii],
+                              "cos": sims[ii, jj]})
+            # earliest dup_of per id inside the cluster
+            d = (d.sort_values([id_col, "dup_of"], kind="mergesort")
+                 .drop_duplicates([id_col], keep="first"))
+            out.append(d)
+        if not out:
+            return pd.DataFrame({id_col: pd.array([], dtype="int64"),
+                                 "dup_of": pd.array([], dtype="int64"),
+                                 "cos": pd.array([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    cand = bucketed_groups(
+        emb_ds.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["cluster"], in_cluster_pairs).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({id_col: pd.array([], dtype="int64"),
+                             "dup_of": pd.array([], dtype="int64"),
+                             "cos": pd.array([], dtype="float64")})
+    return cand.sort_values(id_col).reset_index(drop=True)

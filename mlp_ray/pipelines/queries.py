@@ -3614,3 +3614,15 @@ def doc_lang_logreg(sf_dir: str) -> pd.DataFrame:
         "n": np.int64(fit["n"]),
         "iters": np.int64(fit["iters"])})
     return round_cols(out, ["weight", "accuracy"])
+
+
+def emb_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style cluster-partitioned semantic dedup over the
+    embeddings table (ops/dedup.semantic_dedup).  Rows-only: exact
+    same-cluster duplicates are guaranteed (identical vectors share a
+    centroid), pinned by the planted-dup test in tests/test_ops.py;
+    the exact-pair sibling ``emb_cosine_pairs`` carries the oracle."""
+    from ..ops.dedup import semantic_dedup
+    return semantic_dedup(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]))

@@ -888,3 +888,26 @@ def test_logreg_recovers_planted_separator(ray_session):
                         ["f0", "f1", "f2"], "y")
     assert np.allclose(fit["weights"], fit2["weights"], atol=1e-6)
     assert abs(fit["bias"] - fit2["bias"]) < 1e-6
+
+
+def test_semantic_dedup_planted(ray_session, emb_df):
+    """Exact copies of existing vectors land in the same cluster by
+    construction and must pair with their source (or an identical
+    earlier vector) at cos ~= 1."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from mlp_ray.ops.dedup import semantic_dedup
+
+    dup = emb_df.head(6).copy()
+    dup["vec_id"] = dup["vec_id"] + 100_000
+    corpus = pd.concat([emb_df, dup], ignore_index=True)[
+        ["vec_id", "embedding"]]
+    out = semantic_dedup(rd.from_pandas(corpus), cos_threshold=0.999)
+    got = dict(zip(out["vec_id"], out["dup_of"]))
+    for i in range(6):
+        assert 100_000 + i in got
+        assert got[100_000 + i] <= i
+        cos = out.loc[out["vec_id"] == 100_000 + i, "cos"].iloc[0]
+        assert cos > 0.999
