@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Q.events_seasonal_decompose,                 # trend/season/resid
         "doc_lang_logreg": Q.doc_lang_logreg,            # IRLS training
         "emb_semantic_dedup": Q.emb_semantic_dedup,      # SemDeDup
+        "orders_monthly_growth":
+            Q.orders_monthly_growth,                     # MoM lag ratio
+        "doc_vocab_growth": Q.doc_vocab_growth,          # Heaps curve
         # trim tool
         "events_trim_props": Q.events_trim_props,        # rows-only
         "flagship_pack_greedy": Q.flagship_pack_greedy,  # rows-only
@@ -1517,6 +1520,34 @@ def oracle_sql() -> dict[str, str]:
                    round(skewness(value), 6) AS skew,
                    round(kurtosis(value), 6) AS kurt
             FROM events GROUP BY event_type
+        """,
+        "orders_monthly_growth": """
+            WITH m AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                           AS month,
+                       count(*) AS n,
+                       round(sum(o_totalprice), 2) AS revenue
+                FROM orders GROUP BY 1)
+            SELECT month, n, revenue,
+                   round((revenue - lag(revenue) OVER (ORDER BY month))
+                         / lag(revenue) OVER (ORDER BY month), 6) AS growth
+            FROM m
+        """,
+        "doc_vocab_growth": r"""
+            WITH f AS (
+                SELECT tok, min(doc_id) AS first_doc
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text),
+                                                          '\s+')) AS tok
+                      FROM documents WHERE length(trim(text)) > 0)
+                GROUP BY 1),
+            n AS (SELECT count(*) AS c FROM documents),
+            s AS (SELECT DISTINCT greatest(1, (c * p) // 100) AS n_docs
+                  FROM n, UNNEST([20, 40, 60, 80, 100]) AS t(p))
+            SELECT s.n_docs,
+                   (SELECT count(*) FROM f
+                    WHERE f.first_doc < s.n_docs) AS vocab
+            FROM s
         """,
         "events_seasonal_decompose": """
             WITH d AS (

@@ -3626,3 +3626,79 @@ def emb_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     return semantic_dedup(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"]))
+
+
+def orders_monthly_growth(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month revenue growth: bounded (month, n, revenue)
+    rollup through the driver merge, then the LAG ratio is pure driver
+    arithmetic on the month-cardinality series (cents-rounded revenue
+    on both sides before the ratio so float association can't move a
+    hundredth into the growth figure)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.assign(month=df["o_orderdate"].dt.to_period("M")
+                         .dt.to_timestamp())
+               .groupby("month", sort=False)["o_totalprice"]
+               .agg(n="size", revenue="sum").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    from ..util import round_half_away
+
+    d = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["month"], ["n", "revenue"], merge="driver") \
+        .sort_values("month").reset_index(drop=True)
+    d["n"] = d["n"].astype("int64")
+    d["revenue"] = round_half_away(d["revenue"].to_numpy(), 2)
+    prev = d["revenue"].shift()
+    d["growth"] = (d["revenue"] - prev) / prev
+    d["month"] = pd.to_datetime(d["month"]).astype("datetime64[us]")
+    return round_cols(d[["month", "n", "revenue", "growth"]], ["growth"])
+
+
+def doc_vocab_growth(sf_dir: str) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-token count of the
+    corpus prefix after 20/40/60/80/100% of docs (by doc_id order).
+    One token-bucketed exchange carries (token, min doc_id) — each
+    bucket owns whole tokens, so per-bucket first-appearance rows are
+    disjoint and the driver's threshold histogram is exact; the corpus
+    never shuffles twice."""
+    from ..util import bucketed_groups
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = int(pq.ParquetFile(f"{sf_dir}/documents.parquet")
+                 .metadata.num_rows)
+    steps = [max(1, (n_docs * p) // 100) for p in (20, 40, 60, 80, 100)]
+
+    def tok_rows(t: pa.Table) -> pd.DataFrame:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")))
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False)
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64), counts)
+        flat = pc.list_flatten(toks).to_pandas()
+        keep = flat != ""
+        df = pd.DataFrame({"token": flat[keep],
+                           "first_doc": ids[keep.to_numpy()]})
+        return (df.groupby("token", sort=False)["first_doc"].min()
+                .reset_index())
+
+    def first_seen(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("token", sort=False)["first_doc"].min()
+                .reset_index())
+
+    firsts = bucketed_groups(
+        ds.map_batches(tok_rows, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["token"], first_seen).to_pandas()
+    rows = [{"n_docs": int(s),
+             "vocab": int((firsts["first_doc"] < s).sum())}
+            for s in steps]
+    out = pd.DataFrame(rows).drop_duplicates("n_docs")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["vocab"] = out["vocab"].astype("int64")
+    return out.reset_index(drop=True)
