@@ -87,14 +87,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": Q.events_funnel,                # asof attribution
         "doc_budget_sample": Q.doc_budget_sample,        # token-budget mix
         "orders_discounted_semi": Q.orders_discounted_semi,  # semi join
-        "nation_revenue": Q.nation_revenue,              # Q5-shape multi-join
-        "parts_brand_revenue": Q.parts_brand_revenue,    # dim-broadcast join
-        "events_user_gaps": Q.events_user_gaps,          # LAG window gaps
-        "events_hourly_top_type": Q.events_hourly_top_type,  # argmax/hour
-        "events_value_quartiles": Q.events_value_quartiles,  # p25/50/75 fold
-        "parts_small_qty_revenue": Q.parts_small_qty_revenue,  # Q17 shape
-        "emb_label_centroid": Q.emb_label_centroid,      # vector aggregate
-        "events_user_ntile": Q.events_user_ntile,        # global NTILE(4)
+        # -- round-3e stars promoted into the driver's first-50 battery
+        #    window (the eight they displace were driver-green in
+        #    r01/r02 and stay oracle-checked in-repo; they now sit
+        #    where these used to)
+        "doc_segment_dedup": Q.doc_segment_dedup,        # substring dedup
+        "events_value_quantile_select":
+            Q.events_value_quantile_select,              # exact k-select
+        "emb_covariance": Q.emb_covariance,              # d×d Gram pass
+        "doc_split_safe": Q.doc_split_safe,              # canonical-gated
+        "source_gram_overlap": Q.source_gram_overlap,    # pair contamination
+        "events_value_skew": Q.events_value_skew,        # G1/G2 moments
+        "nations_volume_shipping":
+            Q.nations_volume_shipping,                   # Q7 trade volume
+        "events_user_rfm": Q.events_user_rfm,            # ntile segments
         # ---- position 51+ (driver-green in r01/r02 and/or attested by
         # the in-repo oracle suite every session) -----------------------
         "events_user_sessions": Q.events_user_sessions,  # J1 map_groups join
@@ -190,20 +196,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": Q.doc_normalize,                # NFC/case/space
         "doc_decontaminate_bloom":
             Q.doc_decontaminate_bloom,                   # rows-only (fp≥0)
-        # -- round-3e: segment dedup + Q7/Q8/Q10 shapes ------------------
-        "doc_segment_dedup": Q.doc_segment_dedup,        # substring dedup
-        "nations_volume_shipping":
-            Q.nations_volume_shipping,                   # Q7 trade volume
+        # -- round-3e remainder + the eight demoted from the battery
+        #    window (driver-green r01/r02, still oracle-checked in-repo)
+        "nation_revenue": Q.nation_revenue,              # Q5-shape multi-join
+        "parts_brand_revenue": Q.parts_brand_revenue,    # dim-broadcast join
+        "events_user_gaps": Q.events_user_gaps,          # LAG window gaps
+        "events_hourly_top_type": Q.events_hourly_top_type,  # argmax/hour
+        "events_value_quartiles": Q.events_value_quartiles,  # p25/50/75 fold
+        "parts_small_qty_revenue": Q.parts_small_qty_revenue,  # Q17 shape
+        "emb_label_centroid": Q.emb_label_centroid,      # vector aggregate
+        "events_user_ntile": Q.events_user_ntile,        # global NTILE(4)
         "nation_market_share": Q.nation_market_share,    # Q8 share ratio
         "customers_returned_top":
             Q.customers_returned_top,                    # Q10 returns topk
-        "events_value_skew": Q.events_value_skew,        # G1/G2 moments
-        "emb_covariance": Q.emb_covariance,              # d×d Gram pass
         "emb_pca": Q.emb_pca,                            # rows-only (eigh)
-        "doc_split_safe": Q.doc_split_safe,              # canonical-gated
-        "events_value_quantile_select":
-            Q.events_value_quantile_select,              # exact k-select
-        "source_gram_overlap": Q.source_gram_overlap,    # pair contamination
         "events_anomaly_zscore":
             Q.events_anomaly_zscore,                     # 2-pass outliers
         "events_transitions": Q.events_transitions,      # Markov counts
