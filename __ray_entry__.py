@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_activity_heatmap":
             Q.events_activity_heatmap,                   # dow×hour cells
         "events_ab_welch": Q.events_ab_welch,            # pairwise t-test
+        "rawlog_error_rate": Q.rawlog_error_rate,        # raw-path audit
     }
 
 

@@ -310,6 +310,23 @@ GROUP BY ALL
 # the Ray path's parse_status accounting.
 from .sources.rawlog import RAWLOG_FIXTURE_DIR as _RAWLOG_FIXTURE  # noqa: E402
 
+# per-component error audit: component and the error predicate both
+# re-derived from the raw JSON independently of the engine's parser
+_RAWLOG_ERROR_RATE_SQL = f"""
+WITH j AS (
+  SELECT * FROM read_json('{_RAWLOG_FIXTURE}/*.log.gz',
+                          format='newline_delimited',
+                          ignore_errors=true, union_by_name=true))
+SELECT j.c AS component, count(*) AS n,
+       CAST(sum(CASE WHEN (j.attr."ok" = 0
+                           OR j.attr."error" IS NOT NULL)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS error_events,
+       round(sum(CASE WHEN (j.attr."ok" = 0
+                            OR j.attr."error" IS NOT NULL)
+                 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS error_rate
+FROM j WHERE j.c IS NOT NULL GROUP BY 1
+"""
+
 _RAWLOG_MAIN_OPS_SQL = f"""
 WITH j AS (
   SELECT * FROM read_json('{_RAWLOG_FIXTURE}/*.log.gz',
@@ -500,6 +517,7 @@ FROM t GROUP BY 1 ORDER BY 1
 FLAGSHIP_SQL: dict[str, str] = {
     "flagship_pack_materialize": _PACK_MATERIALIZE_SQL,
     "rawlog_main_ops": _RAWLOG_MAIN_OPS_SQL,
+    "rawlog_error_rate": _RAWLOG_ERROR_RATE_SQL,
     "flagship_token_freq": _TOKEN_FREQ_SQL,
     "flagship_token_bigrams": _TOKEN_BIGRAMS_SQL,
     "flagship_seq_lengths": _SEQ_LENGTHS_SQL,

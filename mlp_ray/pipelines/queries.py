@@ -3702,3 +3702,38 @@ def doc_vocab_growth(sf_dir: str) -> pd.DataFrame:
     out["n_docs"] = out["n_docs"].astype("int64")
     out["vocab"] = out["vocab"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def rawlog_error_rate(sf_dir: str) -> pd.DataFrame:
+    """Per-component error audit straight off the raw gzipped-JSONL
+    path: parse (vectorized envelope regex + targeted json.loads) →
+    bounded (component, n, error_events) partials → driver merge.
+    The oracle re-derives both the component and the error predicate
+    (ok = 0 OR error present) independently via DuckDB read_json over
+    the same gz fixture."""
+    from ..sources import rawlog
+
+    paths = rawlog.ensure_rawlog_fixture()
+    parsed = rawlog.read_raw_logs(paths).map_batches(
+        rawlog.parse_batch, batch_format="pyarrow")
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["component"].notna()]
+        err = d["is_error"].fillna(False).astype(bool)
+        out = (pd.DataFrame({"component": d["component"],
+                             "e": err.astype("int64")})
+               .groupby("component", sort=False)["e"]
+               .agg(n="size", error_events="sum").reset_index())
+        out["n"] = out["n"].astype("int64")
+        out["error_events"] = out["error_events"].astype("int64")
+        return out
+
+    out = merge_partials(
+        parsed.map_batches(arrow_partials(partials),
+                           batch_format="pandas"),
+        ["component"], ["n", "error_events"], merge="driver")
+    out["n"] = out["n"].astype("int64")
+    out["error_events"] = out["error_events"].astype("int64")
+    out["error_rate"] = out["error_events"] / out["n"]
+    return round_cols(out.sort_values("component").reset_index(drop=True),
+                      ["error_rate"])
