@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Q.events_activity_heatmap,                   # dow×hour cells
         "events_ab_welch": Q.events_ab_welch,            # pairwise t-test
         "rawlog_error_rate": Q.rawlog_error_rate,        # raw-path audit
+        "doc_compression_ratio":
+            Q.doc_compression_ratio,                     # zlib junk signal
     }
 
 

@@ -3737,3 +3737,37 @@ def rawlog_error_rate(sf_dir: str) -> pd.DataFrame:
     out["error_rate"] = out["error_events"] / out["n"]
     return round_cols(out.sort_values("component").reset_index(drop=True),
                       ["error_rate"])
+
+
+def doc_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """Compression-ratio quality signal (CCNet/Gopher-style): the zlib
+    deflate ratio of each doc's UTF-8 bytes — repetitive/boilerplate
+    text compresses far below prose, making this a one-number junk
+    detector.  Pure per-row map (zlib is C-speed); no exchange at all.
+    Rows-only: the repetitive-vs-diverse ordering contract is pinned
+    in tests/test_ops.py."""
+    import zlib
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def ratio(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        texts = t["text"].to_pylist()
+        n_bytes, n_comp = [], []
+        for s in texts:
+            b = (s or "").encode("utf-8")
+            n_bytes.append(len(b))
+            n_comp.append(len(zlib.compress(b, 6)))
+        nb = np.asarray(n_bytes, dtype=np.int64)
+        nc = np.asarray(n_comp, dtype=np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bytes": pa.array(nb),
+            "n_compressed": pa.array(nc),
+            "ratio": pa.array(np.where(nb > 0, nc / np.maximum(nb, 1),
+                                       1.0))})
+
+    out = ds.map_batches(ratio, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    return round_cols(out.sort_values("doc_id").reset_index(drop=True),
+                      ["ratio"])

@@ -911,3 +911,25 @@ def test_semantic_dedup_planted(ray_session, emb_df):
         assert got[100_000 + i] <= i
         cos = out.loc[out["vec_id"] == 100_000 + i, "cos"].iloc[0]
         assert cos > 0.999
+
+
+def test_compression_ratio_orders_repetitive_below_diverse(
+        ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mlp_ray.pipelines.queries import doc_compression_ratio
+
+    rng = np.random.default_rng(31)
+    diverse = " ".join("".join(rng.choice(list("abcdefghijklmnop"), 8))
+                       for _ in range(200))
+    repetitive = "spam ham " * 200
+    rows = pd.DataFrame({"doc_id": [0, 1, 2],
+                         "text": [diverse, repetitive, ""]})
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False),
+                   tmp_path / "documents.parquet")
+    out = doc_compression_ratio(str(tmp_path)).set_index("doc_id")
+    assert out.loc[1, "ratio"] < out.loc[0, "ratio"] / 3
+    assert out.loc[2, "ratio"] == 1.0 and out.loc[2, "n_bytes"] == 0
