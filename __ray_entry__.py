@@ -221,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rawlog_error_rate": Q.rawlog_error_rate,        # raw-path audit
         "doc_compression_ratio":
             Q.doc_compression_ratio,                     # zlib junk signal
+        "doc_ttr": Q.doc_ttr,                            # lexical diversity
+        "events_error_burst": Q.events_error_burst,      # rolling 3h max
     }
 
 
@@ -1529,6 +1531,32 @@ def oracle_sql() -> dict[str, str]:
                    round(skewness(value), 6) AS skew,
                    round(kurtosis(value), 6) AS kurt
             FROM events GROUP BY event_type
+        """,
+        "doc_ttr": """
+            WITH w AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS toks
+                FROM documents)
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                   round(CASE WHEN len(toks) > 0
+                         THEN len(list_distinct(toks)) * 1.0 / len(toks)
+                         ELSE 0 END, 6) AS ttr
+            FROM w
+        """,
+        "events_error_burst": """
+            WITH h AS (
+                SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                       count(*) AS n
+                FROM events WHERE event_type = 'error' GROUP BY 1)
+            SELECT hour, n,
+                   CAST(sum(n) OVER (ORDER BY hour ROWS BETWEEN 2
+                                     PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS burst_3h
+            FROM h
         """,
         "orders_monthly_growth": """
             WITH m AS (

@@ -3771,3 +3771,64 @@ def doc_compression_ratio(sf_dir: str) -> pd.DataFrame:
                          zero_copy_batch=True).to_pandas()
     return round_cols(out.sort_values("doc_id").reset_index(drop=True),
                       ["ratio"])
+
+
+def doc_ttr(sf_dir: str) -> pd.DataFrame:
+    """Type-token ratio per doc (lexical diversity — the quality
+    signal that separates word-salad from prose): distinct tokens /
+    tokens, computed with ONE flattened lexsort + run-length pass per
+    batch (no per-doc Python sets), no exchange at all."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def ttr(t: pa.Table) -> pd.DataFrame:
+        t = t.combine_chunks()
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")))
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(ids)), counts)
+        flat = pc.list_flatten(toks).to_pandas()
+        keep = (flat != "").to_numpy()
+        doc_idx = doc_idx[keep]
+        codes = pd.factorize(flat[keep])[0]
+        order = np.lexsort((codes, doc_idx))
+        d, c = doc_idx[order], codes[order]
+        new = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            new[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+        n_tok = np.bincount(doc_idx, minlength=len(ids)).astype(np.int64)
+        n_types = np.bincount(d[new], minlength=len(ids)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids, "n_tokens": n_tok, "n_types": n_types,
+            "ttr": np.where(n_tok > 0, n_types / np.maximum(n_tok, 1),
+                            0.0)})
+
+    out = (ds.map_batches(ttr, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    return round_cols(out, ["ttr"])
+
+
+def events_error_burst(sf_dir: str) -> pd.DataFrame:
+    """Burst detection: the 3-hour window with the most error events
+    (rolling sum over the bounded hourly error series) — bounded
+    hourly rollup through the driver merge, rolling max is driver
+    arithmetic mirrored by the oracle's ROWS frame."""
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["event_type"] == "error"]
+        out = (d.assign(hour=d["ts"].dt.floor("h"))
+               .groupby("hour", sort=False).size().rename("n")
+               .reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    d = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["hour"], ["n"], merge="driver").sort_values("hour") \
+        .reset_index(drop=True)
+    d["n"] = d["n"].astype("int64")
+    d["burst_3h"] = d["n"].rolling(3, min_periods=1).sum().astype("int64")
+    d["hour"] = pd.to_datetime(d["hour"]).astype("datetime64[us]")
+    return d[["hour", "n", "burst_3h"]]
