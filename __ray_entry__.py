@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Q.doc_compression_ratio,                     # zlib junk signal
         "doc_ttr": Q.doc_ttr,                            # lexical diversity
         "events_error_burst": Q.events_error_burst,      # rolling 3h max
+        "events_cusum_changepoint":
+            Q.events_cusum_changepoint,                  # drift detector
     }
 
 
@@ -1531,6 +1533,28 @@ def oracle_sql() -> dict[str, str]:
                    round(skewness(value), 6) AS skew,
                    round(kurtosis(value), 6) AS kurt
             FROM events GROUP BY event_type
+        """,
+        "events_cusum_changepoint": """
+            WITH RECURSIVE d AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       avg(value) AS x
+                FROM events GROUP BY 1),
+            p AS (SELECT avg(x) AS mu, stddev_samp(x) AS sd FROM d),
+            s AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn
+                  FROM d),
+            r AS (
+                SELECT s.rn, s.day, s.x,
+                       greatest(0, s.x - (p.mu + 0.5 * p.sd)) AS cusum
+                FROM s, p WHERE s.rn = 1
+                UNION ALL
+                SELECT s.rn, s.day, s.x,
+                       greatest(0, r.cusum + s.x - (p.mu + 0.5 * p.sd))
+                FROM r JOIN s ON s.rn = r.rn + 1, p
+            )
+            SELECT r.day, round(r.x, 6) AS daily_mean,
+                   round(r.cusum, 6) AS cusum,
+                   CAST(r.cusum > 2.0 * p.sd AS BIGINT) AS flagged
+            FROM r, p
         """,
         "doc_ttr": """
             WITH w AS (

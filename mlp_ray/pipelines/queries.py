@@ -3832,3 +3832,41 @@ def events_error_burst(sf_dir: str) -> pd.DataFrame:
     d["burst_3h"] = d["n"].rolling(3, min_periods=1).sum().astype("int64")
     d["hour"] = pd.to_datetime(d["hour"]).astype("datetime64[us]")
     return d[["hour", "n", "burst_3h"]]
+
+
+def events_cusum_changepoint(sf_dir: str, kappa: float = 0.5) -> pd.DataFrame:
+    """One-sided CUSUM drift detector over the daily mean-value
+    series: s_i = max(0, s_{i-1} + (x_i − x̄ − κ·σ)) flags sustained
+    upward shifts.  The distributed work is one bounded
+    (day, n, Σv, Σv²) rollup; the recursion runs on the driver over
+    the day-cardinality series and the oracle re-derives it with a
+    recursive CTE — global mean/std are computed from the SAME daily
+    aggregates on both sides so the thresholds agree exactly."""
+    ds = _events(sf_dir, ["ts", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        out = (pd.DataFrame({"day": df["ts"].dt.floor("D"), "v": v,
+                             "vv": v * v})
+               .groupby("day", sort=False)
+               .agg(n=("v", "size"), s=("v", "sum"), ss=("vv", "sum"))
+               .reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    d = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["day"], ["n", "s", "ss"], merge="driver").sort_values("day") \
+        .reset_index(drop=True)
+    x = (d["s"] / d["n"]).to_numpy()                    # daily means
+    mu = float(x.mean())                               # over daily means
+    sd = float(x.std(ddof=1)) if len(x) > 1 else 0.0
+    drift = mu + kappa * sd
+    s = np.zeros(len(x))
+    for i in range(len(x)):
+        s[i] = max(0.0, (s[i - 1] if i else 0.0) + x[i] - drift)
+    out = pd.DataFrame({
+        "day": pd.to_datetime(d["day"]).astype("datetime64[us]"),
+        "daily_mean": x, "cusum": s,
+        "flagged": (s > 2.0 * sd).astype("int64")})
+    return round_cols(out, ["daily_mean", "cusum"])
