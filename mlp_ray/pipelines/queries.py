@@ -3719,7 +3719,7 @@ def rawlog_error_rate(sf_dir: str) -> pd.DataFrame:
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         d = df.loc[df["component"].notna()]
-        err = d["is_error"].fillna(False).astype(bool)
+        err = d["is_error"].eq(True)  # NaN → False, no downcast warning
         out = (pd.DataFrame({"component": d["component"],
                              "e": err.astype("int64")})
                .groupby("component", sort=False)["e"]
