@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_error_burst": Q.events_error_burst,      # rolling 3h max
         "events_cusum_changepoint":
             Q.events_cusum_changepoint,                  # drift detector
+        "customers_abc": Q.customers_abc,                # Pareto classes
     }
 
 
@@ -1533,6 +1534,25 @@ def oracle_sql() -> dict[str, str]:
                    round(skewness(value), 6) AS skew,
                    round(kurtosis(value), 6) AS kurt
             FROM events GROUP BY event_type
+        """,
+        "customers_abc": """
+            WITH r AS (
+                SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+                FROM orders GROUP BY 1),
+            w AS (
+                SELECT o_custkey, revenue,
+                       row_number() OVER (ORDER BY revenue DESC,
+                                          o_custkey) AS rnk,
+                       sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                          ROWS UNBOUNDED PRECEDING) AS cum
+                FROM r),
+            t AS (SELECT sum(revenue) AS total FROM r)
+            SELECT o_custkey, revenue, rnk,
+                   round(cum / t.total, 6) AS cum_share,
+                   CASE WHEN cum / t.total <= 0.60 THEN 'A'
+                        WHEN cum / t.total <= 0.85 THEN 'B'
+                        ELSE 'C' END AS abc
+            FROM w, t
         """,
         "events_cusum_changepoint": """
             WITH RECURSIVE d AS (

@@ -3870,3 +3870,44 @@ def events_cusum_changepoint(sf_dir: str, kappa: float = 0.5) -> pd.DataFrame:
         "daily_mean": x, "cusum": s,
         "flagged": (s > 2.0 * sd).astype("int64")})
     return round_cols(out, ["daily_mean", "cusum"])
+
+
+def customers_abc(sf_dir: str) -> pd.DataFrame:
+    """Pareto / ABC revenue classification: customers ranked by
+    lifetime order value; class A = the prefix covering 60% of total
+    revenue, B = next 25%, C = the tail.  The custkey rollup is one
+    bounded exchange; the global revenue-desc running share comes from
+    the distributed ordered scan (``ops/window.global_cumsum``) —
+    cents-rounded revenue on both sides before ranking so float
+    association can't reorder the prefix."""
+    from ..ops.window import global_cumsum
+    from ..util import bucketed_groups, round_half_away
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("o_custkey", sort=False)["o_totalprice"]
+                .sum().rename("revenue").reset_index())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("o_custkey", sort=False)["revenue"].sum()
+               .reset_index())
+        out["revenue"] = round_half_away(out["revenue"].to_numpy(), 2)
+        return out
+
+    totals = bucketed_groups(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["o_custkey"], merge)
+    ranked = global_cumsum(totals, ["revenue", "o_custkey"], "revenue",
+                           descending=[True, False], rank_col="rnk",
+                           cum_col="cum_revenue").to_pandas()
+    total = float(ranked["revenue"].sum())
+    share = ranked["cum_revenue"] / total
+    ranked["cum_share"] = share
+    ranked["abc"] = np.where(share <= 0.60, "A",
+                             np.where(share <= 0.85, "B", "C"))
+    out = ranked[["o_custkey", "revenue", "rnk", "cum_share", "abc"]] \
+        .sort_values("rnk").reset_index(drop=True)
+    out["rnk"] = out["rnk"].astype("int64")
+    return round_cols(out, ["cum_share"])
