@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cusum_changepoint":
             Q.events_cusum_changepoint,                  # drift detector
         "customers_abc": Q.customers_abc,                # Pareto classes
+        "doc_gram_novelty": Q.doc_gram_novelty,          # memorization curve
     }
 
 
@@ -1534,6 +1535,27 @@ def oracle_sql() -> dict[str, str]:
                    round(skewness(value), 6) AS skew,
                    round(kurtosis(value), 6) AS kurt
             FROM events GROUP BY event_type
+        """,
+        "doc_gram_novelty": r"""
+            WITH g AS (
+              SELECT DISTINCT doc_id, gram
+              FROM (SELECT doc_id,
+                           unnest([array_to_string(toks[i:i+4], ' ')
+                                   FOR i IN range(1, greatest(len(toks) - 3,
+                                                              2))]) AS gram
+                    FROM (SELECT doc_id,
+                                 regexp_split_to_array(trim(text), '\s+')
+                                     AS toks
+                          FROM documents))),
+            f AS (SELECT doc_id, gram,
+                         min(doc_id) OVER (PARTITION BY gram) AS first_doc
+                  FROM g)
+            SELECT doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   round(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 6) AS novelty
+            FROM f GROUP BY doc_id
         """,
         "customers_abc": """
             WITH r AS (

@@ -3911,3 +3911,48 @@ def customers_abc(sf_dir: str) -> pd.DataFrame:
         .sort_values("rnk").reset_index(drop=True)
     out["rnk"] = out["rnk"].astype("int64")
     return round_cols(out, ["cum_share"])
+
+
+def doc_gram_novelty(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Novelty / memorization profile: for each doc, the fraction of
+    its distinct word-5-grams that first appear THERE (no earlier doc
+    contains them) — the curve curation teams watch to see where a
+    corpus stops contributing new content.  Distinct (doc, gram) pairs
+    make ONE gram-bucketed exchange; each bucket owns whole grams, so
+    its (doc, total, novel) partials are disjoint and the driver sum
+    is exact."""
+    from ..ops.scrub import _distinct_grams_per_doc
+    from ..util import bucketed_groups
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def pair_rows(batch: pa.Table) -> pd.DataFrame:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        d, g, _n = _distinct_grams_per_doc(texts, k)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pd.DataFrame({"doc_id": ids[d], "gram": g})
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_id", "gram"])
+        first = g.groupby("gram", sort=False)["doc_id"].transform("min")
+        out = (pd.DataFrame({"doc_id": g["doc_id"],
+                             "novel": (g["doc_id"] == first)
+                             .astype("int64")})
+               .groupby("doc_id", sort=False)["novel"]
+               .agg(n_grams="size", n_novel="sum").reset_index())
+        out["n_grams"] = out["n_grams"].astype("int64")
+        out["n_novel"] = out["n_novel"].astype("int64")
+        return out
+
+    parts = bucketed_groups(
+        ds.map_batches(pair_rows, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["gram"], bucket_counts).to_pandas()
+    out = (parts.groupby("doc_id", as_index=False)
+           [["n_grams", "n_novel"]].sum())
+    out["n_grams"] = out["n_grams"].astype("int64")
+    out["n_novel"] = out["n_novel"].astype("int64")
+    out["novelty"] = out["n_novel"] / out["n_grams"]
+    return round_cols(out.sort_values("doc_id").reset_index(drop=True),
+                      ["novelty"])
