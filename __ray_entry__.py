@@ -227,6 +227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Q.events_cusum_changepoint,                  # drift detector
         "customers_abc": Q.customers_abc,                # Pareto classes
         "doc_gram_novelty": Q.doc_gram_novelty,          # memorization curve
+        "events_value_anova": Q.events_value_anova,      # one-way F test
+        "source_js_divergence":
+            Q.source_js_divergence,                      # corpus drift
     }
 
 
@@ -1556,6 +1559,56 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
                          * 1.0 / count(*), 6) AS novelty
             FROM f GROUP BY doc_id
+        """,
+        "source_js_divergence": """
+            WITH c AS (
+                SELECT source, tok, count(*) AS n
+                FROM (SELECT source,
+                             unnest(regexp_split_to_array(trim(text),
+                                                          '\s+')) AS tok
+                      FROM documents WHERE length(trim(text)) > 0)
+                GROUP BY 1, 2),
+            t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1),
+            d AS (SELECT c.source, c.tok, c.n * 1.0 / t.tot AS p
+                  FROM c JOIN t ON t.source = c.source),
+            pairs AS (
+                SELECT a.source AS sa, b.source AS sb,
+                       sum(0.5 * (a.p * log2(2 * a.p / (a.p + b.p))
+                                  + b.p * log2(2 * b.p / (a.p + b.p))))
+                           AS shared_term,
+                       sum(a.p) AS pa_shared, sum(b.p) AS pb_shared
+                FROM d a JOIN d b ON a.tok = b.tok AND a.source < b.source
+                GROUP BY 1, 2),
+            ap AS (SELECT t1.source AS sa, t2.source AS sb
+                   FROM t t1 JOIN t t2 ON t1.source < t2.source)
+            SELECT ap.sa AS source_a, ap.sb AS source_b,
+                   round(coalesce(p.shared_term, 0)
+                         + 0.5 * (1 - coalesce(p.pa_shared, 0))
+                         + 0.5 * (1 - coalesce(p.pb_shared, 0)), 6) AS jsd
+            FROM ap LEFT JOIN pairs p ON p.sa = ap.sa AND p.sb = ap.sb
+        """,
+        "events_value_anova": """
+            WITH g AS (
+                SELECT event_type, count(*) AS n, avg(value) AS m,
+                       sum(value * value) AS ss, sum(value) AS s
+                FROM events GROUP BY 1),
+            t AS (SELECT sum(n) AS N, sum(s) / sum(n) AS grand,
+                         count(*) AS k FROM g),
+            c AS (SELECT
+                      sum(g.n * (g.m - t.grand) * (g.m - t.grand))
+                          AS ss_between,
+                      sum(g.ss - g.s * g.s / g.n) AS ss_within,
+                      any_value(t.k) AS k, any_value(t.N) AS N
+                  FROM g, t)
+            SELECT CAST(k AS BIGINT) AS k_groups,
+                   CAST(N AS BIGINT) AS n_total,
+                   CAST(k - 1 AS BIGINT) AS df_between,
+                   CAST(N - k AS BIGINT) AS df_within,
+                   round(ss_between, 6) AS ss_between,
+                   round(ss_within, 6) AS ss_within,
+                   round((ss_between / (k - 1))
+                         / (ss_within / (N - k)), 6) AS f_stat
+            FROM c
         """,
         "customers_abc": """
             WITH r AS (

@@ -3956,3 +3956,118 @@ def doc_gram_novelty(sf_dir: str, k: int = 5) -> pd.DataFrame:
     out["novelty"] = out["n_novel"] / out["n_grams"]
     return round_cols(out.sort_values("doc_id").reset_index(drop=True),
                       ["novelty"])
+
+
+def events_value_anova(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA across event types (does mean value differ by
+    type?): between/within sums of squares, F statistic and both dof —
+    everything from the SAME one-pass (type, n, Σv, Σv²) moment merge
+    as the other inference ops; the F readout is driver arithmetic."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        out = (pd.DataFrame({"event_type": df["event_type"], "v": v,
+                             "vv": v * v})
+               .groupby("event_type", sort=False)
+               .agg(n=("v", "size"), s=("v", "sum"), ss=("vv", "sum"))
+               .reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    m = merge_partials(
+        ds.map_batches(arrow_partials(moments), batch_format="pandas"),
+        ["event_type"], ["n", "s", "ss"], merge="driver")
+    n = m["n"].to_numpy(dtype=np.float64)
+    s = m["s"].to_numpy()
+    ss = m["ss"].to_numpy()
+    N = float(n.sum())
+    grand = float(s.sum()) / N
+    ss_between = float((n * (s / n - grand) ** 2).sum())
+    ss_within = float((ss - s * s / n).sum())
+    k = len(m)
+    df_b, df_w = k - 1, int(N) - k
+    f_stat = (ss_between / df_b) / (ss_within / df_w)
+    out = pd.DataFrame({
+        "k_groups": pd.array([k], dtype="int64"),
+        "n_total": pd.array([int(N)], dtype="int64"),
+        "df_between": pd.array([df_b], dtype="int64"),
+        "df_within": pd.array([df_w], dtype="int64"),
+        "ss_between": [ss_between], "ss_within": [ss_within],
+        "f_stat": [f_stat]})
+    return round_cols(out, ["ss_between", "ss_within", "f_stat"])
+
+
+def source_js_divergence(sf_dir: str) -> pd.DataFrame:
+    """Corpus-drift matrix: pairwise Jensen-Shannon divergence between
+    the sources' unigram distributions.  JSD decomposes per token, so
+    ONE token-bucketed exchange computes, per pair, the shared-token
+    term sums and shared probability masses (disjoint across buckets —
+    exact driver sum); the one-sided remainder is 0.5·(1 − shared
+    mass) per side, pure driver arithmetic.  Source totals come from
+    the same partials and broadcast into the bucket merge."""
+    from ..util import bucketed_groups
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def tok_counts(t: pa.Table) -> pd.DataFrame:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")))
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(np.asarray(t["source"].to_pylist(), dtype=object),
+                        counts)
+        flat = pc.list_flatten(toks).to_pandas()
+        keep = (flat != "").to_numpy()
+        out = (pd.DataFrame({"source": src[keep], "tok": flat[keep]})
+               .groupby(["source", "tok"], sort=False).size().rename("n")
+               .reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    from ..util import arrow_out
+
+    counts_ds = ds.map_batches(lambda t: arrow_out(tok_counts(t)),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True)
+    # per-source totals: a bounded rollup off the same partial stream
+    raw = counts_ds.to_pandas()
+    counts = (raw.groupby(["source", "tok"], as_index=False)["n"].sum())
+    totals = counts.groupby("source")["n"].sum()
+    tot_ref = ray.put(totals.to_dict())
+
+    def pair_terms(g: pd.DataFrame) -> pd.DataFrame:
+        tot = ray.get(tot_ref)
+        g = (g.groupby(["source", "tok"], as_index=False)["n"].sum())
+        g["p"] = g["n"] / g["source"].map(tot)
+        j = g.merge(g, on="tok")
+        j = j.loc[j["source_x"] < j["source_y"]]
+        if j.empty:
+            return pd.DataFrame({"source_a": pd.array([], dtype=object),
+                                 "source_b": pd.array([], dtype=object),
+                                 "shared_term": pd.array([], dtype="float64"),
+                                 "pa_shared": pd.array([], dtype="float64"),
+                                 "pb_shared": pd.array([], dtype="float64")})
+        p, q = j["p_x"].to_numpy(), j["p_y"].to_numpy()
+        m = p + q
+        term = 0.5 * (p * np.log2(2 * p / m) + q * np.log2(2 * q / m))
+        out = (pd.DataFrame({"source_a": j["source_x"],
+                             "source_b": j["source_y"],
+                             "shared_term": term, "pa_shared": p,
+                             "pb_shared": q})
+               .groupby(["source_a", "source_b"], as_index=False).sum())
+        return out
+
+    parts = bucketed_groups(counts_ds, ["tok"], pair_terms).to_pandas()
+    agg = (parts.groupby(["source_a", "source_b"], as_index=False)
+           [["shared_term", "pa_shared", "pb_shared"]].sum())
+    srcs = sorted(totals.index)
+    allpairs = pd.DataFrame([(a, b) for i, a in enumerate(srcs)
+                             for b in srcs[i + 1:]],
+                            columns=["source_a", "source_b"])
+    out = allpairs.merge(agg, on=["source_a", "source_b"], how="left") \
+        .fillna({"shared_term": 0.0, "pa_shared": 0.0, "pb_shared": 0.0})
+    out["jsd"] = out["shared_term"] + 0.5 * (1.0 - out["pa_shared"]) \
+        + 0.5 * (1.0 - out["pb_shared"])
+    out = out[["source_a", "source_b", "jsd"]]
+    return round_cols(out.sort_values(["source_a", "source_b"])
+                      .reset_index(drop=True), ["jsd"])
