@@ -230,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_anova": Q.events_value_anova,      # one-way F test
         "source_js_divergence":
             Q.source_js_divergence,                      # corpus drift
+        "doc_lang_confusion": Q.doc_lang_confusion,      # model eval
+        "customers_gini": Q.customers_gini,              # concentration
     }
 
 
@@ -1559,6 +1561,48 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
                          * 1.0 / count(*), 6) AS novelty
             FROM f GROUP BY doc_id
+        """,
+        "doc_lang_confusion": r"""
+            WITH s AS (
+              SELECT doc_id,
+                len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    x -> x IN ('the','a','and','of','to')))*1.0 AS c_en,
+                len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    x -> x IN ('el','la','de','que','y')))*1.0 AS c_es,
+                len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    x -> x IN ('le','la','de','et','un')))*1.0 AS c_fr,
+                len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    x -> x IN ('der','die','und','das','ein')))*1.0 AS c_de
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                CASE WHEN greatest(c_en, c_es, c_fr, c_de) = 0
+                         THEN 'unknown'
+                     WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de
+                         THEN 'en'
+                     WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+                     WHEN c_fr >= c_de THEN 'fr'
+                     ELSE 'de' END AS lang_pred
+              FROM s)
+            SELECT d.lang, p.lang_pred, count(*) AS n
+            FROM documents d JOIN p ON p.doc_id = d.doc_id
+            GROUP BY 1, 2
+        """,
+        "customers_gini": """
+            WITH r AS (
+                SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+                FROM orders GROUP BY 1),
+            w AS (SELECT revenue,
+                         sum(revenue) OVER (ORDER BY revenue, o_custkey
+                                            ROWS UNBOUNDED PRECEDING)
+                             AS cum
+                  FROM r),
+            a AS (SELECT count(*) AS n, sum(revenue) AS total,
+                         sum(cum) AS scum FROM w)
+            SELECT CAST(n AS BIGINT) AS n_customers,
+                   round(total, 2) AS total_revenue,
+                   round(1 - (2 * scum - total) / (n * total), 6) AS gini
+            FROM a
         """,
         "source_js_divergence": """
             WITH c AS (

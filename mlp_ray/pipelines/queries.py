@@ -4071,3 +4071,69 @@ def source_js_divergence(sf_dir: str) -> pd.DataFrame:
     out = out[["source_a", "source_b", "jsd"]]
     return round_cols(out.sort_values(["source_a", "source_b"])
                       .reset_index(drop=True), ["jsd"])
+
+
+def doc_lang_confusion(sf_dir: str) -> pd.DataFrame:
+    """Language-ID evaluation: confusion matrix of the n-gram lang
+    classifier's prediction vs the table's labeled ``lang`` — the
+    fused classify+rollup pass ships ≤ |langs|² partial rows per
+    block, driver-merged (the standard model-eval join, no second
+    scan)."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        pred = text.lang_id_batch(t)
+        df = pd.DataFrame({"lang": t["lang"].to_pylist(),
+                           "lang_pred": pred["lang_pred"].to_pylist()})
+        out = (df.groupby(["lang", "lang_pred"], sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    from ..util import arrow_out
+
+    out = merge_partials(
+        ds.map_batches(lambda t: arrow_out(partials(t)),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "lang_pred"], ["n"], merge="driver")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+def customers_gini(sf_dir: str) -> pd.DataFrame:
+    """Revenue-concentration Gini coefficient over customers: from the
+    same bounded custkey rollup + distributed ordered scan as the ABC
+    classes — G = 1 − (2·Σ cum_i − Σ rev_i) / (N · total) with the
+    prefix sums taken in ascending revenue order (cents-rounded on
+    both sides)."""
+    from ..ops.window import global_cumsum
+    from ..util import bucketed_groups, round_half_away
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("o_custkey", sort=False)["o_totalprice"]
+                .sum().rename("revenue").reset_index())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("o_custkey", sort=False)["revenue"].sum()
+               .reset_index())
+        out["revenue"] = round_half_away(out["revenue"].to_numpy(), 2)
+        return out
+
+    totals = bucketed_groups(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["o_custkey"], merge)
+    ranked = global_cumsum(totals, ["revenue", "o_custkey"], "revenue",
+                           rank_col="rnk", cum_col="cum").to_pandas()
+    n = float(len(ranked))
+    total = float(ranked["revenue"].sum())
+    gini = 1.0 - (2.0 * float(ranked["cum"].sum())
+                  - total) / (n * total)
+    # identity: G = (2·Σ i·x_i)/(n·Σx) − (n+1)/n over ascending x; the
+    # cum form above is algebraically the complement of that
+    out = pd.DataFrame({"n_customers": pd.array([int(n)], dtype="int64"),
+                        "total_revenue": [round(total, 2)],
+                        "gini": [gini]})
+    return round_cols(out, ["gini"])
