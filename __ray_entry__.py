@@ -1648,8 +1648,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(N AS BIGINT) AS n_total,
                    CAST(k - 1 AS BIGINT) AS df_between,
                    CAST(N - k AS BIGINT) AS df_within,
-                   round(ss_between, 6) AS ss_between,
-                   round(ss_within, 6) AS ss_within,
+                   round(ss_between, 2) AS ss_between,
+                   round(ss_within, 2) AS ss_within,
                    round((ss_between / (k - 1))
                          / (ss_within / (N - k)), 6) AS f_stat
             FROM c

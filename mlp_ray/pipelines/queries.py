@@ -3995,7 +3995,10 @@ def events_value_anova(sf_dir: str) -> pd.DataFrame:
         "df_within": pd.array([df_w], dtype="int64"),
         "ss_between": [ss_between], "ss_within": [ss_within],
         "f_stat": [f_stat]})
-    return round_cols(out, ["ss_between", "ss_within", "f_stat"])
+    # SS magnitudes grow with n (~1e8 at sf0.1): cents precision is
+    # what double partial sums can hold there; the F ratio keeps 6
+    out = round_cols(out, ["ss_between", "ss_within"], ndigits=2)
+    return round_cols(out, ["f_stat"])
 
 
 def source_js_divergence(sf_dir: str) -> pd.DataFrame:
