@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Q.source_js_divergence,                      # corpus drift
         "doc_lang_confusion": Q.doc_lang_confusion,      # model eval
         "customers_gini": Q.customers_gini,              # concentration
+        "orders_bloom_semi": Q.orders_bloom_semi,        # bloom semi-join
     }
 
 
@@ -1587,6 +1588,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, p.lang_pred, count(*) AS n
             FROM documents d JOIN p ON p.doc_id = d.doc_id
             GROUP BY 1, 2
+        """,
+        "orders_bloom_semi": """
+            SELECT count(*) AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey
+                            AND o.o_orderpriority = '1-URGENT')
         """,
         "customers_gini": """
             WITH r AS (
