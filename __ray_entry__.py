@@ -233,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_confusion": Q.doc_lang_confusion,      # model eval
         "customers_gini": Q.customers_gini,              # concentration
         "orders_bloom_semi": Q.orders_bloom_semi,        # bloom semi-join
+        "parts_chi2_independence":
+            Q.parts_chi2_independence,                   # contingency test
     }
 
 
@@ -1588,6 +1590,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, p.lang_pred, count(*) AS n
             FROM documents d JOIN p ON p.doc_id = d.doc_id
             GROUP BY 1, 2
+        """,
+        "parts_chi2_independence": """
+            WITH c AS (
+                SELECT p_type, p_size // 10 AS size_bucket,
+                       count(*) AS n
+                FROM part GROUP BY 1, 2),
+            r AS (SELECT p_type, sum(n) AS rn FROM c GROUP BY 1),
+            k AS (SELECT size_bucket, sum(n) AS cn FROM c GROUP BY 1),
+            t AS (SELECT sum(n) AS total FROM c),
+            full_ct AS (
+                SELECT r.p_type, k.size_bucket,
+                       coalesce(c.n, 0) AS n,
+                       r.rn * k.cn * 1.0 / t.total AS expected
+                FROM r CROSS JOIN k CROSS JOIN t
+                LEFT JOIN c ON c.p_type = r.p_type
+                           AND c.size_bucket = k.size_bucket)
+            SELECT (SELECT count(*) FROM r) AS n_rows_ct,
+                   (SELECT count(*) FROM k) AS n_cols_ct,
+                   CAST(any_value(t.total) AS BIGINT) AS n_total,
+                   CAST(((SELECT count(*) FROM r) - 1)
+                        * ((SELECT count(*) FROM k) - 1) AS BIGINT) AS dof,
+                   round(sum((n - expected) * (n - expected) / expected),
+                         6) AS chi2
+            FROM full_ct, t
         """,
         "orders_bloom_semi": """
             SELECT count(*) AS n_items,

@@ -4195,3 +4195,42 @@ def orders_bloom_semi(sf_dir: str) -> pd.DataFrame:
     # of the oracled result): assert the no-false-negative direction
     assert int(p["bloom_pass"].sum()) >= int(p["n_items"].sum())
     return round_cols(out, ["revenue"], ndigits=2)
+
+
+def parts_chi2_independence(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence test between part type and a coarse
+    size bucket (size // 10): ONE bounded contingency rollup (≤ types
+    × buckets cells per block) merges on the driver, where expected
+    counts, the chi² sum and dof are closed-form arithmetic."""
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_type", "p_size"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = (pd.DataFrame({"p_type": df["p_type"],
+                             "size_bucket": (df["p_size"] // 10)
+                             .astype("int64")})
+               .groupby(["p_type", "size_bucket"], sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    cells = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["p_type", "size_bucket"], ["n"], merge="driver")
+    cells["n"] = cells["n"].astype("int64")
+    pivot = cells.pivot_table(index="p_type", columns="size_bucket",
+                              values="n", fill_value=0, aggfunc="sum")
+    obs = pivot.to_numpy(dtype=np.float64)
+    row = obs.sum(axis=1, keepdims=True)
+    col = obs.sum(axis=0, keepdims=True)
+    n = obs.sum()
+    exp = row @ col / n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    out = pd.DataFrame({
+        "n_rows_ct": pd.array([obs.shape[0]], dtype="int64"),
+        "n_cols_ct": pd.array([obs.shape[1]], dtype="int64"),
+        "n_total": pd.array([int(n)], dtype="int64"),
+        "dof": pd.array([dof], dtype="int64"),
+        "chi2": [chi2]})
+    return round_cols(out, ["chi2"])
