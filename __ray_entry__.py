@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_bloom_semi": Q.orders_bloom_semi,        # bloom semi-join
         "parts_chi2_independence":
             Q.parts_chi2_independence,                   # contingency test
+        "flagship_db_summary": Q.flagship_db_summary,    # db drill-up
     }
 
 

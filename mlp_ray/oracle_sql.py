@@ -522,6 +522,16 @@ FLAGSHIP_SQL: dict[str, str] = {
     "flagship_token_bigrams": _TOKEN_BIGRAMS_SQL,
     "flagship_seq_lengths": _SEQ_LENGTHS_SQL,
     "flagship_pack_plan": _PACK_PLAN_SQL,
+    "flagship_db_summary": f"""{CLASSIFIED_CTE}
+SELECT split_part(ns, '.', 1) AS db,
+       count(*) AS n_ops,
+       CAST(sum(coalesce(duration_ms, 0)) AS BIGINT) AS sum_duration_ms,
+       CAST(sum(coalesce(nret, 0)) AS BIGINT) AS sum_nreturned,
+       round(sum(coalesce(duration_ms, 0)) * 1.0 / count(*), 6)
+           AS avg_duration_ms
+FROM cl WHERE r_ops AND ns IS NOT NULL
+GROUP BY 1
+""",
     "flagship_pack_greedy": _PACK_GREEDY_SQL,
     "flagship_main_ops": _main_ops_sql(
         "ns, op, coalesce(app_name, 'unknown') AS app_name"),

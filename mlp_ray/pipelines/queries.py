@@ -4234,3 +4234,43 @@ def parts_chi2_independence(sf_dir: str) -> pd.DataFrame:
         "dof": pd.array([dof], dtype="int64"),
         "chi2": [chi2]})
     return round_cols(out, ["chi2"])
+
+
+def flagship_db_summary(sf_dir: str) -> pd.DataFrame:
+    """Database-level rollup of the flagship ops stream (namespace =
+    db.collection → aggregate per DB: the drill-up view a reference
+    user reads first).  The db split fuses into the classify pass;
+    ≤ |dbs|-row partials per block merge on the driver."""
+    from ..sources.tokenized import ensure_flagship_parquet
+    from .analyze import classify
+
+    path = ensure_flagship_parquet(sf_dir)
+    # the classify chain's column contract is ATTR_COLUMNS (redaction
+    # and enrichment read fixed fields even when pass-through)
+    from .analyze import load_events
+
+    cl = classify(load_events([path]), redact=False)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["op"].notna() & df["ns"].notna()
+                    & ~df["ns"].str.startswith("config.")]
+        db = df["ns"].str.split(".", n=1).str[0]
+        out = (pd.DataFrame({"db": db,
+                             "dur": df["duration_ms"].fillna(0),
+                             "nret": df["nret"].fillna(0)})
+               .groupby("db", sort=False)
+               .agg(n_ops=("dur", "size"), sum_duration_ms=("dur", "sum"),
+                    sum_nreturned=("nret", "sum")).reset_index())
+        out["n_ops"] = out["n_ops"].astype("int64")
+        return out
+
+    out = merge_partials(
+        cl.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["db"], ["n_ops", "sum_duration_ms", "sum_nreturned"],
+        merge="driver")
+    out["n_ops"] = out["n_ops"].astype("int64")
+    out["sum_duration_ms"] = out["sum_duration_ms"].astype("int64")
+    out["sum_nreturned"] = out["sum_nreturned"].astype("int64")
+    out["avg_duration_ms"] = out["sum_duration_ms"] / out["n_ops"]
+    out = out.sort_values("db").reset_index(drop=True)
+    return round_cols(out, ["avg_duration_ms"])
