@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_chi2_independence":
             Q.parts_chi2_independence,                   # contingency test
         "flagship_db_summary": Q.flagship_db_summary,    # db drill-up
+        "orders_cohort_ltv": Q.orders_cohort_ltv,        # LTV triangle
     }
 
 
@@ -1590,6 +1591,20 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT d.lang, p.lang_pred, count(*) AS n
             FROM documents d JOIN p ON p.doc_id = d.doc_id
+            GROUP BY 1, 2
+        """,
+        "orders_cohort_ltv": """
+            WITH f AS (
+                SELECT o_custkey,
+                       min(date_trunc('month', o_orderdate)) AS cohort
+                FROM orders GROUP BY 1)
+            SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
+                   CAST(datediff('month', f.cohort,
+                                 date_trunc('month', o.o_orderdate))
+                        AS BIGINT) AS month_offset,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS revenue
+            FROM orders o JOIN f ON f.o_custkey = o.o_custkey
             GROUP BY 1, 2
         """,
         "parts_chi2_independence": """

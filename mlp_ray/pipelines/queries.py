@@ -4274,3 +4274,37 @@ def flagship_db_summary(sf_dir: str) -> pd.DataFrame:
     out["avg_duration_ms"] = out["sum_duration_ms"] / out["n_ops"]
     out = out.sort_values("db").reset_index(drop=True)
     return round_cols(out, ["avg_duration_ms"])
+
+
+def orders_cohort_ltv(sf_dir: str) -> pd.DataFrame:
+    """Cohort LTV triangle: customers grouped by first-order month,
+    revenue rolled up per (cohort, month-offset).  ONE custkey-bucketed
+    exchange hands each bucket whole customers — first month and
+    offsets derive in-bucket with vectorized pandas — and only the
+    bounded (cohort, offset, n, revenue) rollup leaves it."""
+    from ..util import bucketed_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def cohortize(g: pd.DataFrame) -> pd.DataFrame:
+        month = g["o_orderdate"].dt.to_period("M")
+        first = month.groupby(g["o_custkey"]).transform("min")
+        offset = ((month.dt.year - first.dt.year) * 12
+                  + (month.dt.month - first.dt.month))
+        out = (pd.DataFrame({"cohort": first.dt.to_timestamp(),
+                             "month_offset": offset.astype("int64"),
+                             "rev": g["o_totalprice"]})
+               .groupby(["cohort", "month_offset"], sort=False)["rev"]
+               .agg(n_orders="size", revenue="sum").reset_index())
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    parts = bucketed_groups(ds, ["o_custkey"], cohortize).to_pandas()
+    out = (parts.groupby(["cohort", "month_offset"], as_index=False)
+           .agg(n_orders=("n_orders", "sum"), revenue=("revenue", "sum")))
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["cohort"] = pd.to_datetime(out["cohort"]).astype("datetime64[us]")
+    out = out.sort_values(["cohort", "month_offset"]).reset_index(drop=True)
+    return round_cols(out, ["revenue"], ndigits=2)
