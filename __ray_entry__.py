@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Q.parts_chi2_independence,                   # contingency test
         "flagship_db_summary": Q.flagship_db_summary,    # db drill-up
         "orders_cohort_ltv": Q.orders_cohort_ltv,        # LTV triangle
+        "events_peak_concurrency":
+            Q.events_peak_concurrency,                   # sweep-line max
     }
 
 
@@ -1592,6 +1594,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, p.lang_pred, count(*) AS n
             FROM documents d JOIN p ON p.doc_id = d.doc_id
             GROUP BY 1, 2
+        """,
+        "events_peak_concurrency": """
+            WITH m AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM m
+            ), iv AS (
+                SELECT user_id, session_idx,
+                       min(ts) AS first_ts, max(ts) AS last_ts
+                FROM s GROUP BY 1, 2
+            ), d AS (
+                SELECT first_ts AS t, 1 AS dd, user_id, session_idx
+                FROM iv
+                UNION ALL
+                SELECT last_ts AS t, -1 AS dd, user_id, session_idx
+                FROM iv
+            ), sweep AS (
+                SELECT t, SUM(dd) OVER (ORDER BY t, -dd, user_id,
+                                        session_idx
+                                        ROWS UNBOUNDED PRECEDING)
+                           AS active
+                FROM d
+            )
+            SELECT CAST(max(active) AS BIGINT) AS peak_concurrency,
+                   (SELECT min(t) FROM sweep
+                    WHERE active = (SELECT max(active) FROM sweep))
+                       AS at_ts
+            FROM sweep
         """,
         "orders_cohort_ltv": """
             WITH f AS (

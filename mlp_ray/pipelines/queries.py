@@ -4308,3 +4308,45 @@ def orders_cohort_ltv(sf_dir: str) -> pd.DataFrame:
     out["cohort"] = pd.to_datetime(out["cohort"]).astype("datetime64[us]")
     out = out.sort_values(["cohort", "month_offset"]).reset_index(drop=True)
     return round_cols(out, ["revenue"], ndigits=2)
+
+
+def events_peak_concurrency(sf_dir: str) -> pd.DataFrame:
+    """Sweep-line interval analytics: the maximum number of user
+    sessions active at once (sessions = the 30-minute-gap
+    sessionization, intervals inclusive, starts processed before ends
+    at equal timestamps).  Sessions derive in the user-bucketed
+    exchange; the sweep runs over the NARROW ±1 delta rows
+    (2 × sessions) with the distributed ordered scan supplying the
+    running sum, and the driver reads off the max and its first
+    timestamp."""
+    from ..ops.window import global_cumsum
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_id"])
+    sessions = bucketed_groups(ds, ["user_id"], _sessionize_bulk)
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        start = pd.DataFrame({"t": df["first_ts"],
+                              "user_id": df["user_id"],
+                              "session_idx": df["session_idx"],
+                              "d": np.int64(1)})
+        end = pd.DataFrame({"t": df["last_ts"],
+                            "user_id": df["user_id"],
+                            "session_idx": df["session_idx"],
+                            "d": np.int64(-1)})
+        out = pd.concat([start, end], ignore_index=True)
+        out["neg_d"] = -out["d"]      # +1 sorts before -1 at equal t
+        return out
+
+    swept = global_cumsum(
+        sessions.map_batches(arrow_partials(deltas),
+                             batch_format="pandas"),
+        ["t", "neg_d", "user_id", "session_idx"], "d",
+        rank_col="rnk", cum_col="active").to_pandas()
+    peak = int(swept["active"].max())
+    at = swept.loc[swept["active"] == peak, "t"].min()
+    out = pd.DataFrame({
+        "peak_concurrency": pd.array([peak], dtype="int64"),
+        "at_ts": [pd.Timestamp(at)]})
+    out["at_ts"] = out["at_ts"].astype("datetime64[us]")
+    return out
