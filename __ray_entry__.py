@@ -239,6 +239,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cohort_ltv": Q.orders_cohort_ltv,        # LTV triangle
         "events_peak_concurrency":
             Q.events_peak_concurrency,                   # sweep-line max
+        "events_autocorrelation":
+            Q.events_autocorrelation,                    # daily ACF
+        "emb_mahalanobis_outliers":
+            Q.emb_mahalanobis_outliers,                  # dist outliers
     }
 
 
@@ -1594,6 +1598,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, p.lang_pred, count(*) AS n
             FROM documents d JOIN p ON p.doc_id = d.doc_id
             GROUP BY 1, 2
+        """,
+        "events_autocorrelation": """
+            WITH d AS (
+                SELECT date_trunc('day', ts) AS day, count(*) AS n
+                FROM events GROUP BY 1),
+            r AS (SELECT n, row_number() OVER (ORDER BY day) AS rn
+                  FROM d),
+            lags AS (SELECT unnest(range(1, 8)) AS lag)
+            SELECT CAST(l.lag AS BIGINT) AS lag,
+                   count(*) AS n_pairs,
+                   round(corr(a.n, b.n), 6) AS acf
+            FROM lags l
+            JOIN r a ON TRUE
+            JOIN r b ON b.rn = a.rn + l.lag
+            GROUP BY 1 HAVING count(*) > 1
         """,
         "events_peak_concurrency": """
             WITH m AS (

@@ -4350,3 +4350,82 @@ def events_peak_concurrency(sf_dir: str) -> pd.DataFrame:
         "at_ts": [pd.Timestamp(at)]})
     out["at_ts"] = out["at_ts"].astype("datetime64[us]")
     return out
+
+
+def events_autocorrelation(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
+    """Autocorrelation function of the daily event-count series at
+    lags 1..7 (the periodicity diagnostic behind the seasonal
+    decomposition): ONE bounded daily rollup; each lag's Pearson r
+    over the aligned (row-shifted) series pairs is driver arithmetic
+    mirrored by the oracle's self-join on row number."""
+    ds = _events(sf_dir, ["ts"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.assign(day=df["ts"].dt.floor("D"))
+               .groupby("day", sort=False).size().rename("n")
+               .reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    d = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["day"], ["n"], merge="driver").sort_values("day") \
+        .reset_index(drop=True)
+    x = d["n"].to_numpy(dtype=np.float64)
+    rows = []
+    for lag in range(1, max_lag + 1):
+        if len(x) <= lag + 1:
+            break
+        a, b = x[:-lag], x[lag:]
+        r = np.corrcoef(a, b)[0, 1]
+        rows.append({"lag": lag, "n_pairs": len(a), "acf": float(r)})
+    out = pd.DataFrame(rows)
+    out["lag"] = out["lag"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return round_cols(out, ["acf"])
+
+
+def emb_mahalanobis_outliers(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Embedding-space anomaly detection: top-k vectors by Mahalanobis
+    distance to the corpus distribution.  The d×d covariance comes
+    from the one-pass sufficient-stats exchange (``_emb_moment_stats``);
+    its (regularized) inverse broadcasts once, each batch scores with
+    two matmuls, and per-block top-k partials reduce on the driver —
+    the corpus is read twice, shuffled never.  Rows-only: pinned
+    against a direct numpy computation in tests/test_ops.py."""
+    m = _emb_moment_stats(sf_dir)
+    n = float(m.loc[(m["i"] == -1) & (m["j"] == -1), "val"].iloc[0])
+    sx = (m.loc[(m["j"] == -1) & (m["i"] >= 0)]
+          .sort_values("i")["val"].to_numpy())
+    d = len(sx)
+    mean = sx / n
+    cov = np.zeros((d, d))
+    tri = m.loc[m["j"] >= 0]
+    ii = tri["i"].to_numpy(dtype=np.int64)
+    jj = tri["j"].to_numpy(dtype=np.int64)
+    cv = (tri["val"].to_numpy() - sx[ii] * sx[jj] / n) / (n - 1.0)
+    cov[ii, jj] = cv
+    cov[jj, ii] = cv
+    prec = np.linalg.inv(cov + 1e-9 * np.eye(d))
+    ref = ray.put((mean, prec))
+
+    from ..ops.ann import _stack
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        mu, P = ray.get(ref)
+        X = _stack(t.combine_chunks()["embedding"]) - mu
+        d2 = np.einsum("ij,jk,ik->i", X, P, X)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        top = np.argsort(-d2, kind="stable")[:k]
+        return pd.DataFrame({"vec_id": ids[top],
+                             "mahalanobis_sq": d2[top]})
+
+    parts = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]) \
+        .map_batches(score, batch_format="pyarrow",
+                     zero_copy_batch=True).to_pandas()
+    out = (parts.sort_values(["mahalanobis_sq", "vec_id"],
+                             ascending=[False, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return round_cols(out, ["mahalanobis_sq"])

@@ -933,3 +933,29 @@ def test_compression_ratio_orders_repetitive_below_diverse(
     out = doc_compression_ratio(str(tmp_path)).set_index("doc_id")
     assert out.loc[1, "ratio"] < out.loc[0, "ratio"] / 3
     assert out.loc[2, "ratio"] == 1.0 and out.loc[2, "n_bytes"] == 0
+
+
+def test_mahalanobis_outliers_match_numpy(ray_session):
+    """Top-k Mahalanobis ids/distances == direct numpy over the whole
+    matrix (same regularized precision)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mlp_ray.ops.ann import _stack
+    from mlp_ray.pipelines.queries import emb_mahalanobis_outliers
+
+    sf = "/root/testdata/sf0.001"
+    got = emb_mahalanobis_outliers(sf, k=10)
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    X = _stack(t["embedding"].combine_chunks())
+    ids = t["vec_id"].to_numpy()
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False)
+    prec = np.linalg.inv(cov + 1e-9 * np.eye(X.shape[1]))
+    Xc = X - mu
+    d2 = np.einsum("ij,jk,ik->i", Xc, prec, Xc)
+    order = np.lexsort((ids, -d2))[:10]
+    assert got["vec_id"].tolist() == ids[order].tolist()
+    assert np.allclose(got["mahalanobis_sq"].to_numpy(),
+                       d2[order], atol=1e-4)
