@@ -243,6 +243,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Q.events_autocorrelation,                    # daily ACF
         "emb_mahalanobis_outliers":
             Q.emb_mahalanobis_outliers,                  # dist outliers
+        "parts_price_size_regression":
+            Q.parts_price_size_regression,               # grouped regr_*
+        "events_user_entropy": Q.events_user_entropy,    # concentration H
     }
 
 
@@ -1598,6 +1601,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, p.lang_pred, count(*) AS n
             FROM documents d JOIN p ON p.doc_id = d.doc_id
             GROUP BY 1, 2
+        """,
+        "parts_price_size_regression": """
+            SELECT p_brand, count(*) AS n,
+                   round(regr_slope(p_retailprice, p_size), 6) AS slope,
+                   round(regr_intercept(p_retailprice, p_size), 6)
+                       AS intercept
+            FROM part GROUP BY 1
+        """,
+        "events_user_entropy": """
+            WITH c AS (
+                SELECT event_type, user_id, count(*) AS n
+                FROM events GROUP BY 1, 2)
+            SELECT event_type,
+                   CAST(sum(n) AS BIGINT) AS n,
+                   count(*) AS n_users,
+                   round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6)
+                       AS entropy_bits
+            FROM c GROUP BY 1
         """,
         "events_autocorrelation": """
             WITH d AS (

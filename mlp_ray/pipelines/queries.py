@@ -4429,3 +4429,83 @@ def emb_mahalanobis_outliers(sf_dir: str, k: int = 20) -> pd.DataFrame:
            .head(k).reset_index(drop=True))
     out["vec_id"] = out["vec_id"].astype("int64")
     return round_cols(out, ["mahalanobis_sq"])
+
+
+def parts_price_size_regression(sf_dir: str) -> pd.DataFrame:
+    """Per-brand least-squares fit of retail price against size — the
+    grouped regr_slope/regr_intercept family over a second table
+    (sufficient-statistic rows per (block, brand), driver readout)."""
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_brand", "p_size", "p_retailprice"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["p_size"].to_numpy(dtype=np.float64)
+        y = df["p_retailprice"].to_numpy()
+        t = pd.DataFrame({"p_brand": df["p_brand"], "x": x, "y": y,
+                          "xx": x * x, "xy": x * y})
+        out = (t.groupby("p_brand", sort=False)
+               .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                    sxx=("xx", "sum"), sxy=("xy", "sum")).reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    m = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["p_brand"], ["n", "sx", "sy", "sxx", "sxy"], merge="driver")
+    n = m["n"].to_numpy(dtype=np.float64)
+    sx, sy = m["sx"].to_numpy(), m["sy"].to_numpy()
+    sxx, sxy = m["sxx"].to_numpy(), m["sxy"].to_numpy()
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    out = pd.DataFrame({"p_brand": m["p_brand"],
+                        "n": m["n"].astype("int64"),
+                        "slope": slope,
+                        "intercept": (sy - slope * sx) / n})
+    return round_cols(out.sort_values("p_brand").reset_index(drop=True),
+                      ["slope", "intercept"])
+
+
+def events_user_entropy(sf_dir: str) -> pd.DataFrame:
+    """Audience-concentration entropy: Shannon entropy (bits) of the
+    per-user event distribution within each type — low entropy = a few
+    users dominate the type.  (type, user) counts prune per batch;
+    entropy decomposes per user so the one user-bucketed exchange
+    ships disjoint partial Σ n·log2(n) terms and the driver finishes
+    with the log-identity H = log2(N) − Σ n·log2(n)/N."""
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["event_type", "user_id"])
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["event_type", "user_id"], sort=False).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def bucket_terms(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(["event_type", "user_id"], as_index=False)["n"]
+             .sum())
+        nn = g["n"].to_numpy(dtype=np.float64)
+        out = (pd.DataFrame({"event_type": g["event_type"],
+                             "nlogn": nn * np.log2(nn), "n": g["n"],
+                             "users": np.int64(1)})
+               .groupby("event_type", as_index=False)
+               .agg(nlogn=("nlogn", "sum"), n=("n", "sum"),
+                    n_users=("users", "sum")))
+        out["n"] = out["n"].astype("int64")
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    parts = bucketed_groups(
+        ds.map_batches(arrow_partials(pair_partials),
+                       batch_format="pandas"),
+        ["user_id"], bucket_terms).to_pandas()
+    agg = (parts.groupby("event_type", as_index=False)
+           .agg(nlogn=("nlogn", "sum"), n=("n", "sum"),
+                n_users=("n_users", "sum")))
+    N = agg["n"].to_numpy(dtype=np.float64)
+    agg["entropy_bits"] = np.log2(N) - agg["nlogn"].to_numpy() / N
+    out = agg[["event_type", "n", "n_users", "entropy_bits"]].copy()
+    out["n"] = out["n"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return round_cols(out.sort_values("event_type").reset_index(drop=True),
+                      ["entropy_bits"])
