@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_price_size_regression":
             Q.parts_price_size_regression,               # grouped regr_*
         "events_user_entropy": Q.events_user_entropy,    # concentration H
+        "events_type_lift": Q.events_type_lift,          # basket lift
     }
 
 
@@ -1600,6 +1601,26 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT d.lang, p.lang_pred, count(*) AS n
             FROM documents d JOIN p ON p.doc_id = d.doc_id
+            GROUP BY 1, 2
+        """,
+        "events_type_lift": """
+            WITH u AS (
+                SELECT DISTINCT user_id, event_type FROM events),
+            t AS (SELECT count(DISTINCT user_id) AS n_users FROM u),
+            s AS (SELECT event_type, count(*) AS n FROM u GROUP BY 1)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_both,
+                   any_value(sa.n) AS n_a, any_value(sb.n) AS n_b,
+                   round((count(*) * 1.0 / any_value(t.n_users))
+                         / ((any_value(sa.n) * 1.0 / any_value(t.n_users))
+                            * (any_value(sb.n) * 1.0
+                               / any_value(t.n_users))), 6) AS lift
+            FROM u a
+            JOIN u b ON b.user_id = a.user_id
+                    AND a.event_type < b.event_type
+            JOIN s sa ON sa.event_type = a.event_type
+            JOIN s sb ON sb.event_type = b.event_type
+            CROSS JOIN t
             GROUP BY 1, 2
         """,
         "parts_price_size_regression": """

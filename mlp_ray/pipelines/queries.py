@@ -4509,3 +4509,52 @@ def events_user_entropy(sf_dir: str) -> pd.DataFrame:
     out["n_users"] = out["n_users"].astype("int64")
     return round_cols(out.sort_values("event_type").reset_index(drop=True),
                       ["entropy_bits"])
+
+
+def events_type_lift(sf_dir: str) -> pd.DataFrame:
+    """Market-basket association lift between event types at the user
+    level: lift(A,B) = P(user did A AND B) / (P(A)·P(B)).  Distinct
+    (user, type) pairs prune per batch; the one user-bucketed exchange
+    derives per-user type sets and emits BOUNDED (typeA, typeB, n)
+    partials (types² per bucket), so the driver sees no user-sized
+    data — the n_users denominator rides the same exchange."""
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["event_type", "user_id"])
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["user_id", "event_type"]].drop_duplicates()
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        j = g.merge(g, on="user_id")
+        pair = (j.loc[j["event_type_x"] <= j["event_type_y"]]
+                .groupby(["event_type_x", "event_type_y"], sort=False)
+                .size().rename("n").reset_index())
+        users = pd.DataFrame({"event_type_x": [""], "event_type_y": [""],
+                              "n": [g["user_id"].nunique()]})
+        out = pd.concat([pair, users], ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = bucketed_groups(
+        ds.map_batches(arrow_partials(pair_partials),
+                       batch_format="pandas"),
+        ["user_id"], bucket_counts).to_pandas()
+    agg = (parts.groupby(["event_type_x", "event_type_y"],
+                         as_index=False)["n"].sum())
+    n_users = float(agg.loc[(agg["event_type_x"] == "")
+                            & (agg["event_type_y"] == ""), "n"].iloc[0])
+    agg = agg.loc[agg["event_type_x"] != ""]
+    solo = agg.loc[agg["event_type_x"] == agg["event_type_y"]] \
+        .set_index("event_type_x")["n"]
+    out = agg.loc[agg["event_type_x"] < agg["event_type_y"]].copy()
+    out = out.rename(columns={"event_type_x": "type_a",
+                              "event_type_y": "type_b", "n": "n_both"})
+    out["n_a"] = out["type_a"].map(solo).astype("int64")
+    out["n_b"] = out["type_b"].map(solo).astype("int64")
+    out["n_both"] = out["n_both"].astype("int64")
+    out["lift"] = (out["n_both"] / n_users) / (
+        (out["n_a"] / n_users) * (out["n_b"] / n_users))
+    out = out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    return round_cols(out, ["lift"])
