@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Q.parts_price_size_regression,               # grouped regr_*
         "events_user_entropy": Q.events_user_entropy,    # concentration H
         "events_type_lift": Q.events_type_lift,          # basket lift
+        "events_user_zipf": Q.events_user_zipf,          # heavy-tail fit
     }
 
 
@@ -1602,6 +1603,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, p.lang_pred, count(*) AS n
             FROM documents d JOIN p ON p.doc_id = d.doc_id
             GROUP BY 1, 2
+        """,
+        "events_user_zipf": """
+            WITH u AS (
+                SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+            r AS (SELECT n, row_number() OVER (ORDER BY n DESC, user_id)
+                             AS rnk
+                  FROM u)
+            SELECT count(*) AS n_users,
+                   round(regr_slope(log2(n), log2(rnk)), 6) AS zipf_slope,
+                   round(regr_intercept(log2(n), log2(rnk)), 6)
+                       AS intercept
+            FROM r
         """,
         "events_type_lift": """
             WITH u AS (

@@ -4558,3 +4558,53 @@ def events_type_lift(sf_dir: str) -> pd.DataFrame:
         (out["n_a"] / n_users) * (out["n_b"] / n_users))
     out = out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
     return round_cols(out, ["lift"])
+
+
+def events_user_zipf(sf_dir: str) -> pd.DataFrame:
+    """Zipf fit of user activity: regress log2(count) on log2(rank)
+    over users ranked by activity — the heavy-tail diagnostic behind
+    hot-key planning.  Per-user counts reduce in one bucketed
+    exchange; the exact global rank comes from the distributed rank
+    primitive; the slope is a least-squares readout of per-block
+    (Σx, Σy, Σxx, Σxy) sufficient statistics over the ranked rows."""
+    from ..ops.window import global_rank
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["user_id"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("user_id", sort=False).size().rename("n")
+               .reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    users = bucketed_groups(
+        ds.map_batches(arrow_partials(counts), batch_format="pandas"),
+        ["user_id"], merge)
+    ranked = global_rank(users, ["n", "user_id"],
+                         descending=[True, False], rank_col="rnk")
+
+    def fit_partials(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.log2(df["rnk"].to_numpy(dtype=np.float64))
+        y = np.log2(df["n"].to_numpy(dtype=np.float64))
+        return pd.DataFrame({
+            "n_users": pd.array([len(df)], dtype="int64"),
+            "sx": [float(x.sum())], "sy": [float(y.sum())],
+            "sxx": [float((x * x).sum())], "sxy": [float((x * y).sum())]})
+
+    p = ranked.map_batches(arrow_partials(fit_partials),
+                           batch_format="pandas").to_pandas()
+    n = float(p["n_users"].sum())
+    sx, sy = float(p["sx"].sum()), float(p["sy"].sum())
+    sxx, sxy = float(p["sxx"].sum()), float(p["sxy"].sum())
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    out = pd.DataFrame({
+        "n_users": pd.array([int(n)], dtype="int64"),
+        "zipf_slope": [slope],
+        "intercept": [(sy - slope * sx) / n]})
+    return round_cols(out, ["zipf_slope", "intercept"])
