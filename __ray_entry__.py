@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_entropy": Q.events_user_entropy,    # concentration H
         "events_type_lift": Q.events_type_lift,          # basket lift
         "events_user_zipf": Q.events_user_zipf,          # heavy-tail fit
+        "emb_intrinsic_dim": Q.emb_intrinsic_dim,        # Two-NN MLE
     }
 
 

@@ -4608,3 +4608,51 @@ def events_user_zipf(sf_dir: str) -> pd.DataFrame:
         "zipf_slope": [slope],
         "intercept": [(sy - slope * sx) / n]})
     return round_cols(out, ["zipf_slope", "intercept"])
+
+
+def emb_intrinsic_dim(sf_dir: str) -> pd.DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al. 2017): for
+    each vector the ratio µ = d₂/d₁ of its two nearest-neighbor
+    distances; id = n / Σ log µ (the MLE under the Pareto likelihood).
+    The corpus broadcasts once as the query matrix and each block
+    scores its rows against it with one matmul (the brute-force kNN
+    baseline — at scale the d₁/d₂ lookups ride the IVF/LSH paths);
+    per-block Σ log µ partials reduce on the driver.  Rows-only: the
+    planted-subspace recovery contract is pinned in tests/test_ops.py."""
+    from ..ops.ann import _stack
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding"])
+    M = _stack(tbl["embedding"].combine_chunks())
+    ref = ray.put(M)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        full = ray.get(ref)
+        X = _stack(t.combine_chunks()["embedding"])
+        # squared euclidean distances to the whole corpus
+        d2 = (np.sum(X * X, axis=1)[:, None]
+              + np.sum(full * full, axis=1)[None, :]
+              - 2.0 * (X @ full.T))
+        d2 = np.maximum(d2, 0.0)
+        part = np.partition(d2, 2, axis=1)[:, :3]
+        part.sort(axis=1)
+        d1 = np.sqrt(part[:, 1])          # 0 is self
+        d2_ = np.sqrt(part[:, 2])
+        ok = d1 > 0
+        mu = d2_[ok] / d1[ok]
+        return pd.DataFrame({
+            "n": pd.array([int(ok.sum())], dtype="int64"),
+            "sum_log_mu": [float(np.log(mu).sum())]})
+
+    p = ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas()
+    n = float(p["n"].sum())
+    s = float(p["sum_log_mu"].sum())
+    out = pd.DataFrame({
+        "n_vectors": pd.array([int(n)], dtype="int64"),
+        "intrinsic_dim": [n / s],
+        "ambient_dim": pd.array([M.shape[1]], dtype="int64")})
+    return round_cols(out, ["intrinsic_dim"])

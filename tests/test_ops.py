@@ -959,3 +959,30 @@ def test_mahalanobis_outliers_match_numpy(ray_session):
     assert got["vec_id"].tolist() == ids[order].tolist()
     assert np.allclose(got["mahalanobis_sq"].to_numpy(),
                        d2[order], atol=1e-4)
+
+
+def test_intrinsic_dim_recovers_planted_subspace(ray_session, tmp_path):
+    """Vectors living on a k-dim linear subspace of a 64-dim ambient
+    space must estimate intrinsic_dim ~= k (Two-NN is local and
+    rotation-invariant; tolerance generous since the MLE has O(1/√n)
+    spread)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mlp_ray.pipelines.queries import emb_intrinsic_dim
+
+    rng = np.random.default_rng(41)
+    k, d, n = 5, 64, 1500
+    basis = np.linalg.qr(rng.normal(size=(d, k)))[0]   # d×k orthonormal
+    Z = rng.normal(size=(n, k))
+    X = (Z @ basis.T).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(n),
+                       "embedding": [row.tolist() for row in X]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "embeddings.parquet")
+    out = emb_intrinsic_dim(str(tmp_path))
+    est = float(out["intrinsic_dim"].iloc[0])
+    assert 3.5 < est < 7.0, est
+    assert int(out["ambient_dim"].iloc[0]) == d
