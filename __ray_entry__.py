@@ -249,6 +249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_lift": Q.events_type_lift,          # basket lift
         "events_user_zipf": Q.events_user_zipf,          # heavy-tail fit
         "emb_intrinsic_dim": Q.emb_intrinsic_dim,        # Two-NN MLE
+        "doc_dup_cluster_hist": Q.doc_dup_cluster_hist,  # copy histogram
+        "source_simpson_diversity":
+            Q.source_simpson_diversity,                  # 1 - Σp²
     }
 
 
@@ -1604,6 +1607,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, p.lang_pred, count(*) AS n
             FROM documents d JOIN p ON p.doc_id = d.doc_id
             GROUP BY 1, 2
+        """,
+        "doc_dup_cluster_hist": """
+            WITH c AS (
+                SELECT md5(text) AS h, count(*) AS dup_count
+                FROM documents GROUP BY 1)
+            SELECT dup_count, count(*) AS n_clusters,
+                   CAST(dup_count * count(*) AS BIGINT) AS n_docs
+            FROM c GROUP BY 1
+        """,
+        "source_simpson_diversity": r"""
+            WITH c AS (
+                SELECT source, tok, count(*) AS n
+                FROM (SELECT source,
+                             unnest(regexp_split_to_array(trim(text),
+                                                          '\s+')) AS tok
+                      FROM documents WHERE length(trim(text)) > 0)
+                GROUP BY 1, 2)
+            SELECT source, CAST(sum(n) AS BIGINT) AS n,
+                   round(1 - sum(n * n * 1.0) / (sum(n) * sum(n)), 6)
+                       AS simpson
+            FROM c GROUP BY 1
         """,
         "events_user_zipf": """
             WITH u AS (

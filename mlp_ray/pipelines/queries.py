@@ -4656,3 +4656,70 @@ def emb_intrinsic_dim(sf_dir: str) -> pd.DataFrame:
         "intrinsic_dim": [n / s],
         "ambient_dim": pd.array([M.shape[1]], dtype="int64")})
     return round_cols(out, ["intrinsic_dim"])
+
+
+def doc_dup_cluster_hist(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-cluster size histogram (how much of the corpus sits
+    in 1x / 2x / Nx copies): the exact-dedup canonical table's
+    dup_count distribution — exchange volume bounded by distinct
+    texts, histogram bounded by the max multiplicity."""
+    from ..ops import dedup
+
+    canon = dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"])) \
+        .to_pandas()
+    out = (canon.groupby("dup_count", as_index=False)
+           .agg(n_clusters=("text_hash", "size")))
+    out["dup_count"] = out["dup_count"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    out["n_docs"] = (out["dup_count"] * out["n_clusters"]).astype("int64")
+    return out.sort_values("dup_count").reset_index(drop=True)
+
+
+def source_simpson_diversity(sf_dir: str) -> pd.DataFrame:
+    """Simpson diversity index of each source's unigram distribution
+    (1 − Σ pᵢ²; the entropy sibling quadratic in token probability):
+    Σ nᵢ² decomposes per token, so the per-(source, token) counts make
+    one token-bucketed exchange of disjoint partial squares and the
+    driver finishes with 1 − Σn²/N²."""
+    from ..util import bucketed_groups
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def tok_counts(t: pa.Table) -> pd.DataFrame:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")))
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(np.asarray(t["source"].to_pylist(), dtype=object),
+                        counts)
+        flat = pc.list_flatten(toks).to_pandas()
+        keep = (flat != "").to_numpy()
+        out = (pd.DataFrame({"source": src[keep], "tok": flat[keep]})
+               .groupby(["source", "tok"], sort=False).size().rename("n")
+               .reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def bucket_sq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["source", "tok"], as_index=False)["n"].sum()
+        nn = g["n"].to_numpy(dtype=np.float64)
+        out = (pd.DataFrame({"source": g["source"], "sq": nn * nn,
+                             "n": g["n"]})
+               .groupby("source", as_index=False)
+               .agg(sq=("sq", "sum"), n=("n", "sum")))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    from ..util import arrow_out
+
+    parts = bucketed_groups(
+        ds.map_batches(lambda t: arrow_out(tok_counts(t)),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        ["tok"], bucket_sq).to_pandas()
+    agg = (parts.groupby("source", as_index=False)
+           .agg(sq=("sq", "sum"), n=("n", "sum")))
+    N = agg["n"].to_numpy(dtype=np.float64)
+    agg["simpson"] = 1.0 - agg["sq"].to_numpy() / (N * N)
+    out = agg[["source", "n", "simpson"]].copy()
+    out["n"] = out["n"].astype("int64")
+    return round_cols(out.sort_values("source").reset_index(drop=True),
+                      ["simpson"])
