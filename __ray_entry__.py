@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_cluster_hist": Q.doc_dup_cluster_hist,  # copy histogram
         "source_simpson_diversity":
             Q.source_simpson_diversity,                  # 1 - Σp²
+        "orders_interpurchase": Q.orders_interpurchase,  # gap quantiles
     }
 
 
@@ -1607,6 +1608,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, p.lang_pred, count(*) AS n
             FROM documents d JOIN p ON p.doc_id = d.doc_id
             GROUP BY 1, 2
+        """,
+        "orders_interpurchase": """
+            WITH g AS (
+                SELECT date_diff('second',
+                                 lag(o_orderdate) OVER w, o_orderdate)
+                           / 86400.0 AS gap_days
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)
+                QUALIFY lag(o_orderdate) OVER w IS NOT NULL)
+            SELECT 0.25 AS q, round(CAST(quantile_cont(gap_days, 0.25)
+                                         AS DOUBLE), 6) AS gap_days
+            FROM g
+            UNION ALL SELECT 0.5,
+                round(CAST(quantile_cont(gap_days, 0.5) AS DOUBLE), 6)
+            FROM g
+            UNION ALL SELECT 0.75,
+                round(CAST(quantile_cont(gap_days, 0.75) AS DOUBLE), 6)
+            FROM g
         """,
         "doc_dup_cluster_hist": """
             WITH c AS (

@@ -4723,3 +4723,32 @@ def source_simpson_diversity(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].astype("int64")
     return round_cols(out.sort_values("source").reset_index(drop=True),
                       ["simpson"])
+
+
+def orders_interpurchase(sf_dir: str) -> pd.DataFrame:
+    """Inter-purchase interval statistics: the exact p25/p50/p75 of
+    days between a customer's consecutive orders.  Gaps derive in the
+    custkey-bucketed exchange (whole customers per bucket, one
+    sort+shift pass); their quantiles come from the selection
+    operator's histogram refinement — so neither the order rows nor
+    the gap multiset ever ship to one place."""
+    from ..ops.selection import distributed_quantiles
+    from ..util import bucketed_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderkey",
+                                  "o_orderdate"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        prev = g["o_orderdate"].shift()
+        same = g["o_custkey"].eq(g["o_custkey"].shift())
+        d = (g["o_orderdate"] - prev).dt.total_seconds() / 86400.0
+        return pd.DataFrame({"gap_days": d[same].to_numpy()})
+
+    gap_ds = bucketed_groups(ds, ["o_custkey"], gaps)
+    qs = [0.25, 0.5, 0.75]
+    got = distributed_quantiles(gap_ds, "gap_days", qs)
+    out = pd.DataFrame({"q": qs, "gap_days": [got[q] for q in qs]})
+    return round_cols(out, ["q", "gap_days"])
