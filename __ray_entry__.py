@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_simpson_diversity":
             Q.source_simpson_diversity,                  # 1 - Σp²
         "orders_interpurchase": Q.orders_interpurchase,  # gap quantiles
+        "events_bounce_rate": Q.events_bounce_rate,      # entry-type bounce
     }
 
 
@@ -1608,6 +1609,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, p.lang_pred, count(*) AS n
             FROM documents d JOIN p ON p.doc_id = d.doc_id
             GROUP BY 1, 2
+        """,
+        "events_bounce_rate": """
+            WITH m AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, event_id, event_type,
+                       SUM(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM m
+            ), f AS (
+                SELECT user_id, session_idx,
+                       first_value(event_type) OVER (
+                           PARTITION BY user_id, session_idx
+                           ORDER BY ts, event_id) AS entry_type
+                FROM s
+            ), g AS (
+                SELECT user_id, session_idx,
+                       any_value(entry_type) AS entry_type,
+                       count(*) AS n_events
+                FROM f GROUP BY 1, 2
+            )
+            SELECT entry_type, count(*) AS n_sessions,
+                   CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounces,
+                   round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 6) AS bounce_rate
+            FROM g GROUP BY 1
         """,
         "orders_interpurchase": """
             WITH g AS (

@@ -4752,3 +4752,45 @@ def orders_interpurchase(sf_dir: str) -> pd.DataFrame:
     got = distributed_quantiles(gap_ds, "gap_days", qs)
     out = pd.DataFrame({"q": qs, "gap_days": [got[q] for q in qs]})
     return round_cols(out, ["q", "gap_days"])
+
+
+def events_bounce_rate(sf_dir: str) -> pd.DataFrame:
+    """Bounce rate by session entry type: the share of 30-min-gap
+    sessions that contain exactly ONE event, grouped by the session's
+    first event type.  Sessionization and the entry-type attribution
+    happen in the one user-bucketed exchange; only the bounded
+    (entry_type, sessions, bounces) rollup leaves each bucket."""
+    from ..util import bucketed_groups
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["ts"].shift()
+        new_sess = (prev.isna()
+                    | ((g["ts"] - prev) > pd.Timedelta(minutes=30)))
+        sess = new_sess.groupby(g["user_id"], sort=False).cumsum()
+        key = [g["user_id"], sess]
+        n_events = g.groupby(key, sort=False)["ts"].transform("size")
+        first_type = g.groupby(key, sort=False)["event_type"] \
+            .transform("first")
+        heads = new_sess
+        out = (pd.DataFrame({
+            "entry_type": first_type[heads],
+            "bounce": (n_events[heads] == 1).astype("int64")})
+            .groupby("entry_type", sort=False)["bounce"]
+            .agg(n_sessions="size", n_bounces="sum").reset_index())
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_bounces"] = out["n_bounces"].astype("int64")
+        return out
+
+    parts = bucketed_groups(ds, ["user_id"], per_bucket).to_pandas()
+    out = (parts.groupby("entry_type", as_index=False)
+           .agg(n_sessions=("n_sessions", "sum"),
+                n_bounces=("n_bounces", "sum")))
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["n_bounces"] = out["n_bounces"].astype("int64")
+    out["bounce_rate"] = out["n_bounces"] / out["n_sessions"]
+    return round_cols(out.sort_values("entry_type").reset_index(drop=True),
+                      ["bounce_rate"])
