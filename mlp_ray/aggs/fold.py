@@ -94,6 +94,11 @@ class FoldSpec:
     # (LogLineAccumulator.java:75), but deterministic and
     # merge-order-independent.
     p95_mode: str = "exact"
+    # exact-quantile interpolation: "linear" (numpy/DuckDB
+    # quantile_cont — the oracle default) or "weibull" (R-6, the
+    # Apache commons-math LEGACY method the reference's Percentile
+    # readout uses — golden-corpus parity)
+    quantile_method: str = "linear"
 
     def _dtype(self, col: str) -> str:
         return self.col_dtypes.get(col, "string")
@@ -343,7 +348,7 @@ class FoldSpec:
                         _quantile_of_sketches, q=q)
                 else:
                     out[f"{sname}_{m}"] = _quantile_of_arrays_grouped(
-                        g, f"_vals_{m}", q)
+                        g, f"_vals_{m}", q, self.quantile_method)
         for c, out_name in self.bool_count_cols.items():
             out[out_name] = g[f"_bsum_{c}"].sum()
         for c in self.countmap_cols:
@@ -388,7 +393,8 @@ class FoldSpec:
         return out
 
 
-def _quantile_of_arrays_grouped(gb, col: str, q: float = 0.95) -> pd.Series:
+def _quantile_of_arrays_grouped(gb, col: str, q: float = 0.95,
+                                method: str = "linear") -> pd.Series:
     """Exact per-group quantile over variable-length value arrays in ONE
     lexsort pass — replaces the old per-group ``np.quantile`` apply
     (one call per group dominated the driver-merge profile after the
@@ -412,16 +418,36 @@ def _quantile_of_arrays_grouped(gb, col: str, q: float = 0.95) -> pd.Series:
         v, gcodes = v[order], gcodes[order]
         starts = np.flatnonzero(np.r_[True, gcodes[1:] != gcodes[:-1]])
         ends = np.r_[starts[1:], len(gcodes)]
-        pos = (ends - starts - 1) * q
-        lo = starts + np.floor(pos).astype(np.int64)
-        hi = np.minimum(lo + 1, ends - 1)
-        frac = pos - np.floor(pos)
-        # numpy's _lerp flips formulas at t=0.5 for stability —
-        # replicate it so results are bit-identical to np.quantile
-        diff = v[hi] - v[lo]
-        out[gcodes[starts]] = np.where(frac >= 0.5,
-                                       v[hi] - diff * (1 - frac),
-                                       v[lo] + diff * frac)
+        if method == "weibull":
+            # R-6 / Apache commons-math LEGACY estimation
+            # (Percentile.evaluate), replicated DOUBLE-for-DOUBLE so
+            # Math.round(getPercentile(95)) matches the reference's
+            # readout (LogLineAccumulator.java:197-199): 1-indexed
+            # pos = q·(n+1); pos<1 → min, pos≥n → max, else naive
+            # lower + d·(upper−lower) (NOT numpy's stable lerp — the
+            # float drift of d·diff is part of the reference's output,
+            # e.g. 148 + 0.7·5 = 151.4999… rounds to 151, not 152)
+            n = ends - starts
+            pos1 = (n + 1).astype(np.float64) * q  # 1-indexed
+            fpos = np.floor(pos1)
+            d = pos1 - fpos
+            lo = starts + np.clip(fpos.astype(np.int64) - 1, 0, n - 1)
+            hi = np.minimum(lo + 1, ends - 1)
+            res = v[lo] + d * (v[hi] - v[lo])
+            res = np.where(pos1 < 1.0, v[starts], res)
+            res = np.where(pos1 >= n, v[ends - 1], res)
+            out[gcodes[starts]] = res
+        else:
+            pos = (ends - starts - 1) * q
+            lo = starts + np.floor(pos).astype(np.int64)
+            hi = np.minimum(lo + 1, ends - 1)
+            frac = pos - np.floor(pos)
+            # numpy's _lerp flips formulas at t=0.5 for stability —
+            # replicate it so results are bit-identical to np.quantile
+            diff = v[hi] - v[lo]
+            out[gcodes[starts]] = np.where(frac >= 0.5,
+                                           v[hi] - diff * (1 - frac),
+                                           v[lo] + diff * frac)
     return pd.Series(out, index=group_index)
 
 

@@ -27,6 +27,12 @@ import ray.data as rd
 from .text import md5_hash_batch
 from ..util import round_half_away
 
+# Budget for the driver-resident broadcast pair-value join
+# (_attach_pair_values_broadcast holds 3 int64 arrays of this length):
+# above it the verify stage falls back to the dataset-shaped two-stage
+# join instead of growing driver memory with the candidate list.
+MAX_BROADCAST_PAIRS = 2_000_000
+
 _NUM_BUCKETS = 64
 
 # Per-worker-process cache for the cheap-state hash stages: Ray reuses
@@ -582,7 +588,16 @@ def ngram_jaccard_verify(docs_ds: rd.Dataset, candidates: pd.DataFrame,
     sh = docs_ds.map_batches(shingles, batch_format="pyarrow")
     pairs = (candidates[["doc_id", "dup_of"]]
              .drop_duplicates().reset_index(drop=True))
-    scored = _attach_pair_values_broadcast(sh, pairs, exact_jaccard)
+    if len(pairs) > MAX_BROADCAST_PAIRS:
+        # the broadcast join holds the pair list driver-resident —
+        # past this budget fall back to the dataset-shaped two-stage
+        # join so a pathological candidate blow-up cannot OOM the
+        # driver (the verify contract is candidates ≪ corpus, but the
+        # guard makes the 100 TB path fail soft, not fatal)
+        scored = _attach_pair_values(
+            sh, rd.from_pandas(pairs), exact_jaccard).to_pandas()
+    else:
+        scored = _attach_pair_values_broadcast(sh, pairs, exact_jaccard)
     if scored.empty:
         return (candidates.assign(jaccard=0.0)
                 .iloc[0:0].reset_index(drop=True))

@@ -42,10 +42,12 @@ def classify_df(df: pd.DataFrame, redact: bool = True) -> pd.DataFrame:
     is_admin = opk.isin(ADMIN_OPS) | opk.fillna("").str.startswith("_shardsvr")
     is_cs = (opk == "getMore") & df["is_change_stream"].fillna(False)
 
+    from .schema import REF_COMMAND_OPS
+    is_known = opk.isin(REF_COMMAND_OPS)
     op = pd.Series(None, index=df.index, dtype=object)
-    op[is_cmd] = opk[is_cmd]
-    op[is_cmd & is_admin] = "cmd"
-    op[is_cmd & is_cs] = "getMore (change stream)"
+    op[is_cmd & is_known] = opk[is_cmd & is_known]
+    op[is_cmd & is_admin] = "command"
+    op[is_cmd & is_known & is_cs] = "getMore (change stream)"
     op[is_write & (opk == "update")] = "update_w"
     op[is_write & (opk == "delete")] = "remove"
     op[is_write & (opk == "insert")] = "insert"

@@ -49,14 +49,24 @@ WITH cl AS (
     SELECT *,
       CASE
         WHEN component = 'COMMAND' AND msg = 'Slow query'
-             AND (op_kind IN ('createIndexes', 'collMod', 'drop',
-                              'killCursors', 'commitTransaction')
+             AND (op_kind IN ('drop', 'dropDatabase', 'dropIndexes',
+                              'createIndexes', 'collMod', 'renameCollection',
+                              'validate', 'compact', 'reIndex', 'explain',
+                              'currentOp', 'killOp', 'fsync', 'eval',
+                              'listCollections', 'planCacheClear',
+                              'configureFailPoint', 'killCursors',
+                              'abortTransaction', 'commitTransaction',
+                              'startTransaction')
                   OR starts_with(coalesce(op_kind, ''), '_shardsvr'))
-            THEN 'cmd'
+            THEN 'command'
         WHEN component = 'COMMAND' AND msg = 'Slow query'
              AND op_kind = 'getMore' AND coalesce(is_change_stream, FALSE)
             THEN 'getMore (change stream)'
-        WHEN component = 'COMMAND' AND msg = 'Slow query' THEN op_kind
+        WHEN component = 'COMMAND' AND msg = 'Slow query'
+             AND op_kind IN ('find', 'aggregate', 'findAndModify', 'update',
+                             'insert', 'delete', 'getMore', 'count',
+                             'distinct')
+            THEN op_kind
         WHEN component = 'WRITE' AND msg = 'Slow query'
              AND op_kind = 'update' THEN 'update_w'
         WHEN component = 'WRITE' AND msg = 'Slow query'
@@ -309,6 +319,10 @@ GROUP BY ALL
 # parse to all-NULL rows (ignore_errors) and classify to no op, like
 # the Ray path's parse_status accounting.
 from .sources.rawlog import RAWLOG_FIXTURE_DIR as _RAWLOG_FIXTURE  # noqa: E402
+from .stages.filters import (  # noqa: E402
+    RAW_LINE_IGNORE_PATTERNS as _RAW_IGNORE_PATTERNS)
+from .schema import (  # noqa: E402
+    ADMIN_OPS as _ADMIN_OPS, REF_COMMAND_OPS as _REF_COMMAND_OPS)
 
 # per-component error audit: component and the error predicate both
 # re-derived from the raw JSON independently of the engine's parser
@@ -327,96 +341,151 @@ SELECT j.c AS component, count(*) AS n,
 FROM j WHERE j.c IS NOT NULL GROUP BY 1
 """
 
+_RAW_IGNORE_SQL = " OR ".join(
+    "contains(line, '" + p.replace("'", "''") + "')"
+    for p in _RAW_IGNORE_PATTERNS)
+_TARGET_OP_SQL = " OR ".join(
+    f"""contains(line, '"{k}":')"""
+    for k in ("find", "aggregate", "update", "insert", "delete",
+              "findAndModify", "getMore", "count", "distinct"))
+_KNOWN_OP_SQL = "\n        ".join(
+    f"""WHEN json_extract(cmd, '$.{k}') IS NOT NULL THEN '{k}'"""
+    for k in _REF_COMMAND_OPS)
+_ADMIN_IN_SQL = ", ".join(f"'{k}'" for k in sorted(_ADMIN_OPS))
+
+# Reference-exact raw-log main-ops oracle, re-derived INDEPENDENTLY
+# over the raw gz lines: shouldIgnoreLine whitelists + blacklist on
+# the raw text (LogParser.java:896-924, FilterConfig.java:20-71), the
+# INDEX -> WRITE -> COMMAND branch dispatch with attr.msg-keyed INDEX
+# categorization (LogParserTask.java:155-345, 720-778), the closed
+# command set + admin/_shardsv* tail (:802-953), collection-name ns
+# override, and main labels = OpType.getType() ("command" for INDEX /
+# admin ops).  count(*) mirrors the engine's generic fold count; the
+# reference's duration-gated count is attested separately by
+# tests/test_reference_golden.py over the real corpus.
 _RAWLOG_MAIN_OPS_SQL = f"""
-WITH j AS (
-  SELECT * FROM read_json('{_RAWLOG_FIXTURE}/*.log.gz',
-                          format='newline_delimited',
-                          ignore_errors=true, union_by_name=true)),
+WITH lines AS (
+  SELECT line FROM read_csv('{_RAWLOG_FIXTURE}/*.log.gz', header=false,
+                            delim='\x01', quote='',
+                            columns={{'line': 'VARCHAR'}})),
+keep AS (
+  SELECT CASE WHEN json_valid(line) THEN line END AS js
+  FROM lines
+  WHERE json_valid(line)
+    AND ({_TARGET_OP_SQL}
+         OR contains(line, '"msg":"client metadata"')
+         OR (contains(line, '"c":"ACCESS"')
+             AND contains(line, '"msg":"Successfully authenticated"'))
+         OR (contains(line, '"c":"NETWORK"')
+             AND (contains(line, '"msg":"Connection accepted"')
+                  OR contains(line, '"msg":"Connection ended"')))
+         OR NOT ({_RAW_IGNORE_SQL}))),
 ev AS (
   SELECT
-    j.c AS component, j.msg AS msg,
-    coalesce(j.attr."ns", j.attr."namespace") AS ns,
-    j.attr."appName" AS app_name,
-    j.attr."durationMillis" AS duration_ms,
-    j.attr."keysExamined" AS keys_examined,
-    j.attr."docsExamined" AS docs_examined,
-    j.attr."nreturned" AS n_returned,
-    j.attr."reslen" AS reslen,
-    j.attr."storage"."data"."bytesRead" AS bytes_read,
-    j.attr."storage"."data"."bytesWritten" AS bytes_written,
-    j.attr."writeConflicts" AS write_conflicts,
-    j.attr."nShards" AS n_shards,
-    j.attr."nModified" AS n_modified,
-    j.attr."nUpserted" AS n_upserted,
-    coalesce(j.attr."ndeleted", j.attr."numDeleted") AS n_deleted,
-    j.attr."ninserted" AS n_inserted,
-    (j.attr."ok" = 0 OR j.attr."error" IS NOT NULL) AS is_error,
-    contains(coalesce(CAST(j.attr."originatingCommand" AS VARCHAR), ''),
-             '$changeStream') AS is_change_stream,
-    CASE WHEN j.c = 'WRITE' THEN j.attr."type"
-         WHEN j.attr."command"."find" IS NOT NULL THEN 'find'
-         WHEN j.attr."command"."aggregate" IS NOT NULL THEN 'aggregate'
-         WHEN j.attr."command"."update" IS NOT NULL THEN 'update'
-         WHEN j.attr."command"."insert" IS NOT NULL THEN 'insert'
-         WHEN j.attr."command"."delete" IS NOT NULL THEN 'delete'
-         WHEN j.attr."command"."findAndModify" IS NOT NULL
-             THEN 'findAndModify'
-         WHEN j.attr."command"."getMore" IS NOT NULL THEN 'getMore'
-         WHEN j.attr."command"."count" IS NOT NULL THEN 'count'
-         WHEN j.attr."command"."distinct" IS NOT NULL THEN 'distinct'
-         WHEN j.attr."command"."createIndexes" IS NOT NULL
-             THEN 'createIndexes'
-         WHEN j.attr."command"."_shardsvrMoveChunk" IS NOT NULL
-             THEN '_shardsvrMoveChunk'
-         WHEN j.attr."command"."collMod" IS NOT NULL THEN 'collMod'
-         END AS op_kind
-  FROM j),
+    js->>'$.c' AS c,
+    js->>'$.attr.msg' AS attr_msg,
+    js->>'$.attr.ns' AS attr_ns,
+    js->>'$.attr.namespace' AS attr_nsp,
+    js->>'$.attr.type' AS wtype,
+    json_extract(js, '$.attr.command') AS cmd,
+    js->>'$.attr.appName' AS app_name0,
+    TRY_CAST(js->>'$.attr.durationMillis' AS BIGINT) AS duration_ms,
+    TRY_CAST(js->>'$.attr.keysExamined' AS BIGINT) AS keys_examined,
+    TRY_CAST(js->>'$.attr.docsExamined' AS BIGINT) AS docs_examined,
+    TRY_CAST(js->>'$.attr.nreturned' AS BIGINT) AS n_returned,
+    TRY_CAST(js->>'$.attr.reslen' AS BIGINT) AS reslen,
+    coalesce(TRY_CAST(js->>'$.attr.storage.bytesRead' AS BIGINT),
+             TRY_CAST(js->>'$.attr.storage.data.bytesRead' AS BIGINT))
+        AS bytes_read,
+    coalesce(TRY_CAST(js->>'$.attr.storage.bytesWritten' AS BIGINT),
+             TRY_CAST(js->>'$.attr.storage.data.bytesWritten' AS BIGINT))
+        AS bytes_written,
+    TRY_CAST(js->>'$.attr.writeConflicts' AS BIGINT) AS write_conflicts,
+    TRY_CAST(js->>'$.attr.nShards' AS BIGINT) AS n_shards,
+    TRY_CAST(js->>'$.attr.nModified' AS BIGINT) AS n_modified,
+    TRY_CAST(js->>'$.attr.nUpserted' AS BIGINT) AS n_upserted,
+    coalesce(TRY_CAST(js->>'$.attr.ndeleted' AS BIGINT),
+             TRY_CAST(js->>'$.attr.numDeleted' AS BIGINT)) AS n_deleted,
+    TRY_CAST(js->>'$.attr.ninserted' AS BIGINT) AS n_inserted,
+    (TRY_CAST(js->>'$.attr.ok' AS DOUBLE) = 0
+     OR json_extract(js, '$.attr.error') IS NOT NULL) AS is_error,
+    contains(coalesce(CAST(json_extract(js, '$.attr.originatingCommand')
+                           AS VARCHAR), ''), '$changeStream')
+        AS is_change_stream
+  FROM keep),
+br AS (
+  SELECT *,
+    CASE
+      WHEN c = 'INDEX'
+           AND contains(coalesce(attr_msg, ''),
+                        'Deleted expired documents') THEN 'ttl_attr'
+      WHEN c = 'INDEX' AND attr_nsp IS NOT NULL THEN 'index'
+      WHEN c = 'WRITE' AND wtype IS NOT NULL THEN
+          CASE WHEN attr_ns IS NOT NULL THEN 'write' ELSE 'dead' END
+      WHEN cmd IS NOT NULL THEN
+          CASE WHEN attr_ns IS NOT NULL THEN 'command' ELSE 'dead' END
+      ELSE 'none' END AS branch,
+    CASE
+        {_KNOWN_OP_SQL}
+    END AS known_op,
+    list_filter(json_keys(coalesce(cmd, '{{}}'::JSON)),
+                k -> k LIKE '!_shardsv%' ESCAPE '!'
+                     OR k IN ({_ADMIN_IN_SQL}))[1] AS admin_key
+  FROM ev),
 cl AS (
   SELECT *,
-    CASE WHEN op IN ('update', 'update_w') THEN coalesce(n_modified, n_upserted)
-         WHEN op IN ('delete', 'remove', 'ttl_delete') THEN n_deleted
+    CASE WHEN op IN ('update', 'update_w')
+             THEN coalesce(n_modified, n_upserted)
+         WHEN op = 'remove' OR (branch = 'command' AND known_op = 'delete')
+             THEN n_deleted
          WHEN op = 'insert' THEN n_inserted
          ELSE n_returned END AS nret,
-    (op IS NOT NULL AND NOT starts_with(coalesce(ns, ''), 'config.')) AS r_ops
+    (op IS NOT NULL AND NOT starts_with(coalesce(ns, ''), 'config.'))
+        AS r_ops
   FROM (
     SELECT *,
       CASE
-        WHEN component = 'COMMAND' AND msg = 'Slow query'
-             AND (op_kind IN ('createIndexes', 'collMod', 'drop',
-                              'killCursors', 'commitTransaction')
-                  OR starts_with(coalesce(op_kind, ''), '_shardsvr'))
-            THEN 'cmd'
-        WHEN component = 'COMMAND' AND msg = 'Slow query'
-             AND op_kind = 'getMore' AND coalesce(is_change_stream, FALSE)
-            THEN 'getMore (change stream)'
-        WHEN component = 'COMMAND' AND msg = 'Slow query' THEN op_kind
-        WHEN component = 'WRITE' AND msg = 'Slow query'
-             AND op_kind = 'update' THEN 'update_w'
-        WHEN component = 'WRITE' AND msg = 'Slow query'
-             AND op_kind = 'delete' THEN 'remove'
-        WHEN component = 'WRITE' AND msg = 'Slow query'
-             AND op_kind = 'insert' THEN 'insert'
-        WHEN component = 'WRITE' AND msg = 'Slow query'
-            THEN 'write_' || coalesce(op_kind, 'unknown')
-        WHEN component = 'INDEX' AND msg = 'Deleted expired documents'
-            THEN 'ttl_delete'
-        WHEN component = 'INDEX' AND contains(coalesce(msg, ''), 'Index build')
-            THEN 'index_build'
-        WHEN component = 'INDEX' AND contains(coalesce(msg, ''), 'Index drop')
-            THEN 'index_drop'
-        WHEN component = 'INDEX' AND msg IS NULL THEN 'index_maintenance'
-        WHEN component = 'INDEX' THEN 'index_other'
-      END AS op
-    FROM ev))
+        WHEN branch = 'ttl_attr' THEN 'remove'
+        WHEN branch = 'index' THEN 'command'
+        WHEN branch = 'write' AND wtype = 'update' THEN 'update_w'
+        WHEN branch = 'write' AND wtype IN ('remove', 'delete')
+            THEN 'remove'
+        WHEN branch = 'write' AND wtype = 'insert' THEN 'insert'
+        WHEN branch = 'write' THEN 'command'
+        WHEN branch = 'command' AND known_op IS NOT NULL THEN known_op
+        WHEN branch = 'command' AND admin_key IS NOT NULL THEN 'command'
+      END AS op,
+      CASE
+        WHEN branch IN ('ttl_attr', 'index')
+            THEN coalesce(attr_nsp, attr_ns)
+        WHEN branch = 'command' AND coll IS NOT NULL AND coll <> ''
+             AND NOT (known_op = 'aggregate' AND coll = '1')
+            THEN split_part(attr_ns, '.', 1) || '.' || coll
+        ELSE attr_ns END AS ns,
+      CASE WHEN branch IN ('write', 'command')
+           THEN app_name0 END AS app_name
+    FROM (
+      SELECT *,
+        CASE
+          WHEN known_op = 'getMore' THEN
+            CASE WHEN json_type(cmd, '$.collection') = 'VARCHAR'
+                 THEN json_extract_string(cmd, '$.collection') END
+          WHEN known_op IS NOT NULL
+               AND json_type(cmd, '$."' || known_op || '"') = 'VARCHAR'
+              THEN json_extract_string(cmd, '$."' || known_op || '"')
+        END AS coll
+      FROM br)))
 SELECT ns, op, coalesce(app_name, 'unknown') AS app_name,
     count(*) AS "count",
-    {_stats(_MAIN_OPS_METRICS)},
+    {{_stats_main}}
     count(*) FILTER (WHERE coalesce(is_error, FALSE)) AS error_count,
     count(*) FILTER (WHERE coalesce(is_change_stream, FALSE))
         AS change_stream_count
 FROM cl WHERE r_ops
 GROUP BY ALL
 """
+_RAWLOG_MAIN_OPS_SQL = _RAWLOG_MAIN_OPS_SQL.replace(
+    "{_stats_main}", _stats(_MAIN_OPS_METRICS) + ",")
 
 # Token-stream oracles over the persisted tokens payload
 _TOKEN_FREQ_SQL = f"""

@@ -373,13 +373,134 @@ def _one_file_bytes(f: str) -> int:
     return sz * 8 if f.endswith((".gz", ".zip")) else sz
 
 
+def _add_raw_jobs(jobs: dict, SinkJob, or_empty, _ref_count,
+                  p95_mode: str) -> None:
+    """Raw-path (reference-exact) replacements for the ttl / errors /
+    op_stats sinks plus the ignored-aware timestamp range."""
+    from ..aggs.fold import FoldSpec
+
+    ttl_spec = FoldSpec(keys=["ns"],
+                        metrics={"duration_ms": ("count", "min", "max",
+                                                 "avg"),
+                                 "nret": ("sum", "avg")},
+                        p95_mode=p95_mode)
+
+    def ttl_prep(batch: pa.Table) -> pd.DataFrame:
+        # driver-thread TTL hook rows (LogParser.java:938-970) — they
+        # feed the TTL table even when the blacklist ignores the line
+        t = batch.filter(pc.is_valid(batch["ttl_ns"]))
+        if t.num_rows == 0:
+            return pd.DataFrame()
+        df = pd.DataFrame({
+            "ns": t["ttl_ns"].to_pandas().astype("string"),
+            "duration_ms": t["duration_ms"].to_pandas(),
+            "nret": t["ttl_n_deleted"].to_pandas(),
+            "doc_id": t["doc_id"].to_pandas().astype("string")})
+        return ttl_spec.partial_df(df)
+
+    jobs["ttl"] = SinkJob(ttl_prep, ttl_spec.merge_bucket,
+                          or_empty(_ref_count), bucket_keys=["ns"])
+
+    def err_prep(batch: pa.Table) -> pd.DataFrame:
+        # processErrorCode (LogParserTask.java:1040-1112): up to three
+        # accumulations per line — explicit error object, ok:0
+        # synthesis, client-disconnect message
+        frames = []
+        obj = batch.filter(pc.is_valid(batch["err_name_obj"]))
+        if obj.num_rows:
+            frames.append(pd.DataFrame({
+                "err_code_name": obj["err_name_obj"].to_pandas(),
+                "err_code": obj["err_code"].to_pandas()}))
+        okp = batch.filter(pc.is_valid(batch["err_name_ok"]))
+        if okp.num_rows:
+            frames.append(pd.DataFrame({
+                "err_code_name": okp["err_name_ok"].to_pandas(),
+                "err_code": okp["err_code2"].to_pandas()}))
+        n_disc = int(pc.sum(pc.fill_null(
+            batch["err_disconnect"], False)).as_py() or 0)
+        if n_disc:
+            frames.append(pd.DataFrame({
+                "err_code_name": ["InterruptedByClientDisconnect"] * n_disc,
+                "err_code": pd.array([pd.NA] * n_disc, dtype="Int64")}))
+        if not frames:
+            return pd.DataFrame()
+        ev = pd.concat(frames, ignore_index=True)
+        ev["err_code_name"] = ev["err_code_name"].astype("string")
+        ev["err_code"] = ev["err_code"].astype("Int64")
+        g = ev.groupby("err_code_name", dropna=False)
+        out = g.size().rename("count").to_frame()
+        out["err_code"] = g["err_code"].first()
+        return out.reset_index()
+
+    def err_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("err_code_name", dropna=False)
+        out = g["count"].sum().rename("count").to_frame()
+        out["err_code"] = g["err_code"].first()
+        return out.reset_index()
+
+    jobs["errors"] = SinkJob(err_prep, err_merge, or_empty(err_merge),
+                             bucket_keys=["err_code_name"])
+
+    def ops_prep(batch: pa.Table) -> pd.DataFrame:
+        # incrementOperationStat labels, incl. the INDEX branch's
+        # double increment (category + post-filter "index_operation")
+        parts = []
+        for col in ("op_stat", "op_stat2"):
+            t = batch[col].to_pandas().dropna()
+            if len(t):
+                parts.append(t.value_counts())
+        if not parts:
+            return pd.DataFrame()
+        s = pd.concat(parts).groupby(level=0).sum()
+        return (s.rename("count").rename_axis("op").reset_index()
+                .astype({"op": "string", "count": "int64"}))
+
+    def ops_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("op", dropna=False)["count"].sum()
+                .reset_index())
+
+    jobs["op_stats"] = SinkJob(ops_prep, ops_merge, or_empty(ops_merge),
+                               bucket_keys=["op"])
+
+    def ts_prep(batch: pa.Table) -> pd.DataFrame:
+        # updateTimestamps runs inside the task (LogParserTask.java:
+        # 99-111) — ignored lines never reach it
+        keep = pc.and_(pc.invert(pc.fill_null(batch["pre_ignored"],
+                                              False)),
+                       pc.equal(batch["parse_status"], "ok"))
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pd.DataFrame()
+        mm = pc.min_max(t["ts"])
+        return pd.DataFrame({"min_ts": [mm["min"].as_py()],
+                             "max_ts": [mm["max"].as_py()]})
+
+    def ts_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"min_ts": [df["min_ts"].min()],
+                             "max_ts": [df["max_ts"].max()]})
+
+    jobs["ts_range"] = SinkJob(ts_prep, ts_merge, or_empty(ts_merge))
+
+
 def _analysis_jobs(top_k: int = 50, by_shard: bool = False,
                    exclude: set[str] | frozenset = frozenset(),
-                   p95_mode: str = "exact"):
+                   p95_mode: str = "exact", raw: bool = False):
     """SinkJob per report table (aggs.multifold contract).
     ``by_shard`` prepends the ``source`` lineage column to every fold
     key (reference ``--shards``, LogParser.java:155-163,557-565);
-    ``p95_mode`` is applied to every fold sink's spec."""
+    ``p95_mode`` is applied to every fold sink's spec.
+
+    ``raw=True`` switches the jobs to the reference-exact raw-log
+    contract (golden-corpus parity): per-group ``count`` counts only
+    rows with a duration (``LogLineAccumulator.addExecution``
+    :62-77 is the only count++ site), p95 uses the commons-math
+    LEGACY interpolation, op-type stats count the
+    ``incrementOperationStat`` labels (``op_stat``/``op_stat2`` incl.
+    the INDEX double increment), error codes get up to three
+    accumulations per line (processErrorCode :1040-1112), the TTL
+    table is fed by the driver-thread hook (LogParser.java:938-970),
+    and the timestamp range skips ignored lines (only task-parsed
+    lines reach updateTimestamps, :95-111)."""
     from ..aggs.multifold import SinkJob
 
     def or_empty(fn):
@@ -395,6 +516,23 @@ def _analysis_jobs(top_k: int = 50, by_shard: bool = False,
         for name in sink_defs.ALL_SINKS if name not in exclude}
     for s in fold_specs.values():
         s.p95_mode = p95_mode
+    if raw:
+        fold_specs.pop("ttl", None)      # hook-fed job added below
+        fold_specs.pop("errors", None)   # 3-way accumulation below
+        fold_specs.pop("op_stats", None)  # op_stat/op_stat2 job below
+        for s in fold_specs.values():
+            s.quantile_method = "weibull"
+            if "duration_ms" in s.metrics \
+                    and "count" not in s.metrics["duration_ms"]:
+                s.metrics["duration_ms"] = (("count",)
+                                            + s.metrics["duration_ms"])
+
+    def _ref_count(df: pd.DataFrame) -> pd.DataFrame:
+        if "count_duration_ms" in df.columns:
+            df = (df.drop(columns=["count"])
+                  .rename(columns={"count_duration_ms": "count"}))
+            df["count"] = df["count"].fillna(0).astype("int64")
+        return df
     union_cols: list[str] = list(dict.fromkeys(
         c for s in fold_specs.values() for c in s.needed_columns()))
     for c in sink_defs.MASK_COLS:
@@ -414,8 +552,11 @@ def _analysis_jobs(top_k: int = 50, by_shard: bool = False,
                   s.partial_df(shared_df(b)[
                       sink_defs.MASKS_PD[n](shared_df(b))])),
             bucket_merge=spec.merge_bucket,
-            finalize=or_empty(lambda df: df),
+            finalize=or_empty(_ref_count if raw else (lambda df: df)),
             bucket_keys=list(spec.keys))
+
+    if raw:
+        _add_raw_jobs(jobs, SinkJob, or_empty, _ref_count, p95_mode)
 
     def stats_prep(batch: pa.Table) -> pd.DataFrame:
         def s(col):
@@ -501,7 +642,7 @@ def run_full_analysis(paths, *, redact: bool = True,
                       mode: str = "auto", shards: bool = False,
                       exclude: set[str] | frozenset = frozenset(),
                       driver_merge_max_bytes: int = 256 << 20,
-                      p95_mode: str = "auto"
+                      p95_mode: str = "auto", raw: bool = False
                       ) -> dict[str, pd.DataFrame]:
     """Everything the reference's JSON report contains (K3), as small
     pandas tables.
@@ -539,4 +680,4 @@ def run_full_analysis(paths, *, redact: bool = True,
                    ns_filter=ns_filter)
     return run_multi_fold(
         cds, _analysis_jobs(by_shard=shards, exclude=exclude,
-                            p95_mode=p95_mode), mode=mode)
+                            p95_mode=p95_mode, raw=raw), mode=mode)

@@ -3663,9 +3663,10 @@ def doc_vocab_growth(sf_dir: str) -> pd.DataFrame:
     """Heaps'-law vocabulary-growth curve: distinct-token count of the
     corpus prefix after 20/40/60/80/100% of docs (by doc_id order).
     One token-bucketed exchange carries (token, min doc_id) — each
-    bucket owns whole tokens, so per-bucket first-appearance rows are
-    disjoint and the driver's threshold histogram is exact; the corpus
-    never shuffles twice."""
+    bucket owns whole tokens, so the 5-threshold histogram is computed
+    INSIDE the bucket merge (≤ 5 rows per bucket) and the driver sums
+    the disjoint partials exactly; neither the corpus nor the
+    vocabulary-cardinality table ever reaches the driver."""
     from ..util import bucketed_groups
 
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -3687,18 +3688,24 @@ def doc_vocab_growth(sf_dir: str) -> pd.DataFrame:
         return (df.groupby("token", sort=False)["first_doc"].min()
                 .reset_index())
 
-    def first_seen(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.groupby("token", sort=False)["first_doc"].min()
-                .reset_index())
+    steps_arr = np.array(sorted(set(steps)), dtype=np.int64)
 
-    firsts = bucketed_groups(
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        # whole tokens per bucket → this bucket's exact contribution
+        # to every prefix-vocabulary count; ≤ |steps| rows out
+        f = np.sort(g.groupby("token", sort=False)["first_doc"]
+                    .min().to_numpy())
+        return pd.DataFrame({
+            "n_docs": steps_arr,
+            "vocab": np.searchsorted(f, steps_arr, side="left")
+            .astype(np.int64)})
+
+    parts = bucketed_groups(
         ds.map_batches(tok_rows, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["token"], first_seen).to_pandas()
-    rows = [{"n_docs": int(s),
-             "vocab": int((firsts["first_doc"] < s).sum())}
-            for s in steps]
-    out = pd.DataFrame(rows).drop_duplicates("n_docs")
+        ["token"], bucket_hist).to_pandas()
+    out = (parts.groupby("n_docs", sort=True)["vocab"].sum()
+           .reset_index())
     out["n_docs"] = out["n_docs"].astype("int64")
     out["vocab"] = out["vocab"].astype("int64")
     return out.reset_index(drop=True)
@@ -4342,9 +4349,24 @@ def events_peak_concurrency(sf_dir: str) -> pd.DataFrame:
         sessions.map_batches(arrow_partials(deltas),
                              batch_format="pandas"),
         ["t", "neg_d", "user_id", "session_idx"], "d",
-        rank_col="rnk", cum_col="active").to_pandas()
-    peak = int(swept["active"].max())
-    at = swept.loc[swept["active"] == peak, "t"].min()
+        rank_col="rnk", cum_col="active")
+
+    def peak_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # one (max_active, first-ts-at-max) row per block: the global
+        # peak is the max of block maxes, and only blocks AT the global
+        # peak can own its first timestamp — the 2×sessions delta
+        # stream never reaches the driver
+        if df.empty:
+            return pd.DataFrame({"m": pd.Series(dtype="int64"),
+                                 "t": pd.Series(dtype="datetime64[us]")})
+        m = int(df["active"].max())
+        return pd.DataFrame({"m": pd.array([m], dtype="int64"),
+                             "t": [df.loc[df["active"] == m, "t"].min()]})
+
+    parts = swept.map_batches(arrow_partials(peak_partial),
+                              batch_format="pandas").to_pandas()
+    peak = int(parts["m"].max())
+    at = parts.loc[parts["m"] == peak, "t"].min()
     out = pd.DataFrame({
         "peak_concurrency": pd.array([peak], dtype="int64"),
         "at_ts": [pd.Timestamp(at)]})
@@ -4614,20 +4636,43 @@ def emb_intrinsic_dim(sf_dir: str) -> pd.DataFrame:
     """Two-NN intrinsic-dimension estimate (Facco et al. 2017): for
     each vector the ratio µ = d₂/d₁ of its two nearest-neighbor
     distances; id = n / Σ log µ (the MLE under the Pareto likelihood).
-    The corpus broadcasts once as the query matrix and each block
-    scores its rows against it with one matmul (the brute-force kNN
-    baseline — at scale the d₁/d₂ lookups ride the IVF/LSH paths);
-    per-block Σ log µ partials reduce on the driver.  Rows-only: the
+    Computed over a FIXED-SIZE deterministic subsample (md5-gated on
+    vec_id, cap 65536 rows — the estimator's standard decimation
+    protocol, and how Facco et al. recommend scale analysis): the
+    sample collects once (bounded by the cap, never
+    corpus-cardinality), broadcasts as the reference matrix, and each
+    block scores its own gated rows with one matmul; per-block
+    Σ log µ partials reduce on the driver.  Rows-only: the
     planted-subspace recovery contract is pinned in tests/test_ops.py."""
+    import hashlib
+
     from ..ops.ann import _stack
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["embedding"])
-    M = _stack(tbl["embedding"].combine_chunks())
-    ref = ray.put(M)
+    _CAP = 65536
+    n_rows = int(pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+                 .metadata.num_rows)
+    # md5(id) mod 2^20 gate — deterministic, re-shard-stable; the
+    # expected sample lands at ~_CAP regardless of corpus size
+    gate = (1 << 20) if n_rows <= _CAP else \
+        max(1, ((1 << 20) * _CAP) // n_rows)
+
+    def _gated(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_pylist()
+        keep = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             % (1 << 20) < gate for i in ids),
+            dtype=bool, count=len(ids))
+        return t.filter(pa.array(keep))
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+                         columns=["vec_id", "embedding"]) \
+        .map_batches(_gated, batch_format="pyarrow", zero_copy_batch=True)
+
+    sample = pa.concat_tables(
+        b for b in ds.iter_batches(batch_format="pyarrow",
+                                   batch_size=None))
+    M = _stack(sample["embedding"].combine_chunks())
+    ref = ray.put(M)
 
     def partials(t: pa.Table) -> pd.DataFrame:
         full = ray.get(ref)
@@ -4662,13 +4707,23 @@ def doc_dup_cluster_hist(sf_dir: str) -> pd.DataFrame:
     """Duplicate-cluster size histogram (how much of the corpus sits
     in 1x / 2x / Nx copies): the exact-dedup canonical table's
     dup_count distribution — exchange volume bounded by distinct
-    texts, histogram bounded by the max multiplicity."""
+    texts; the histogram reduces to (dup_count, n) partials per block
+    so only multiplicity-bounded rows reach the driver, never the
+    distinct-document canonical table itself."""
     from ..ops import dedup
 
-    canon = dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"])) \
-        .to_pandas()
-    out = (canon.groupby("dup_count", as_index=False)
-           .agg(n_clusters=("text_hash", "size")))
+    canon = dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("dup_count", sort=False).size()
+               .rename("n_clusters").reset_index())
+        out["dup_count"] = out["dup_count"].astype("int64")
+        out["n_clusters"] = out["n_clusters"].astype("int64")
+        return out
+
+    parts = canon.map_batches(arrow_partials(hist_partial),
+                              batch_format="pandas").to_pandas()
+    out = (parts.groupby("dup_count", as_index=False)["n_clusters"].sum())
     out["dup_count"] = out["dup_count"].astype("int64")
     out["n_clusters"] = out["n_clusters"].astype("int64")
     out["n_docs"] = (out["dup_count"] * out["n_clusters"]).astype("int64")

@@ -59,9 +59,25 @@ COMMAND_OPS = [
 ]
 WRITE_OPS = ["update", "delete", "insert"]
 
+# The reference's closed first-match command dispatch, in ITS order
+# (processCommandOperation LogParserTask.java:802-919): a command whose
+# first matching key is none of these falls through to the admin /
+# shard checks, and if those miss too the line is skipped entirely.
+REF_COMMAND_OPS = [
+    "find", "aggregate", "findAndModify", "update", "insert", "delete",
+    "getMore", "count", "distinct",
+]
+
 # Admin command list mirrored from the reference's administrative set
-# (LogParserTask.java:945-953) — op kinds classified as plain "cmd".
-ADMIN_OPS = {"createIndexes", "collMod", "drop", "killCursors", "commitTransaction"}
+# (isAdministrativeOperation LogParserTask.java:945-953) — op kinds
+# classified as plain "command" (OpType.CMD).
+ADMIN_OPS = {
+    "drop", "dropDatabase", "dropIndexes", "createIndexes", "collMod",
+    "renameCollection", "validate", "compact", "reIndex", "explain",
+    "currentOp", "killOp", "fsync", "eval", "listCollections",
+    "planCacheClear", "configureFailPoint", "killCursors",
+    "abortTransaction", "commitTransaction", "startTransaction",
+}
 
 PLAN_SUMMARIES = [
     "COLLSCAN",

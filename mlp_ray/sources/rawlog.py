@@ -53,9 +53,49 @@ _DETAIL_MSGS = frozenset({
     _DISCONNECT_MSG, *S.INDEX_MSGS,
 })
 
+# containsTargetOperation (LogParser.java:926-932): lines carrying any
+# of these substrings are NEVER dropped by the ignore blacklist.
+_TARGET_OP_KEYS = ("find", "aggregate", "update", "insert", "delete",
+                   "findAndModify", "getMore", "count", "distinct")
+_TARGET_OP_RE = "|".join(re.escape(f'"{k}":') for k in _TARGET_OP_KEYS)
+
+# categorizeIgnoredLine (LogParser.java:985-999): first-match raw-line
+# substring → category, evaluated over every driver-ignored line.
+_IGNORE_CATEGORIES: list[tuple[str, str]] = [
+    ('"c":"NETWORK"', "NETWORK"),
+    ('"c":"ACCESS"', "ACCESS"),
+    ('"c":"STORAGE"', "STORAGE"),
+    ('"c":"CONTROL"', "CONTROL"),
+    ('"hello":1|"isMaster":1', "HEALTH_CHECK"),
+    ('"replSetHeartbeat"', "REPLICATION"),
+    ('"\\$db":"admin"', "ADMIN_DB"),
+    ('"\\$db":"local"', "LOCAL_DB"),
+    ('"\\$db":"config"', "CONFIG_DB"),
+    ('"profile":', "PROFILING"),
+    ("TTL", "TTL_MONITOR"),
+]
+
 
 _GZIP_MAGIC = b"\x1f\x8b"
 _ZIP_MAGIC = b"PK\x03\x04"
+
+_FILTER_CONFIG = None
+
+
+def _default_filter_config():
+    """Default ignore blacklist (FilterConfig.java:20-71), built once
+    per process.  ``set_filter_config`` swaps it for a properties-file
+    config (the reference's ``--config``)."""
+    global _FILTER_CONFIG
+    if _FILTER_CONFIG is None:
+        from ..stages.filters import FilterConfig, RAW_LINE_IGNORE_PATTERNS
+        _FILTER_CONFIG = FilterConfig(patterns=RAW_LINE_IGNORE_PATTERNS)
+    return _FILTER_CONFIG
+
+
+def set_filter_config(cfg) -> None:
+    global _FILTER_CONFIG
+    _FILTER_CONFIG = cfg
 
 
 def _content_kind(path: str) -> str:
@@ -207,14 +247,61 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     env = {k: _extract(safe, p) for k, p in _ENVELOPE_RES.items()}
     msg_py = env["msg"].to_pylist()
 
-    # full parse where the msg carries sink-relevant attrs, plus a
-    # vectorized error sniff over the raw bytes — isError must fire on
-    # ANY line (LogParserTask.java:563-579), including noise msgs the
-    # fast path would otherwise skip
+    # --- shouldIgnoreLine (LogParser.java:896-924), vectorized over
+    # the RAW line before any JSON work: never-drop whitelists (target
+    # ops, client metadata, ACCESS auth, NETWORK conn lifecycle) win
+    # over the configurable substring blacklist (FilterConfig defaults).
+    def _has(pat: str):
+        return pc.fill_null(pc.match_substring(safe, pat), False)
+
+    whitelisted = pc.or_(
+        pc.or_(pc.fill_null(pc.match_substring_regex(safe, _TARGET_OP_RE),
+                            False),
+               _has('"msg":"client metadata"')),
+        pc.or_(pc.and_(_has('"c":"ACCESS"'),
+                       _has('"msg":"Successfully authenticated"')),
+               pc.and_(_has('"c":"NETWORK"'),
+                       pc.or_(_has('"msg":"Connection accepted"'),
+                              _has('"msg":"Connection ended"')))))
+    blacklisted = _default_filter_config().should_ignore_mask(safe)
+    pre_ign_arr = pc.or_(
+        pc.and_(parse_mask, pc.and_(pc.invert(whitelisted), blacklisted)),
+        pc.and_(pc.invert(too_long), pc.invert(is_json)))
+    # categorizeIgnoredLine (LogParser.java:985-999): first-match
+    # substring over the raw line; non-JSON tail default
+    cat_conds = [(pc.and_(pre_ign_arr,
+                          pc.fill_null(pc.match_substring_regex(safe, pat),
+                                       False)),
+                  pa.scalar(c, pa.string()))
+                 for pat, c in _IGNORE_CATEGORIES]
+    cat_conds.append((pc.and_(pre_ign_arr, pc.invert(is_json)),
+                      pa.scalar("NON_JSON", pa.string())))
+    cat_conds.append((pre_ign_arr, pa.scalar("OTHER", pa.string())))
+    pre_cat_arr = pc.case_when(pc.make_struct(*[c for c, _ in cat_conds]),
+                               *[v for _, v in cat_conds],
+                               pa.scalar(None, pa.string()))
+
+    # driver-thread TTL hook (isTtlOperation LogParser.java:934-936):
+    # fires BEFORE the ignore filter, so TTLMonitor lines feed the TTL
+    # table even though the blacklist drops them from everything else
+    ttl_hook_arr = pc.and_(parse_mask, pc.and_(
+        _has("TTL"),
+        pc.or_(_has("deleted"), _has("Deleted expired documents"))))
+
+    # full parse where the line can carry sink-relevant attrs: detail
+    # msgs, the vectorized error sniff (isError must fire on ANY
+    # non-ignored line, LogParserTask.java:563-579), the op-classifier
+    # branches (INDEX / WRITE / command document), and TTL-hook rows
     err_sniff = pc.or_(pc.match_substring(safe, '"ok":0'),
                        pc.match_substring(safe, '"error":')).to_pylist()
-    need_full = [m in _DETAIL_MSGS or e
-                 for m, e in zip(msg_py, err_sniff)]
+    branch_sniff = pc.or_(
+        pc.or_(_has('"c":"INDEX"'), _has('"c":"WRITE"')),
+        _has('"command":')).to_pylist()
+    pre_ign = pre_ign_arr.to_pylist()
+    ttl_hook = ttl_hook_arr.to_pylist()
+    need_full = [(not ig and (m in _DETAIL_MSGS or b)) or e or th
+                 for m, e, b, ig, th in zip(msg_py, err_sniff, branch_sniff,
+                                            pre_ign, ttl_hook)]
 
     cols: dict[str, list] = {c: [None] * n for c in (
         "ns", "op_kind", "app_name", "duration_ms", "plan_summary",
@@ -228,7 +315,16 @@ def parse_batch(batch: pa.Table) -> pa.Table:
         "commit_us", "active_us", "inactive_us", "raw_filter_json",
         "driver_name", "driver_version", "os_type", "platform",
         "compressors", "username", "auth_db", "auth_mechanism",
-        "server_version", "remote")}
+        "server_version", "remote",
+        # reference-branch classification signals (consumed by
+        # stages.classify's raw branch):
+        "attr_msg", "branch", "index_cat",
+        # the three independent error-code accumulations of
+        # processErrorCode (LogParserTask.java:1040-1112)
+        "err_name_obj", "err_name_ok", "err_code2",
+        # driver-thread TTL hook payload (LogParser.java:938-970)
+        "ttl_ns", "ttl_n_deleted")}
+    err_disc = [False] * n
     status = ["ok"] * n
     tl = too_long.to_pylist()
     ij = is_json.to_pylist()
@@ -246,10 +342,27 @@ def parse_batch(batch: pa.Table) -> pa.Table:
         try:
             doc = json.loads(text_py[r])
         except ValueError:
-            status[r] = "bad_json"
+            # ignored lines are never JSON-parsed by the reference —
+            # only lines that reach a LogParserTask count parse errors
+            if not pre_ign[r]:
+                status[r] = "bad_json"
             continue
         attr = doc.get("attr") or {}
-        _fill_row(cols, r, doc, attr, msg_py[r])
+        if ttl_hook[r] and isinstance(attr.get("namespace"), str):
+            # processTtlOperation (LogParser.java:938-970): driver-side,
+            # BEFORE the ignore filter — needs namespace
+            cols["ttl_ns"][r] = attr["namespace"]
+            cols["ttl_n_deleted"][r] = _get_metric(attr, "numDeleted")
+            if cols["duration_ms"][r] is None:
+                cols["duration_ms"][r] = _get_metric(attr, "durationMillis")
+        if not pre_ign[r]:
+            err_disc[r] = _fill_row(cols, r, doc, attr, msg_py[r])
+        else:
+            # ignored lines never reach processErrorCode, but the
+            # per-component parse-audit views read the line-level
+            # isError flag over EVERY line — keep the legacy flag
+            # while the 3 accumulation columns stay null
+            _fill_errors(cols, r, doc, attr, accumulate=False)
 
     out: dict[str, pa.Array] = {}
     # doc_id must be a pure function of (file, line content) so it is
@@ -305,6 +418,15 @@ def parse_batch(batch: pa.Table) -> pa.Table:
             out[name] = pa.array(vals, typ)
     cols_out = {name: out[name] for name in sch.names}
     cols_out["parse_status"] = pa.array(status, pa.string())
+    # raw-path reference-semantics signals (classify's raw branch)
+    for name in ("attr_msg", "branch", "index_cat", "err_name_obj",
+                 "err_name_ok", "ttl_ns"):
+        cols_out[name] = pa.array(cols[name], pa.string())
+    for name in ("err_code2", "ttl_n_deleted"):
+        cols_out[name] = pa.array(cols[name], pa.int64())
+    cols_out["err_disconnect"] = pa.array(err_disc, pa.bool_())
+    cols_out["pre_ignored"] = pre_ign_arr
+    cols_out["pre_ignored_category"] = pre_cat_arr
     if "path" in batch.column_names:
         # carried through for partition-keyed routing (route.py reads
         # batch["path"] to derive the resume partition id)
@@ -312,143 +434,201 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols_out)
 
 
-def _fill_row(cols, r, doc, attr, msg):
-    """Reference attr extraction semantics, one parsed line."""
+def _num(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _fill_errors(cols, r, doc, attr, accumulate: bool = True) -> bool:
+    """processErrorCode (LogParserTask.java:1040-1112): up to THREE
+    independent accumulations per line — explicit ``attr.error``
+    object, top-level ``ok:0`` with errName / "Error<code>" synthesis,
+    and the client-disconnect message — wrapped in ONE try/catch, so a
+    type mismatch in an earlier section aborts the later ones (the
+    reference's ``getJSONObject``/``getString``/``getInt`` throws).
+    Returns the disconnect flag."""
+    name_obj = name_ok = None
+    code_obj = code_ok = None
+    disc = False
+    try:
+        if "error" in attr:
+            e = attr["error"]
+            if not isinstance(e, dict):
+                raise TypeError  # getJSONObject throws
+            if "codeName" in e and e["codeName"] is not None:
+                if not isinstance(e["codeName"], str):
+                    raise TypeError  # getString throws
+                name_obj = e["codeName"]
+            if "code" in e and e["code"] is not None:
+                if not _num(e["code"]):
+                    raise TypeError
+                code_obj = int(e["code"])
+            if "errmsg" in e and e["errmsg"] is not None \
+                    and not isinstance(e["errmsg"], str):
+                raise TypeError
+        if "ok" in attr and attr["ok"] is not None:
+            if not _num(attr["ok"]):
+                raise TypeError  # getInt throws
+            if int(attr["ok"]) == 0:
+                nm = cd = None
+                if "errName" in attr and attr["errName"] is not None:
+                    if not isinstance(attr["errName"], str):
+                        raise TypeError
+                    nm = attr["errName"]
+                if "errCode" in attr and attr["errCode"] is not None:
+                    if not _num(attr["errCode"]):
+                        raise TypeError
+                    cd = int(attr["errCode"])
+                if "errMsg" in attr and attr["errMsg"] is not None \
+                        and not isinstance(attr["errMsg"], str):
+                    raise TypeError
+                if nm is not None:
+                    name_ok, code_ok = nm, cd
+                elif cd is not None:
+                    name_ok, code_ok = f"Error{cd}", cd
+        if doc.get("msg") == _DISCONNECT_MSG:
+            disc = True
+    except TypeError:
+        pass
+    if accumulate:
+        cols["err_name_obj"][r] = name_obj
+        cols["err_name_ok"][r] = name_ok
+        cols["err_code2"][r] = code_ok
+    # legacy single-accumulation view (synthetic-path contract):
+    # primary = object > ok-synthesis > disconnect
+    cols["err_code_name"][r] = (
+        name_obj if name_obj is not None else
+        name_ok if name_ok is not None else
+        ("InterruptedByClientDisconnect" if disc else None))
+    cols["err_code"][r] = code_obj if name_obj is not None else code_ok
+
+    # isError (LogParserTask.java:563-579) — its own try/catch → False
+    is_err = False
+    try:
+        if "ok" in attr:
+            if not _num(attr["ok"]):
+                raise TypeError
+            if int(attr["ok"]) == 0:
+                is_err = True
+        if not is_err and "error" in attr:
+            is_err = True
+    except TypeError:
+        is_err = False
+    if is_err or disc:
+        cols["is_error"][r] = True
+    return disc
+
+
+def _fill_op_details(cols, r, attr, cmd: dict):
+    """setCommonAttributes + extractPlanCacheInfo +
+    extractReadPreferenceAndFilter + extractReplanningInfo +
+    processExecutionStats + processStorageMetrics — the shared detail
+    extraction of the WRITE and COMMAND branches
+    (LogParserTask.java:215-222, 286-301)."""
+    cols["app_name"][r] = attr.get("appName")
+    cols["query_hash"][r] = attr.get("queryHash")
+    cols["plan_cache_key"][r] = attr.get("planCacheKey")
+    cols["plan_summary"][r] = attr.get("planSummary")
+    cols["planning_time_us"][r] = _get_metric(attr, "planningTimeMicros")
+    cols["keys_examined"][r] = _get_metric(attr, "keysExamined")
+    cols["docs_examined"][r] = _get_metric(attr, "docsExamined")
+    cols["n_returned"][r] = _get_metric(attr, "nreturned", "nReturned")
+    cols["reslen"][r] = _get_metric(attr, "reslen")
+    storage = attr.get("storage") or {}
+    data = storage.get("data") if isinstance(storage, dict) else None
+    data = data if isinstance(data, dict) else {}
+    storage = storage if isinstance(storage, dict) else {}
+    # processStorageMetrics coalesce (LogParserTask.java:1015-1038)
+    cols["bytes_read"][r] = _get_metric(storage, "bytesRead") \
+        if "bytesRead" in storage else _get_metric(data, "bytesRead")
+    cols["bytes_written"][r] = _get_metric(storage, "bytesWritten") \
+        if "bytesWritten" in storage else _get_metric(data, "bytesWritten")
+    cols["write_conflicts"][r] = _get_metric(attr, "writeConflicts")
+    cols["n_shards"][r] = _get_metric(attr, "nShards")
+    cols["n_modified"][r] = _get_metric(attr, "nModified")
+    cols["n_upserted"][r] = _get_metric(attr, "nUpserted")
+    cols["n_deleted"][r] = _get_metric(attr, "ndeleted", "nDeleted")
+    cols["n_inserted"][r] = _get_metric(attr, "ninserted", "nInserted")
+    if "replanned" in attr:
+        cols["replanned"][r] = bool(attr["replanned"])
+    cols["replan_reason"][r] = attr.get("replanReason")
+    if "fromMultiPlanner" in attr:
+        cols["from_multi_planner"][r] = bool(attr["fromMultiPlanner"])
+
+    def fmt_tags(tags):
+        # formatAllReadPreferenceTags (LogParserTask.java:585-627):
+        # "k: v" pairs joined by ", " within a tag document,
+        # tag documents joined by "<br>"; accepts a single object
+        if isinstance(tags, dict):
+            tags = [tags]
+        if not isinstance(tags, list):
+            return None
+        parts = [", ".join(f"{k}: {v}" for k, v in t.items())
+                 for t in tags if isinstance(t, dict)]
+        return "<br>".join(parts) if parts else None
+
+    def read_pref(container):
+        # $readPreference may be an object or a bare mode string
+        # (extractReadPreferenceAndFilter LogParserTask.java:452-467)
+        rp = container.get("$readPreference")
+        if isinstance(rp, str):
+            return rp, None
+        if isinstance(rp, dict):
+            return rp.get("mode"), fmt_tags(rp.get("tags"))
+        return None, None
+
+    cols["read_pref_mode"][r], cols["read_pref_tags"][r] = read_pref(cmd)
+    orig = attr.get("originatingCommand")
+    orig = orig if isinstance(orig, dict) else {}
+    # change-stream getMore (LogParserTask.java:871-890)
+    stages = orig.get("pipeline") or []
+    cols["is_change_stream"][r] = any(
+        isinstance(s, dict) and "$changeStream" in s for s in stages)
+
+    def first_match(pipeline):
+        for st in pipeline or []:
+            if isinstance(st, dict) and "$match" in st:
+                return st["$match"]
+        return None
+
+    flt = cmd.get("filter") or cmd.get("q")
+    if flt is None and isinstance(cmd.get("pipeline"), list):
+        flt = first_match(cmd["pipeline"])
+    # getMore fallback: shape + read preference from
+    # attr.originatingCommand when the command itself has none
+    # (extractReadPreferenceAndFilter LogParserTask.java:517-551)
+    if flt is None:
+        flt = orig.get("filter")
+    if cols["read_pref_mode"][r] is None:
+        mode, fmt = read_pref(orig)
+        cols["read_pref_mode"][r] = mode
+        if cols["read_pref_tags"][r] is None:
+            cols["read_pref_tags"][r] = fmt
+    if flt is not None:
+        cols["raw_filter_json"][r] = json.dumps(
+            flt, sort_keys=True, separators=(",", ":"))
+
+
+def _fill_row(cols, r, doc, attr, msg) -> bool:
+    """One NON-ignored parsed line, reference task semantics
+    (LogParserTask.call() :76-356): side extracts (error / txn / auth /
+    lifecycle / metadata), then the INDEX → WRITE → COMMAND branch
+    dispatch.  Returns the client-disconnect error flag."""
     c = doc.get("c")
     cols["ns"][r] = attr.get("ns") or attr.get("namespace")
     cols["remote"][r] = attr.get("remote")
-    cols["app_name"][r] = attr.get("appName")
     cols["duration_ms"][r] = _get_metric(attr, "durationMillis")
-    # isError on any line (LogParserTask.java:563-579) + error-code
-    # synthesis paths (processErrorCode :1040-1112): explicit error
-    # object, top-level ok:0 with errName/errCode ("Error<code>" when
-    # only the numeric code exists), client-disconnect interruption
-    err = attr.get("error")
-    if attr.get("ok") == 0 or err is not None:
-        cols["is_error"][r] = True
-        if isinstance(err, dict):
-            cols["err_code_name"][r] = err.get("codeName")
-            cols["err_code"][r] = _get_metric(err, "code")
-        if cols["err_code_name"][r] is None:
-            err_code = _get_metric(attr, "errCode")
-            if attr.get("errName") is not None:
-                cols["err_code_name"][r] = attr["errName"]
-                cols["err_code"][r] = err_code
-            elif err_code is not None:
-                cols["err_code_name"][r] = f"Error{err_code}"
-                cols["err_code"][r] = err_code
-    if msg == _DISCONNECT_MSG:
-        cols["is_error"][r] = True
-        if cols["err_code_name"][r] is None:
-            cols["err_code_name"][r] = "InterruptedByClientDisconnect"
+    amsg = attr.get("msg")
+    if isinstance(amsg, str):
+        cols["attr_msg"][r] = amsg
+    else:
+        amsg = None
 
-    if msg == "Slow query":
-        cmd = attr.get("command") or {}
-        if c == "WRITE":
-            # processWriteOperation (LogParserTask.java:955-981)
-            cols["op_kind"][r] = attr.get("type")
-        else:
-            # processCommandOperation first-match (:802-919)
-            for k in S.COMMAND_OPS:
-                if k in cmd:
-                    cols["op_kind"][r] = k
-                    break
-            else:
-                for k in cmd:
-                    cols["op_kind"][r] = k  # admin/other first key
-                    break
-            # collection-name ns override (:804-918): the command
-            # value names the collection; getMore carries it in
-            # `collection`; aggregate "1" is a DATABASE-level
-            # aggregation and keeps the db-only namespace
-            opk = cols["op_kind"][r]
-            coll = cmd.get("collection") if opk == "getMore" \
-                else (cmd.get(opk) if opk else None)
-            base_ns = cols["ns"][r] or cmd.get("$db") or ""
-            db = str(base_ns).split(".", 1)[0]
-            if db and isinstance(coll, str) and coll \
-                    and not (opk == "aggregate" and coll == "1"):
-                cols["ns"][r] = f"{db}.{coll}"
-        cols["query_hash"][r] = attr.get("queryHash")
-        cols["plan_cache_key"][r] = attr.get("planCacheKey")
-        cols["plan_summary"][r] = attr.get("planSummary")
-        cols["planning_time_us"][r] = _get_metric(attr, "planningTimeMicros")
-        cols["keys_examined"][r] = _get_metric(attr, "keysExamined")
-        cols["docs_examined"][r] = _get_metric(attr, "docsExamined")
-        cols["n_returned"][r] = _get_metric(attr, "nreturned", "nReturned")
-        cols["reslen"][r] = _get_metric(attr, "reslen")
-        storage = attr.get("storage") or {}
-        data = storage.get("data") or {}
-        # processStorageMetrics coalesce (LogParserTask.java:1015-1038)
-        cols["bytes_read"][r] = _get_metric(storage, "bytesRead") \
-            if "bytesRead" in storage else _get_metric(data, "bytesRead")
-        cols["bytes_written"][r] = _get_metric(storage, "bytesWritten") \
-            if "bytesWritten" in storage else _get_metric(data, "bytesWritten")
-        cols["write_conflicts"][r] = _get_metric(attr, "writeConflicts")
-        cols["n_shards"][r] = _get_metric(attr, "nShards")
-        cols["n_modified"][r] = _get_metric(attr, "nModified")
-        cols["n_upserted"][r] = _get_metric(attr, "nUpserted")
-        cols["n_deleted"][r] = _get_metric(attr, "ndeleted", "nDeleted")
-        cols["n_inserted"][r] = _get_metric(attr, "ninserted", "nInserted")
-        if "replanned" in attr:
-            cols["replanned"][r] = bool(attr["replanned"])
-        cols["replan_reason"][r] = attr.get("replanReason")
-        if "fromMultiPlanner" in attr:
-            cols["from_multi_planner"][r] = bool(attr["fromMultiPlanner"])
-        def fmt_tags(tags):
-            # formatAllReadPreferenceTags (LogParserTask.java:585-627):
-            # "k: v" pairs joined by ", " within a tag document,
-            # tag documents joined by "<br>"; accepts a single object
-            if isinstance(tags, dict):
-                tags = [tags]
-            if not isinstance(tags, list):
-                return None
-            parts = [", ".join(f"{k}: {v}" for k, v in t.items())
-                     for t in tags if isinstance(t, dict)]
-            return "<br>".join(parts) if parts else None
+    disc = _fill_errors(cols, r, doc, attr)
 
-        def read_pref(container):
-            # $readPreference may be an object or a bare mode string
-            # (extractReadPreferenceAndFilter LogParserTask.java:452-467)
-            rp = container.get("$readPreference")
-            if isinstance(rp, str):
-                return rp, None
-            if isinstance(rp, dict):
-                return rp.get("mode"), fmt_tags(rp.get("tags"))
-            return None, None
-
-        cols["read_pref_mode"][r], cols["read_pref_tags"][r] = read_pref(cmd)
-        # change-stream getMore (LogParserTask.java:871-890)
-        orig = attr.get("originatingCommand") or {}
-        stages = orig.get("pipeline") or []
-        cols["is_change_stream"][r] = any(
-            isinstance(s, dict) and "$changeStream" in s for s in stages)
-
-        def first_match(pipeline):
-            for st in pipeline or []:
-                if isinstance(st, dict) and "$match" in st:
-                    return st["$match"]
-            return None
-
-        flt = cmd.get("filter") or cmd.get("q")
-        if flt is None and isinstance(cmd.get("pipeline"), list):
-            flt = first_match(cmd["pipeline"])
-        # getMore fallback: shape + read preference from
-        # attr.originatingCommand when the command itself has none
-        # (extractReadPreferenceAndFilter LogParserTask.java:517-551)
-        if flt is None and isinstance(orig, dict):
-            flt = orig.get("filter")
-        if cols["read_pref_mode"][r] is None and isinstance(orig, dict):
-            mode, fmt = read_pref(orig)
-            cols["read_pref_mode"][r] = mode
-            if cols["read_pref_tags"][r] is None:
-                cols["read_pref_tags"][r] = fmt
-        if flt is not None:
-            cols["raw_filter_json"][r] = json.dumps(
-                flt, sort_keys=True, separators=(",", ":"))
-    elif msg == "Deleted expired documents":
-        cols["n_deleted"][r] = _get_metric(attr, "numDeleted")
-    elif msg == "transaction":
+    # side extracts keyed on the envelope msg (same lines the
+    # reference's processTransaction / processClientMetadata /
+    # processAccessMessage consume)
+    if msg == "transaction":
         # processTransaction (LogParserTask.java:1117-1179)
         params = attr.get("parameters") or {}
         cols["txn_retry_counter"][r] = _get_metric(params, "txnRetryCounter")
@@ -457,8 +637,11 @@ def _fill_row(cols, r, doc, attr, msg):
         cols["commit_us"][r] = _get_metric(attr, "commitDurationMicros")
         cols["active_us"][r] = _get_metric(attr, "timeActiveMicros")
         cols["inactive_us"][r] = _get_metric(attr, "timeInactiveMicros")
-    elif msg == "client metadata":
-        # processClientMetadata (LogParserTask.java:1224-1315)
+        cols["branch"][r] = "none"
+        return disc
+    if msg == "client metadata":
+        # processClientMetadata (LogParserTask.java:1224-1315) —
+        # short-circuits the rest of the line processing (:122-124)
         d = attr.get("doc") or {}
         drv = d.get("driver") or {}
         cols["driver_name"][r] = drv.get("name")
@@ -470,12 +653,83 @@ def _fill_row(cols, r, doc, attr, msg):
         comps = attr.get("negotiatedCompressors")
         if comps is not None:
             cols["compressors"][r] = ",".join(comps)
-    elif msg == "Successfully authenticated":
+        cols["branch"][r] = "none"
+        return disc
+    if msg == "Successfully authenticated":
         # processAccessMessage (LogParserTask.java:1181-1222):
         # user + db + mechanism recorded for the ctx join
         cols["username"][r] = attr.get("user")
         cols["auth_db"][r] = attr.get("db")
         cols["auth_mechanism"][r] = attr.get("mechanism")
+        cols["branch"][r] = "none"
+        return disc
+
+    # --- branch dispatch (LogParserTask.java:155-345) ---------------
+    branch = None
+    if c == "INDEX":
+        # processIndexOperation (:720-778) dispatches on attr.msg —
+        # NOT the envelope msg; attr.msg is absent on most real INDEX
+        # lines, so they fold as index_maintenance / "command"
+        if amsg is not None and "Deleted expired documents" in amsg:
+            branch = "ttl_attr"
+            if isinstance(attr.get("namespace"), str):
+                cols["ns"][r] = attr["namespace"]
+            cols["n_deleted"][r] = _get_metric(attr, "numDeleted")
+        elif isinstance(attr.get("namespace"), str):
+            branch = "index"
+            cols["ns"][r] = attr["namespace"]
+            if amsg is not None:
+                cols["index_cat"][r] = (
+                    "index_build" if "Index build" in amsg else
+                    "index_drop" if "Index drop" in amsg else "index_other")
+            else:
+                cols["index_cat"][r] = "index_maintenance"
+        # neither → fall through to the WRITE / COMMAND checks
+    if branch is None and c == "WRITE" and "type" in attr:
+        # processWriteOperation (:955-981): requires attr.ns, else the
+        # line is consumed with no output (the dispatch is else-if)
+        if isinstance(attr.get("ns"), str):
+            branch = "write"
+            cols["ns"][r] = attr["ns"]
+            cols["op_kind"][r] = attr["type"] \
+                if isinstance(attr["type"], str) else None
+            cmd = attr.get("command")
+            _fill_op_details(cols, r, attr,
+                             cmd if isinstance(cmd, dict) else {})
+        else:
+            branch = "dead"
+    if branch is None:
+        cmd = attr.get("command")
+        if isinstance(cmd, dict):
+            if isinstance(attr.get("ns"), str):
+                branch = "command"
+                cols["ns"][r] = attr["ns"]
+                # first-match over the reference's closed op set
+                # (processCommandOperation :802-919), else the first
+                # admin / _shardsv* key (processOtherOperations
+                # :921-943), else the first key (classifies to none)
+                opk = next((k for k in S.REF_COMMAND_OPS if k in cmd), None)
+                if opk is None:
+                    opk = next((k for k in cmd
+                                if k.startswith("_shardsv")
+                                or k in S.ADMIN_OPS),
+                               next(iter(cmd), None))
+                cols["op_kind"][r] = opk
+                # collection-name ns override (:804-918): the command
+                # value names the collection; getMore carries it in
+                # `collection`; aggregate "1" is a DATABASE-level
+                # aggregation and keeps the original namespace
+                coll = cmd.get("collection") if opk == "getMore" \
+                    else (cmd.get(opk) if opk in S.REF_COMMAND_OPS else None)
+                db = str(attr["ns"]).split(".", 1)[0]
+                if db and isinstance(coll, str) and coll \
+                        and not (opk == "aggregate" and coll == "1"):
+                    cols["ns"][r] = f"{db}.{coll}"
+                _fill_op_details(cols, r, attr, cmd)
+            else:
+                branch = "dead"  # noNs (LogParserTask.java:268-276)
+    cols["branch"][r] = branch or "none"
+    return disc
 
 
 # ---------------------------------------------------------------------------
@@ -546,6 +800,10 @@ def render_lines(tbl: pa.Table) -> list[str]:
                                       ("bytesWritten", row["bytes_written"]))
                     if v is not None}}
         elif msg == "Deleted expired documents":
+            # real TTL deletions are logged by the TTLMonitor thread —
+            # the driver-side hook (isTtlOperation) catches them via
+            # the "TTL" substring, then the '"ctx":"TTLMonitor"'
+            # blacklist entry drops them from everything else
             attr = {"namespace": row["ns"], "numDeleted": row["n_deleted"],
                     "durationMillis": row["duration_ms"]}
         elif msg == "transaction":
@@ -577,7 +835,10 @@ def render_lines(tbl: pa.Table) -> list[str]:
                     "mechanism": row["auth_mechanism"] or "SCRAM-SHA-256",
                     "remote": row["remote"]}
         elif msg.startswith("Index"):
-            attr = {"namespace": row["ns"]}
+            # the reference categorizes INDEX ops on attr.msg, not the
+            # envelope msg (processIndexOperation
+            # LogParserTask.java:753-765) — carry it in both places
+            attr = {"namespace": row["ns"], "msg": msg}
         else:
             attr = {"detail": "noise"}
         if row["is_error"]:
@@ -590,8 +851,10 @@ def render_lines(tbl: pa.Table) -> list[str]:
             attr["appName"] = row["app_name"]
         if row["duration_ms"] is not None and "durationMillis" not in attr:
             attr["durationMillis"] = row["duration_ms"]
+        ctx = ("TTLMonitor" if msg == "Deleted expired documents"
+               else row["ctx"])
         line = {"t": {"$date": t_iso}, "s": "I", "c": comp, "id": 51803,
-                "ctx": row["ctx"], "msg": msg, "attr": attr}
+                "ctx": ctx, "msg": msg, "attr": attr}
         out.append(json.dumps(line, separators=(",", ":")))
     return out
 
@@ -638,7 +901,7 @@ def write_raw_log_fixture(out_dir: str, n_rows: int, *, seed: int = 42,
 # Fixed-location fixture shared by the rawlog_main_ops driver query and
 # its DuckDB read_json oracle (mlp_ray/oracle_sql.py) — bump the
 # version suffix whenever synth/render output changes.
-RAWLOG_FIXTURE_DIR = "/tmp/mlp_rawlog_fixture_v2"
+RAWLOG_FIXTURE_DIR = "/tmp/mlp_rawlog_fixture_v3"
 
 
 def ensure_rawlog_fixture(n_rows: int = 8000, seed: int = 11,

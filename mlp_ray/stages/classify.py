@@ -24,9 +24,10 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..schema import ADMIN_OPS
+from ..schema import ADMIN_OPS, REF_COMMAND_OPS
 
 _ADMIN_SET = pa.array(sorted(ADMIN_OPS), pa.string())
+_REF_OPS_SET = pa.array(REF_COMMAND_OPS, pa.string())
 
 
 def _cw(conds_vals, default):
@@ -39,7 +40,133 @@ def _b(x):
     return pc.fill_null(x, False)
 
 
+def _classify_ref(batch: pa.Table) -> pa.Table:
+    """Reference-exact classification for the RAW-log path — consumes
+    the branch / op_kind / index_cat / pre_ignored signals parse_batch
+    extracted with the reference's own dispatch structure
+    (LogParserTask.java:155-345).
+
+    Main-table label ``op`` = ``OpType.getType()`` (INDEX and admin
+    ops fold as "command"; unknown commands fold NOWHERE); op-type
+    stats are the ``incrementOperationStat`` labels: ``op_stat`` is the
+    pre-namespace-filter increment (INDEX categories :740-765, WRITE
+    :955-981) or the post-filter COMMAND increment (:802-943), and
+    ``op_stat2`` the INDEX branch's second, post-filter
+    "index_operation" increment (:197)."""
+    br = batch["branch"]
+    opk = batch["op_kind"]
+    ns = batch["ns"]
+    is_ttl = _b(pc.equal(br, "ttl_attr"))
+    is_index = _b(pc.equal(br, "index"))
+    is_write = _b(pc.equal(br, "write"))
+    is_cmdb = _b(pc.equal(br, "command"))
+    is_known = _b(pc.is_in(opk, value_set=_REF_OPS_SET))
+    is_shard = _b(pc.starts_with(pc.fill_null(opk, ""), "_shardsv"))
+    is_admin = _b(pc.or_(pc.is_in(opk, value_set=_ADMIN_SET), is_shard))
+    w_upd = _b(pc.and_(is_write, pc.equal(opk, "update")))
+    w_del = _b(pc.and_(is_write, pc.is_in(
+        opk, value_set=pa.array(["remove", "delete"]))))
+    w_ins = _b(pc.and_(is_write, pc.equal(opk, "insert")))
+
+    op = _cw(
+        [
+            (is_ttl, pa.scalar("remove", pa.string())),
+            (is_index, pa.scalar("command", pa.string())),
+            (w_upd, pa.scalar("update_w", pa.string())),
+            (w_del, pa.scalar("remove", pa.string())),
+            (w_ins, pa.scalar("insert", pa.string())),
+            (is_write, pa.scalar("command", pa.string())),
+            (_b(pc.and_(is_cmdb, is_known)), opk),
+            (_b(pc.and_(is_cmdb, is_admin)),
+             pa.scalar("command", pa.string())),
+        ],
+        pa.scalar(None, pa.string()),
+    )
+
+    # write-metric nreturned coalescing (processExecutionStats
+    # :991-1009) keyed on the reference opType
+    nret = _cw(
+        [
+            (_b(pc.or_(w_upd, pc.and_(is_cmdb, pc.equal(opk, "update")))),
+             pc.coalesce(batch["n_modified"], batch["n_upserted"])),
+            (_b(pc.or_(pc.or_(w_del, is_ttl),
+                       pc.and_(is_cmdb, pc.equal(opk, "delete")))),
+             batch["n_deleted"]),
+            (_b(pc.or_(w_ins, pc.and_(is_cmdb, pc.equal(opk, "insert")))),
+             batch["n_inserted"]),
+        ],
+        batch["n_returned"],
+    )
+
+    # namespace gate: config DB always excluded
+    # (LogParser.java:443-446); null namespaces pass
+    ns_pass = pc.invert(_b(pc.starts_with(ns, "config.")))
+    has_op = pc.is_valid(op)
+    r_ops = _b(pc.and_(has_op, ns_pass))
+
+    # op-type stat labels: INDEX/WRITE increments fire BEFORE the
+    # namespace filter, COMMAND increments after it
+    cmd_stat_ok = _b(pc.and_(is_cmdb, ns_pass))
+    op_stat = _cw(
+        [
+            (is_ttl, pa.scalar("ttl_delete", pa.string())),
+            (is_index, batch["index_cat"]),
+            (w_upd, pa.scalar("update_w", pa.string())),
+            (w_del, pa.scalar("delete_w", pa.string())),
+            (w_ins, pa.scalar("insert_w", pa.string())),
+            (is_write, pc.binary_join_element_wise(
+                pa.scalar("write"), pc.fill_null(opk, "unknown"), "_")),
+            (_b(pc.and_(cmd_stat_ok, is_known)), opk),
+            (_b(pc.and_(cmd_stat_ok, is_shard)),
+             pc.binary_join_element_wise(pa.scalar("shard"),
+                                         pc.fill_null(opk, ""), "_")),
+            (_b(pc.and_(cmd_stat_ok, is_admin)), opk),
+        ],
+        pa.scalar(None, pa.string()),
+    )
+    op_stat2 = pc.if_else(
+        _b(pc.and_(pc.or_(is_ttl, is_index), ns_pass)),
+        pa.scalar("index_operation", pa.string()),
+        pa.scalar(None, pa.string()))
+
+    is_txn = _b(pc.and_kleene(pc.equal(batch["component"], "TXN"),
+                              pc.equal(batch["msg"], "transaction")))
+    is_conn = _b(pc.is_in(batch["component"],
+                          value_set=pa.array(["NETWORK", "ACCESS"])))
+    pre_ign = _b(batch["pre_ignored"])
+    not_ign = pc.invert(pre_ign)
+    r_error = _b(pc.and_(batch["is_error"], not_ign))
+    r_ignored = pre_ign
+    ignored_category = batch["pre_ignored_category"]
+
+    st = batch["parse_status"]
+    ok = _b(pc.equal(st, "ok"))
+    bad = pc.invert(ok)
+    op = pc.if_else(ok, op, pa.scalar(None, pa.string()))
+    out = (
+        batch.append_column("op", op)
+        .append_column("op_stat", pc.if_else(ok, op_stat,
+                                             pa.scalar(None, pa.string())))
+        .append_column("op_stat2", pc.if_else(ok, op_stat2,
+                                              pa.scalar(None, pa.string())))
+        .append_column("nret", nret)
+        .append_column("r_ops", pc.and_(pc.and_(r_ops, ok), not_ign))
+        .append_column("r_txn", pc.and_(pc.and_(is_txn, ok), not_ign))
+        .append_column("r_conn", pc.and_(pc.and_(is_conn, ok), not_ign))
+        .append_column("r_error", pc.and_(r_error, ok))
+        .append_column("r_ignored", _b(pc.or_(r_ignored, bad)))
+        .append_column("ignored_category", pc.if_else(
+            bad,
+            pc.binary_join_element_wise(
+                pa.scalar("parse_"), pc.fill_null(st, "unknown"), ""),
+            ignored_category))
+    )
+    return out
+
+
 def classify_batch(batch: pa.Table) -> pa.Table:
+    if "branch" in batch.column_names:
+        return _classify_ref(batch)
     comp = batch["component"]
     msg = batch["msg"]
     opk = batch["op_kind"]
@@ -67,12 +194,20 @@ def classify_batch(batch: pa.Table) -> pa.Table:
     is_cs = _b(pc.and_kleene(pc.equal(opk, "getMore"),
                              batch["is_change_stream"]))
 
+    # Unknown commands are SKIPPED, not labeled: the reference's
+    # dispatch is a closed first-match set + admin/shard tail
+    # (processCommandOperation :802-919 → processOtherOperations
+    # :921-943 → return false → line dropped), so e.g. a
+    # replSetGetStatus command accumulates nothing.
+    is_known = _b(pc.is_in(opk, value_set=_REF_OPS_SET))
     op = _cw(
         [
-            (_b(pc.and_(is_cmd, is_admin)), pa.scalar("cmd", pa.string())),
-            (_b(pc.and_(is_cmd, is_cs)),
+            (_b(pc.and_(is_cmd, is_admin)),
+             pa.scalar("command", pa.string())),
+            (_b(pc.and_(is_cmd, pc.and_(is_known, is_cs))),
              pa.scalar("getMore (change stream)", pa.string())),
-            (is_cmd, opk),
+            (_b(pc.and_(is_cmd, is_known)), opk),
+            (is_cmd, pa.scalar(None, pa.string())),
             (_b(pc.and_(is_write, pc.equal(opk, "update"))),
              pa.scalar("update_w", pa.string())),
             (_b(pc.and_(is_write, pc.equal(opk, "delete"))),

@@ -31,6 +31,45 @@ DEFAULT_IGNORE_PATTERNS: tuple[str, ...] = (
     "replSetHeartbeat",
 )
 
+# The reference's EXACT default blacklist, matched against the whole
+# raw log line (FilterConfig.java:20-71, `shouldIgnore` :130-138).
+# Used by the raw-log ingestion path (sources.rawlog), where the raw
+# byte column is still in hand.
+RAW_LINE_IGNORE_PATTERNS: tuple[str, ...] = (
+    '"c":"NETWORK"',
+    '"c":"ACCESS"',
+    '"c":"CONNPOOL"',
+    '"hello":1',
+    '"isMaster":1',
+    '"ping":1',
+    '"serverStatus":1',
+    '"buildInfo"',
+    '"getParameter":',
+    '"getCmdLineOpts":1',
+    '"getDefaultRWConcern":1',
+    '"listDatabases":1',
+    '"endSessions":',
+    '"startSession"',
+    '"saslContinue":1',
+    '"replSetHeartbeat":"',
+    "replSetUpdatePosition",
+    '"replSetGetStatus":1',
+    '"$db":"local"',
+    '"$db":"config"',
+    '"ns":"local.oplog.rs"',
+    '"ns":"local.clustermanager"',
+    '"ns":"config.system.sessions"',
+    '"ns":"config.mongos"',
+    '"c":"STORAGE"',
+    '"c":"CONTROL"',
+    '"c":"SHARDING"',
+    '"dbstats":1',
+    '"collStats":"',
+    '"listIndexes":"',
+    '"ctx":"TTLMonitor"',
+    '"logRotate":"',
+)
+
 
 class FilterConfig:
     """Substring-blacklist filter, vectorized as one combined regex."""

@@ -60,36 +60,86 @@ def _agg(df: pd.DataFrame, keys):
 
 def test_roundtrip_sink_aggregates(parsed):
     """classify(parsed raw logs) == classify(original parquet events)
-    on every order-independent sink dimension."""
+    on every order-independent sink dimension, modulo the raw path's
+    REFERENCE-exact contract (attested verbatim against the real
+    corpus by test_reference_golden): INDEX ops fold into the main
+    table as "command" with no appName (setCommonAttributes is not
+    called in that branch), change-stream getMores keep the plain
+    label, TTL deletions ride the driver-side hook and the
+    '"ctx":"TTLMonitor"' blacklist drops them from every other sink,
+    and CONTROL noise is ignored BEFORE error counting."""
     orig = synth.generate_events_tok(N_ROWS, seed=7, tok_mean=8)
     po = classify_batch(orig)
     pr = classify_batch(parsed.filter(
         pc.equal(parsed["parse_status"], "ok")))
 
-    for mask in ("r_ops", "r_txn", "r_conn", "r_error"):
-        assert pc.sum(po[mask]).as_py() == pc.sum(pr[mask]).as_py(), mask
+    is_ttl_o = pc.fill_null(pc.equal(po["op"], "ttl_delete"), False)
+    is_ctrl_o = pc.equal(po["component"], "CONTROL")
+    n = pa.Table.num_rows  # noqa: just clarity
 
+    def s(mask):
+        return pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+
+    assert s(po["r_txn"]) == s(pr["r_txn"])
+    assert s(po["r_conn"]) == s(pr["r_conn"])
+    # TTL rows leave the raw ops path (blacklist), join the ttl hook
+    assert s(pc.and_(po["r_ops"], pc.invert(is_ttl_o))) == s(pr["r_ops"])
+    # CONTROL + TTL error rows are pre-ignored before error counting
+    err_keep_o = pc.and_(po["r_error"],
+                         pc.invert(pc.or_(is_ttl_o, is_ctrl_o)))
+    assert s(err_keep_o) == s(pr["r_error"])
+
+    # main-ops agg under the synthetic→reference label map
     cols = ["ns", "op", "app_name", "duration_ms"]
-    eo = _agg(po.filter(po["r_ops"]).select(cols).to_pandas(),
-              ["ns", "op", "app_name"])
-    er = _agg(pr.filter(pr["r_ops"]).select(cols).to_pandas(),
-              ["ns", "op", "app_name"])
-    pd.testing.assert_frame_equal(eo, er, check_dtype=False)
+    eo = (po.filter(pc.and_(po["r_ops"], pc.invert(is_ttl_o)))
+          .select(cols).to_pandas())
+    idx_mask = eo["op"].str.startswith("index_").fillna(False)
+    eo.loc[idx_mask, "op"] = "command"
+    eo.loc[idx_mask, "app_name"] = None
+    eo.loc[eo["op"] == "getMore (change stream)", "op"] = "getMore"
+    er = pr.filter(pr["r_ops"]).select(cols).to_pandas()
+    pd.testing.assert_frame_equal(_agg(eo, ["ns", "op", "app_name"]),
+                                  _agg(er, ["ns", "op", "app_name"]),
+                                  check_dtype=False)
+
+    # TTL hook table == the synthetic ttl sink dimension
+    hook = parsed.filter(pc.is_valid(parsed["ttl_ns"]))
+    to = (po.filter(is_ttl_o).select(["ns", "n_deleted"]).to_pandas()
+          .groupby("ns")["n_deleted"].agg(["size", "sum"]).sort_index())
+    tr = (hook.select(["ttl_ns", "ttl_n_deleted"]).to_pandas()
+          .groupby("ttl_ns")["ttl_n_deleted"].agg(["size", "sum"])
+          .sort_index())
+    assert (to["size"].to_numpy() == tr["size"].to_numpy()).all()
+    assert (to["sum"].to_numpy() == tr["sum"].to_numpy()).all()
 
     # error-code and txn dimensions
-    for keys, mask in ((["err_code_name"], "r_error"),
-                       (["txn_retry_counter", "termination_cause",
-                         "commit_type"], "r_txn")):
-        a = (po.filter(po[mask]).select(keys).to_pandas()
-             .value_counts(dropna=False).sort_index())
-        b = (pr.filter(pr[mask]).select(keys).to_pandas()
-             .value_counts(dropna=False).sort_index())
-        assert a.equals(b), keys
+    a = (po.filter(err_keep_o).select(["err_code_name"]).to_pandas()
+         .value_counts(dropna=False).sort_index())
+    b = (pr.filter(pr["r_error"]).select(["err_code_name"]).to_pandas()
+         .value_counts(dropna=False).sort_index())
+    assert a.equals(b), "err_code_name"
+    keys = ["txn_retry_counter", "termination_cause", "commit_type"]
+    a = (po.filter(po["r_txn"]).select(keys).to_pandas()
+         .value_counts(dropna=False).sort_index())
+    b = (pr.filter(pr["r_txn"]).select(keys).to_pandas()
+         .value_counts(dropna=False).sort_index())
+    assert a.equals(b), keys
 
     # redaction input survives the round trip (query shapes on Slow
-    # query lines, normalized; TTL rows carry no shape in a real log)
-    slow_o = po.filter(pc.equal(po["msg"], "Slow query"))
-    slow_r = pr.filter(pc.equal(pr["msg"], "Slow query"))
+    # query lines, normalized; TTL rows carry no shape in a real log).
+    # Namespaces on the reference's raw-line blacklist
+    # ('"ns":"config.system.sessions"' / '"ns":"config.mongos"',
+    # FilterConfig.java:56-59) are ignored pre-parse unless a target-op
+    # substring protects the line — exclude them from both sides.
+    bl_ns = pa.array(["config.system.sessions", "config.mongos"])
+    slow_o = po.filter(pc.and_(
+        pc.equal(po["msg"], "Slow query"),
+        pc.invert(pc.fill_null(pc.is_in(po["ns"], value_set=bl_ns),
+                               False))))
+    slow_r = pr.filter(pc.and_(
+        pc.equal(pr["msg"], "Slow query"),
+        pc.invert(pc.fill_null(pc.is_in(pr["ns"], value_set=bl_ns),
+                               False))))
     fo = sorted(
         json.dumps(json.loads(x), sort_keys=True, separators=(",", ":"))
         for x in slow_o["raw_filter_json"].to_pylist() if x)
@@ -286,9 +336,13 @@ def test_index_subcategories_and_auth_fields():
     :1289-1296)."""
     from mlp_ray.stages.classify import classify_batch
     out = _parse_lines([
+        _line("INDEX", "Index build: starting",
+              {"namespace": "a.idx", "msg": "Index build: starting"}),
+        _line("INDEX", "Index drop: completed",
+              {"namespace": "a.idx", "msg": "Index drop: completed"}),
+        _line("INDEX", "Index validation complete",
+              {"namespace": "a.idx", "msg": "Index validation complete"}),
         _line("INDEX", "Index build: starting", {"namespace": "a.idx"}),
-        _line("INDEX", "Index drop: completed", {"namespace": "a.idx"}),
-        _line("INDEX", "Index validation complete", {"namespace": "a.idx"}),
         _line("ACCESS", "Successfully authenticated",
               {"user": "svc", "db": "$external",
                "mechanism": "MONGODB-X509", "remote": "1.2.3.4:1"}),
@@ -299,11 +353,16 @@ def test_index_subcategories_and_auth_fields():
                        "mongos": {"version": "7.0.5"}}}),
     ])
     cb = classify_batch(out)
-    assert cb["op"].to_pylist()[:3] == ["index_build", "index_drop",
-                                       "index_other"]
-    assert out["auth_db"][3].as_py() == "$external"
-    assert out["auth_mechanism"][3].as_py() == "MONGODB-X509"
-    assert out["server_version"][4].as_py() == "7.0.5"
+    # reference semantics: INDEX ops categorize for op-type stats on
+    # attr.msg (absent → index_maintenance) and fold into the MAIN
+    # table as "command" (OpType.CMD, LogParserTask.java:746-767)
+    assert cb["op_stat"].to_pylist()[:4] == [
+        "index_build", "index_drop", "index_other", "index_maintenance"]
+    assert cb["op_stat2"].to_pylist()[:4] == ["index_operation"] * 4
+    assert cb["op"].to_pylist()[:4] == ["command"] * 4
+    assert out["auth_db"][4].as_py() == "$external"
+    assert out["auth_mechanism"][4].as_py() == "MONGODB-X509"
+    assert out["server_version"][5].as_py() == "7.0.5"
 
 
 def test_magic_byte_compression_sniffing(tmp_path):
