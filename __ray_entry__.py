@@ -26,251 +26,231 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # ORDER MATTERS: the driver's round-2 battery checked exactly the
-    # first 50 dict entries, so the first 50 here are the
-    # oracle-backed set that most needs driver attestation — the
-    # flagship-sink family (never driver-checked before), the rows
-    # fixed/newly-oracled this round, and a representative core.
-    # Entries past 50 are equally real (all green in the in-repo
-    # driver-contract suite; most were driver-green in r01/r02).
+    # ORDER MATTERS: the driver's battery checks exactly the first 50
+    # dict entries each round.  Round-4 rotation (VERDICT r3 item 5):
+    # 6 sentinels from the always-green core (so a regression in the
+    # flagship/rawlog/dedup/asof/pack/curate families is still caught
+    # at the driver), the 2 views newly moved OUT of rows-only this
+    # round (minhash-candidate replay + pHash brute-force oracles),
+    # then 42 oracle-backed entries that have NEVER had a driver row
+    # (r01+r02+r03 covered 93 distinct names; these are from the
+    # remaining 63).  Entries past 50 are equally real — every
+    # oracle-backed one is re-attested per session by
+    # tests/test_driver_contract.py at the driver's own sf0.01 scale.
     return {
-        # -- flagship sinks over the input_hint tokenized corpus
-        #    (DuckDB oracles in mlp_ray/oracle_sql.py over the
-        #    persisted flagship input; golden-checked in
-        #    tests/test_flagship_golden.py)
-        "flagship_main_ops": Q.flagship_main_ops,        # A1
+        # -- sentinels (driver-green r03, re-attested every round)
+        "flagship_main_ops": Q.flagship_main_ops,  # A1
+        "rawlog_main_ops": Q.rawlog_main_ops,  # S2/S3/P1-P3/J2
+        "doc_minhash_dedup": Q.doc_minhash_dedup,  # LSH + exact verify
+        "events_asof_join": Q.events_asof_join,  # as-of join
+        "flagship_pack_materialize":
+            Q.flagship_pack_materialize,  # real packed rows
+        "doc_curate": Q.doc_curate,  # quality→decontam→dedup→sample
+        # -- newly oracle-backed this round (were rows-only)
+        "doc_minhash_candidates":
+            Q.doc_minhash_candidates,  # LSH replay oracle
+        "media_phash_dedup": Q.media_phash_dedup,  # pHash brute oracle
+        # -- never driver-checked before this round (42)
+        "doc_vocab_growth": Q.doc_vocab_growth,  # Heaps curve
+        "events_peak_concurrency": Q.events_peak_concurrency,  # sweep-line max
+        "doc_dup_cluster_hist": Q.doc_dup_cluster_hist,  # copy histogram
+        "events_window_distinct": Q.events_window_distinct,  # window n-distinct
+        "suppliers_sole_return": Q.suppliers_sole_return,  # Q21 EXISTS
+        "users_halves_outer": Q.users_halves_outer,  # FULL OUTER join
+        "events_value_corr": Q.events_value_corr,  # moment merge
+        "doc_normalize": Q.doc_normalize,  # NFC/case/space
+        "nation_market_share": Q.nation_market_share,  # Q8 share ratio
+        "customers_returned_top": Q.customers_returned_top,  # Q10 returns topk
+        "customer_order_dist": Q.customer_order_dist,  # Q13 2-level agg
+        "supplier_top_revenue": Q.supplier_top_revenue,  # argmax w/ ties
+        "orders_big_qty": Q.orders_big_qty,  # HAVING join-back
+        "parts_filter_revenue": Q.parts_filter_revenue,  # disjunctive arms
+        "users_active_both": Q.users_active_both,  # INTERSECT
+        "events_user_moving_avg": Q.events_user_moving_avg,  # ROWS frame
+        "events_value_hist": Q.events_value_hist,  # width buckets
+        "events_pct_rank_top": Q.events_pct_rank_top,  # percent_rank
+        "users_type_profile": Q.users_type_profile,  # string_agg
+        "users_weekly_retention": Q.users_weekly_retention,  # cohort
+        "daily_activity_union": Q.daily_activity_union,  # UNION ALL
+        "events_asof_fwd": Q.events_asof_fwd,  # forward as-of
+        "parts_promo_share": Q.parts_promo_share,  # conditional agg
+        "orders_unshipped_top": Q.orders_unshipped_top,  # Q3 topk join
+        "orders_late_priority": Q.orders_late_priority,  # Q12 lateness
+        "nation_revenue": Q.nation_revenue,  # Q5-shape multi-join
+        "parts_brand_revenue": Q.parts_brand_revenue,  # dim-broadcast join
+        "events_user_gaps": Q.events_user_gaps,  # LAG window gaps
+        "events_hourly_top_type": Q.events_hourly_top_type,  # argmax/hour
+        "events_value_quartiles": Q.events_value_quartiles,  # p25/50/75 fold
+        "parts_small_qty_revenue": Q.parts_small_qty_revenue,  # Q17 shape
+        "emb_label_centroid": Q.emb_label_centroid,  # vector aggregate
+        "events_user_ntile": Q.events_user_ntile,  # global NTILE(4)
+        "events_anomaly_zscore": Q.events_anomaly_zscore,  # 2-pass outliers
+        "events_transitions": Q.events_transitions,  # Markov counts
+        "doc_dedup_stats": Q.doc_dedup_stats,  # dup-rate audit
+        "events_activity_heatmap": Q.events_activity_heatmap,  # dow×hour cells
+        "events_ab_welch": Q.events_ab_welch,  # pairwise t-test
+        "rawlog_error_rate": Q.rawlog_error_rate,  # raw-path audit
+        "doc_ttr": Q.doc_ttr,  # lexical diversity
+        "events_error_burst": Q.events_error_burst,  # rolling 3h max
+        "events_cusum_changepoint":
+            Q.events_cusum_changepoint,  # drift detector
+        # ---- position 51+: driver-green in earlier rounds and/or
+        # oracle-attested in-repo every session --------------------
         "flagship_main_ops_by_shard": Q.flagship_main_ops_by_shard,  # --shards
-        "flagship_ttl": Q.flagship_ttl,                  # A2
-        "flagship_query_hash": Q.flagship_query_hash,    # A3
-        "flagship_plan_cache": Q.flagship_plan_cache,    # A4
+        "flagship_ttl": Q.flagship_ttl,  # A2
+        "flagship_query_hash": Q.flagship_query_hash,  # A3
+        "flagship_plan_cache": Q.flagship_plan_cache,  # A4
         "flagship_index_stats": Q.flagship_index_stats,  # A5 COLLSCAN
-        "flagship_errors": Q.flagship_errors,            # A6
-        "flagship_txn": Q.flagship_txn,                  # A7
-        "flagship_app_conns": Q.flagship_app_conns,      # A8
-        "flagship_op_stats": Q.flagship_op_stats,        # A9
+        "flagship_errors": Q.flagship_errors,  # A6
+        "flagship_txn": Q.flagship_txn,  # A7
+        "flagship_app_conns": Q.flagship_app_conns,  # A8
+        "flagship_op_stats": Q.flagship_op_stats,  # A9
         "flagship_processing_stats": Q.flagship_processing_stats,  # A10
         "flagship_driver_stats": Q.flagship_driver_stats,  # J1/A12
         "flagship_slow_planning": Q.flagship_slow_planning,  # T4
         "flagship_ignored_hist": Q.flagship_ignored_hist,  # K6
-        "rawlog_main_ops": Q.rawlog_main_ops,            # S2/S3/P1-P3/J2
-        # -- token-stream ops over the input_hint tokens payload
         "flagship_token_freq": Q.flagship_token_freq,
         "flagship_token_bigrams": Q.flagship_token_bigrams,
         "flagship_seq_lengths": Q.flagship_seq_lengths,
-        "flagship_pack_plan": Q.flagship_pack_plan,      # prefix-sum scan
-        "flagship_pack_materialize":
-            Q.flagship_pack_materialize,                 # real packed rows
-        # -- fixed / newly-oracled this round
-        "events_asof_join": Q.events_asof_join,          # as-of join
-        "doc_minhash_dedup": Q.doc_minhash_dedup,        # LSH + exact verify
-        "doc_dup_clusters": Q.doc_dup_clusters,          # verify→components
-        "doc_fingerprint": Q.doc_fingerprint,            # winnow rollup
+        "flagship_pack_plan": Q.flagship_pack_plan,  # prefix-sum scan
+        "doc_dup_clusters": Q.doc_dup_clusters,  # verify→components
+        "doc_fingerprint": Q.doc_fingerprint,  # winnow rollup
         "events_distinct_users_approx":
-            Q.events_distinct_users_approx,              # HLL + checksums
-        # -- exact-pair validation + ANN baselines
+            Q.events_distinct_users_approx,  # HLL + checksums
         "ann_topk": Q.ann_topk,
-        "doc_jaccard_pairs": Q.doc_jaccard_pairs,        # exact, oracle
-        "emb_cosine_pairs": Q.emb_cosine_pairs,          # exact, oracle
-        # -- core battery (reference-operator analogues over testdata)
-        "events_main_agg": Q.events_main_agg,           # A1 fold + exact p95
-        "events_topk": Q.events_topk,                    # T4 top-k
+        "doc_jaccard_pairs": Q.doc_jaccard_pairs,  # exact, oracle
+        "emb_cosine_pairs": Q.emb_cosine_pairs,  # exact, oracle
+        "events_main_agg": Q.events_main_agg,  # A1 fold + exact p95
+        "events_topk": Q.events_topk,  # T4 top-k
         "events_distinct_users": Q.events_distinct_users,  # A8 exact distinct
         "orders_lineitem_join": Q.orders_lineitem_join,  # large-large hash join
-        "doc_curate": Q.doc_curate,  # quality→decontam→dedup→sample
-        # -- new this round (oracle-backed, never driver-checked) -------
         "events_top3_per_user": Q.events_top3_per_user,  # per-group top-k rows
-        "users_churned": Q.users_churned,                # EXCEPT anti set op
+        "users_churned": Q.users_churned,  # EXCEPT anti set op
         "emb_nearest_centroid": Q.emb_nearest_centroid,  # centroid assign
-        "doc_token_entropy": Q.doc_token_entropy,        # entropy scoring
+        "doc_token_entropy": Q.doc_token_entropy,  # entropy scoring
         "events_user_cum_share": Q.events_user_cum_share,  # ordered scan
-        "doc_shuffle": Q.doc_shuffle,                    # seeded global order
-        "events_funnel": Q.events_funnel,                # asof attribution
-        "doc_budget_sample": Q.doc_budget_sample,        # token-budget mix
+        "doc_shuffle": Q.doc_shuffle,  # seeded global order
+        "events_funnel": Q.events_funnel,  # asof attribution
+        "doc_budget_sample": Q.doc_budget_sample,  # token-budget mix
         "orders_discounted_semi": Q.orders_discounted_semi,  # semi join
-        # -- round-3e stars promoted into the driver's first-50 battery
-        #    window (the eight they displace were driver-green in
-        #    r01/r02 and stay oracle-checked in-repo; they now sit
-        #    where these used to)
-        "doc_segment_dedup": Q.doc_segment_dedup,        # substring dedup
+        "doc_segment_dedup": Q.doc_segment_dedup,  # substring dedup
         "events_value_quantile_select":
-            Q.events_value_quantile_select,              # exact k-select
-        "emb_covariance": Q.emb_covariance,              # d×d Gram pass
-        "doc_split_safe": Q.doc_split_safe,              # canonical-gated
-        "source_gram_overlap": Q.source_gram_overlap,    # pair contamination
-        "events_value_skew": Q.events_value_skew,        # G1/G2 moments
-        "nations_volume_shipping":
-            Q.nations_volume_shipping,                   # Q7 trade volume
-        "events_user_rfm": Q.events_user_rfm,            # ntile segments
-        # ---- position 51+ (driver-green in r01/r02 and/or attested by
-        # the in-repo oracle suite every session) -----------------------
+            Q.events_value_quantile_select,  # exact k-select
+        "emb_covariance": Q.emb_covariance,  # d×d Gram pass
+        "doc_split_safe": Q.doc_split_safe,  # canonical-gated
+        "source_gram_overlap": Q.source_gram_overlap,  # pair contamination
+        "events_value_skew": Q.events_value_skew,  # G1/G2 moments
+        "nations_volume_shipping": Q.nations_volume_shipping,  # Q7 trade volume
+        "events_user_rfm": Q.events_user_rfm,  # ntile segments
         "events_user_sessions": Q.events_user_sessions,  # J1 map_groups join
-        "events_range_join": Q.events_range_join,        # interval join
+        "events_range_join": Q.events_range_join,  # interval join
         "orders_top_customers": Q.orders_top_customers,  # agg→join→topk/group
-        "events_routed": Q.events_routed,                # routing fan-out
-        "events_dedup_latest": Q.events_dedup_latest,    # upsert compaction
-        "orders_by_nation": Q.orders_by_nation,          # broadcast lookup join
+        "events_routed": Q.events_routed,  # routing fan-out
+        "events_dedup_latest": Q.events_dedup_latest,  # upsert compaction
+        "orders_by_nation": Q.orders_by_nation,  # broadcast lookup join
         "customers_no_urgent_orders": Q.customers_no_urgent_orders,  # anti join
-        "lineitem_pricing": Q.lineitem_pricing,          # generic fold
-        "events_sessionize": Q.events_sessionize,        # gap sessions
+        "lineitem_pricing": Q.lineitem_pricing,  # generic fold
+        "events_sessionize": Q.events_sessionize,  # gap sessions
         "events_running_total": Q.events_running_total,  # window analytics
         "events_sliding_window": Q.events_sliding_window,  # sliding agg
         "doc_exact_dedup": Q.doc_exact_dedup,
-        "doc_tokenize": Q.doc_tokenize,                  # vocab tokenizer
-        "doc_tfidf": Q.doc_tfidf,                        # tf-idf top terms
-        "doc_winnow_md5": Q.doc_winnow_md5,              # oracle winnowing
-        "doc_decontaminate": Q.doc_decontaminate,        # bench n-gram overlap
-        "doc_unigram_logprob": Q.doc_unigram_logprob,    # unigram LM score
+        "doc_tokenize": Q.doc_tokenize,  # vocab tokenizer
+        "doc_tfidf": Q.doc_tfidf,  # tf-idf top terms
+        "doc_winnow_md5": Q.doc_winnow_md5,  # oracle winnowing
+        "doc_decontaminate": Q.doc_decontaminate,  # bench n-gram overlap
+        "doc_unigram_logprob": Q.doc_unigram_logprob,  # unigram LM score
         "events_error_by_user": Q.events_error_by_user,  # A6 error slice
-        "events_ts_range": Q.events_ts_range,            # A11 min/max
-        "events_type_share": Q.events_type_share,        # A9 op mix
-        "events_daily": Q.events_daily,                  # temporal binning
+        "events_ts_range": Q.events_ts_range,  # A11 min/max
+        "events_type_share": Q.events_type_share,  # A9 op mix
+        "events_daily": Q.events_daily,  # temporal binning
         "events_argmax_sample": Q.events_argmax_sample,  # T7 arg-max sample
-        "events_first_last": Q.events_first_last,        # first/last by order
-        "events_pivot": Q.events_pivot,                  # pivot counts
-        "events_rollup": Q.events_rollup,                # grouping sets
-        "events_group_sample": Q.events_group_sample,    # per-group sample
-        "doc_repetition": Q.doc_repetition,              # Gopher repetition
-        "doc_chunk": Q.doc_chunk,                        # overlap chunking
-        "doc_len_quantiles": Q.doc_len_quantiles,        # per-lang fold
-        "doc_ngram_topk": Q.doc_ngram_topk,              # heavy hitters
-        "emb_dup_clusters": Q.emb_dup_clusters,          # connected comps
-        # text analysis
+        "events_first_last": Q.events_first_last,  # first/last by order
+        "events_pivot": Q.events_pivot,  # pivot counts
+        "events_rollup": Q.events_rollup,  # grouping sets
+        "events_group_sample": Q.events_group_sample,  # per-group sample
+        "doc_repetition": Q.doc_repetition,  # Gopher repetition
+        "doc_chunk": Q.doc_chunk,  # overlap chunking
+        "doc_len_quantiles": Q.doc_len_quantiles,  # per-lang fold
+        "doc_ngram_topk": Q.doc_ngram_topk,  # heavy hitters
+        "emb_dup_clusters": Q.emb_dup_clusters,  # connected comps
         "doc_token_stats": Q.doc_token_stats,
         "doc_quality": Q.doc_quality,
         "doc_lang_hist": Q.doc_lang_hist,
-        "doc_bpe_tokens": Q.doc_bpe_tokens,              # BPE-ish count
-        "doc_lang_id": Q.doc_lang_id,
-        # training-data hygiene
-        "doc_pii_scrub": Q.doc_pii_scrub,                # RE2 scrub, oracle
+        "doc_bpe_tokens": Q.doc_bpe_tokens,  # BPE-ish count
+        "doc_lang_id": Q.doc_lang_id,  # training-data hygiene
+        "doc_pii_scrub": Q.doc_pii_scrub,  # RE2 scrub, oracle
         "doc_stratified_sample": Q.doc_stratified_sample,  # md5-bucket gate
-        "doc_split": Q.doc_split,                        # train/val/test
-        "doc_bpe_train": Q.doc_bpe_train,                # BPE trainer
-        # dedup (approximate/estimate views; verified siblings above)
-        "doc_minhash_candidates": Q.doc_minhash_candidates,  # rows-only
-        "doc_simhash_dedup": Q.doc_simhash_dedup,        # rows-only
-        "doc_ngram_jaccard": Q.doc_ngram_jaccard,        # rows-only
-        "emb_near_dup": Q.emb_near_dup,                  # rows-only
-        # similarity search (approximate variants)
-        "ann_ivf_topk": Q.ann_ivf_topk,                  # rows-only (approx)
-        "ann_lsh_topk": Q.ann_lsh_topk,                  # rows-only (approx)
-        # multimodal plumbing (real uncompressed codecs; rows-only)
+        "doc_split": Q.doc_split,  # train/val/test
+        "doc_bpe_train": Q.doc_bpe_train,  # BPE trainer
+        "doc_simhash_dedup": Q.doc_simhash_dedup,  # rows-only
+        "doc_ngram_jaccard": Q.doc_ngram_jaccard,  # rows-only
+        "emb_near_dup": Q.emb_near_dup,  # rows-only
+        "ann_ivf_topk": Q.ann_ivf_topk,  # rows-only (approx)
+        "ann_lsh_topk": Q.ann_lsh_topk,  # rows-only (approx)
         "media_features": Q.media_features,
         "media_resize": Q.media_resize,
         "media_frame_plan": Q.media_frame_plan,
-        "media_spectrogram": Q.media_spectrogram,        # numpy STFT bands
-        "media_sharpness": Q.media_sharpness,            # blur gate
-        "media_phash_dedup": Q.media_phash_dedup,        # pHash LSH
-        "doc_word_topk_cms": Q.doc_word_topk_cms,        # CMS hitters
+        "media_spectrogram": Q.media_spectrogram,  # numpy STFT bands
+        "media_sharpness": Q.media_sharpness,  # blur gate
+        "doc_word_topk_cms": Q.doc_word_topk_cms,  # CMS hitters
         "events_seasonal_decompose":
-            Q.events_seasonal_decompose,                 # trend/season/resid
-        "doc_lang_logreg": Q.doc_lang_logreg,            # IRLS training
-        "emb_semantic_dedup": Q.emb_semantic_dedup,      # SemDeDup
-        "orders_monthly_growth":
-            Q.orders_monthly_growth,                     # MoM lag ratio
-        "doc_vocab_growth": Q.doc_vocab_growth,          # Heaps curve
-        # trim tool
-        "events_trim_props": Q.events_trim_props,        # rows-only
+            Q.events_seasonal_decompose,  # trend/season/resid
+        "doc_lang_logreg": Q.doc_lang_logreg,  # IRLS training
+        "emb_semantic_dedup": Q.emb_semantic_dedup,  # SemDeDup
+        "orders_monthly_growth": Q.orders_monthly_growth,  # MoM lag ratio
+        "events_trim_props": Q.events_trim_props,  # rows-only
         "flagship_pack_greedy": Q.flagship_pack_greedy,  # rows-only
-        # -- round-3b: outer join / set / window / histogram ------------
-        "users_halves_outer": Q.users_halves_outer,      # FULL OUTER join
-        "users_active_both": Q.users_active_both,        # INTERSECT
-        "customer_order_dist": Q.customer_order_dist,    # Q13 2-level agg
-        "events_user_moving_avg": Q.events_user_moving_avg,  # ROWS frame
-        "events_value_hist": Q.events_value_hist,        # width buckets
-        "events_pct_rank_top": Q.events_pct_rank_top,    # percent_rank
-        # -- round-3c: listagg / cohort / Q21-shape / union --------------
-        "users_type_profile": Q.users_type_profile,      # string_agg
-        "users_weekly_retention": Q.users_weekly_retention,  # cohort
-        "suppliers_sole_return": Q.suppliers_sole_return,  # Q21 EXISTS
-        "daily_activity_union": Q.daily_activity_union,  # UNION ALL
-        "events_asof_fwd": Q.events_asof_fwd,            # forward as-of
-        # -- round-3d: Q14/Q15/Q18/Q19/Q3/Q12 shapes ---------------------
-        "parts_promo_share": Q.parts_promo_share,        # conditional agg
-        "supplier_top_revenue": Q.supplier_top_revenue,  # argmax w/ ties
-        "orders_big_qty": Q.orders_big_qty,              # HAVING join-back
-        "parts_filter_revenue": Q.parts_filter_revenue,  # disjunctive arms
-        "orders_unshipped_top": Q.orders_unshipped_top,  # Q3 topk join
-        "orders_late_priority": Q.orders_late_priority,  # Q12 lateness
-        "events_value_corr": Q.events_value_corr,        # moment merge
-        "events_window_distinct": Q.events_window_distinct,  # window n-distinct
-        "doc_normalize": Q.doc_normalize,                # NFC/case/space
         "doc_decontaminate_bloom":
-            Q.doc_decontaminate_bloom,                   # rows-only (fp≥0)
-        # -- round-3e remainder + the eight demoted from the battery
-        #    window (driver-green r01/r02, still oracle-checked in-repo)
-        "nation_revenue": Q.nation_revenue,              # Q5-shape multi-join
-        "parts_brand_revenue": Q.parts_brand_revenue,    # dim-broadcast join
-        "events_user_gaps": Q.events_user_gaps,          # LAG window gaps
-        "events_hourly_top_type": Q.events_hourly_top_type,  # argmax/hour
-        "events_value_quartiles": Q.events_value_quartiles,  # p25/50/75 fold
-        "parts_small_qty_revenue": Q.parts_small_qty_revenue,  # Q17 shape
-        "emb_label_centroid": Q.emb_label_centroid,      # vector aggregate
-        "events_user_ntile": Q.events_user_ntile,        # global NTILE(4)
-        "nation_market_share": Q.nation_market_share,    # Q8 share ratio
-        "customers_returned_top":
-            Q.customers_returned_top,                    # Q10 returns topk
-        "emb_pca": Q.emb_pca,                            # rows-only (eigh)
-        "events_anomaly_zscore":
-            Q.events_anomaly_zscore,                     # 2-pass outliers
-        "events_transitions": Q.events_transitions,      # Markov counts
-        "doc_dedup_stats": Q.doc_dedup_stats,            # dup-rate audit
-        "events_user_rfm": Q.events_user_rfm,            # ntile segments
-        "events_activity_heatmap":
-            Q.events_activity_heatmap,                   # dow×hour cells
-        "events_ab_welch": Q.events_ab_welch,            # pairwise t-test
-        "rawlog_error_rate": Q.rawlog_error_rate,        # raw-path audit
-        "doc_compression_ratio":
-            Q.doc_compression_ratio,                     # zlib junk signal
-        "doc_ttr": Q.doc_ttr,                            # lexical diversity
-        "events_error_burst": Q.events_error_burst,      # rolling 3h max
-        "events_cusum_changepoint":
-            Q.events_cusum_changepoint,                  # drift detector
-        "customers_abc": Q.customers_abc,                # Pareto classes
-        "doc_gram_novelty": Q.doc_gram_novelty,          # memorization curve
-        "events_value_anova": Q.events_value_anova,      # one-way F test
-        "source_js_divergence":
-            Q.source_js_divergence,                      # corpus drift
-        "doc_lang_confusion": Q.doc_lang_confusion,      # model eval
-        "customers_gini": Q.customers_gini,              # concentration
-        "orders_bloom_semi": Q.orders_bloom_semi,        # bloom semi-join
+            Q.doc_decontaminate_bloom,  # rows-only (fp≥0)
+        "emb_pca": Q.emb_pca,  # rows-only (eigh)
+        "doc_compression_ratio": Q.doc_compression_ratio,  # zlib junk signal
+        "customers_abc": Q.customers_abc,  # Pareto classes
+        "doc_gram_novelty": Q.doc_gram_novelty,  # memorization curve
+        "events_value_anova": Q.events_value_anova,  # one-way F test
+        "source_js_divergence": Q.source_js_divergence,  # corpus drift
+        "doc_lang_confusion": Q.doc_lang_confusion,  # model eval
+        "customers_gini": Q.customers_gini,  # concentration
+        "orders_bloom_semi": Q.orders_bloom_semi,  # bloom semi-join
         "parts_chi2_independence":
-            Q.parts_chi2_independence,                   # contingency test
-        "flagship_db_summary": Q.flagship_db_summary,    # db drill-up
-        "orders_cohort_ltv": Q.orders_cohort_ltv,        # LTV triangle
-        "events_peak_concurrency":
-            Q.events_peak_concurrency,                   # sweep-line max
-        "events_autocorrelation":
-            Q.events_autocorrelation,                    # daily ACF
-        "emb_mahalanobis_outliers":
-            Q.emb_mahalanobis_outliers,                  # dist outliers
+            Q.parts_chi2_independence,  # contingency test
+        "flagship_db_summary": Q.flagship_db_summary,  # db drill-up
+        "orders_cohort_ltv": Q.orders_cohort_ltv,  # LTV triangle
+        "events_autocorrelation": Q.events_autocorrelation,  # daily ACF
+        "emb_mahalanobis_outliers": Q.emb_mahalanobis_outliers,  # dist outliers
         "parts_price_size_regression":
-            Q.parts_price_size_regression,               # grouped regr_*
-        "events_user_entropy": Q.events_user_entropy,    # concentration H
-        "events_type_lift": Q.events_type_lift,          # basket lift
-        "events_user_zipf": Q.events_user_zipf,          # heavy-tail fit
-        "emb_intrinsic_dim": Q.emb_intrinsic_dim,        # Two-NN MLE
-        "doc_dup_cluster_hist": Q.doc_dup_cluster_hist,  # copy histogram
-        "source_simpson_diversity":
-            Q.source_simpson_diversity,                  # 1 - Σp²
+            Q.parts_price_size_regression,  # grouped regr_*
+        "events_user_entropy": Q.events_user_entropy,  # concentration H
+        "events_type_lift": Q.events_type_lift,  # basket lift
+        "events_user_zipf": Q.events_user_zipf,  # heavy-tail fit
+        "emb_intrinsic_dim": Q.emb_intrinsic_dim,  # Two-NN MLE
+        "source_simpson_diversity": Q.source_simpson_diversity,  # 1 - Σp²
         "orders_interpurchase": Q.orders_interpurchase,  # gap quantiles
-        "events_bounce_rate": Q.events_bounce_rate,      # entry-type bounce
+        "events_bounce_rate": Q.events_bounce_rate,  # entry-type bounce
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from mlp_ray.oracle_sql import FLAGSHIP_SQL
 
-    # The flagship/rawlog oracles read fixed-path fixtures that the
-    # corresponding queries() callables persist.  The driver compares
-    # at sf=0.01 — pre-warm both fixtures here (pure pyarrow/gzip, no
-    # Ray) so the oracle side is correct regardless of whether it runs
-    # before or after the Ray side.
+    # The flagship/rawlog/minhash/phash oracles read fixed-path
+    # fixtures that the corresponding queries() callables persist.  The
+    # driver compares at sf=0.01 — pre-warm them here (pure
+    # pyarrow/numpy, no Ray) so the oracle side is correct regardless
+    # of whether it runs before or after the Ray side.
+    from mlp_ray.ops.dedup import minhash_sig_fixture_path
+    from mlp_ray.ops.multimodal import PHASH_FIXTURE_PATH as _phash_path
+
+    _minhash_sig_path = minhash_sig_fixture_path("/root/testdata/sf0.01")
     try:
+        from mlp_ray.ops.dedup import ensure_minhash_sig_fixture
+        from mlp_ray.ops.multimodal import ensure_phash_fixture
         from mlp_ray.sources.rawlog import ensure_rawlog_fixture
         from mlp_ray.sources.tokenized import ensure_flagship_parquet
 
         ensure_flagship_parquet("/root/testdata/sf0.01")
         ensure_rawlog_fixture()
+        ensure_minhash_sig_fixture("/root/testdata/sf0.01")
+        ensure_phash_fixture()
     except Exception:
         pass  # fixture warm-up is best-effort; queries() rebuilds it
 
@@ -2132,5 +2112,105 @@ def oracle_sql() -> dict[str, str]:
                    round(covar_samp(a.v, b.v), 6) AS cov
             FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.dim <= b.dim
             GROUP BY 1, 2
+        """,
+        # Banded-LSH candidate replay from the scalar-path signature
+        # fixture (ops/dedup.ensure_minhash_sig_fixture): band hash =
+        # FNV-1a-style fold mix=(mix^comp)*0x100000001B3 mod 2^64 in
+        # HUGEINT modular arithmetic; bucket pairing = each doc against
+        # the ≤8 earliest co-bucketed predecessors (row_number);
+        # est_jaccard = signature-component equality fraction ≥ 0.5;
+        # one best pair per doc (est DESC, dup_of ASC).  Mirrors
+        # minhash_lsh_candidates defaults (64 hashes / 16 bands / 4
+        # rows / max_earlier 8 / pos cap 4096).
+        "doc_minhash_candidates": f"""
+            WITH sig AS (
+              SELECT doc_id, comp, val FROM '{_minhash_sig_path}'
+            ),
+            bl AS (
+              SELECT doc_id, comp // 4 AS band,
+                     MAX(CASE WHEN comp % 4 = 0 THEN val END) AS v0,
+                     MAX(CASE WHEN comp % 4 = 1 THEN val END) AS v1,
+                     MAX(CASE WHEN comp % 4 = 2 THEN val END) AS v2,
+                     MAX(CASE WHEN comp % 4 = 3 THEN val END) AS v3
+              FROM sig GROUP BY 1, 2
+            ),
+            m1 AS (SELECT doc_id, band, v1, v2, v3,
+                          CAST((CAST(xor(CAST(11400714819323198485
+                                              AS UBIGINT), v0)
+                                     AS HUGEINT) * 1099511628211)
+                               % 18446744073709551616 AS UBIGINT) AS m
+                   FROM bl),
+            m2 AS (SELECT doc_id, band, v2, v3,
+                          CAST((CAST(xor(m, v1) AS HUGEINT)
+                                * 1099511628211)
+                               % 18446744073709551616 AS UBIGINT) AS m
+                   FROM m1),
+            m3 AS (SELECT doc_id, band, v3,
+                          CAST((CAST(xor(m, v2) AS HUGEINT)
+                                * 1099511628211)
+                               % 18446744073709551616 AS UBIGINT) AS m
+                   FROM m2),
+            bh AS (SELECT doc_id, band,
+                          CAST((CAST(xor(m, v3) AS HUGEINT)
+                                * 1099511628211)
+                               % 18446744073709551616 AS UBIGINT)
+                              AS band_hash
+                   FROM m3),
+            ranked AS (
+              SELECT doc_id, band, band_hash,
+                     row_number() OVER (PARTITION BY band, band_hash
+                                        ORDER BY doc_id) AS rn
+              FROM bh
+            ),
+            cand AS (
+              SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS dup_of
+              FROM ranked b
+              JOIN ranked a ON a.band = b.band
+                           AND a.band_hash = b.band_hash
+              WHERE a.rn <= 8 AND a.rn < b.rn AND b.rn <= 4096
+            ),
+            est AS (
+              SELECT c.doc_id, c.dup_of,
+                     avg(CASE WHEN s1.val = s2.val
+                              THEN 1.0 ELSE 0.0 END) AS e
+              FROM cand c
+              JOIN sig s1 ON s1.doc_id = c.doc_id
+              JOIN sig s2 ON s2.doc_id = c.dup_of AND s2.comp = s1.comp
+              GROUP BY 1, 2
+            ),
+            kept AS (
+              SELECT doc_id, dup_of, round(e, 6) AS est_jaccard
+              FROM est WHERE e >= 0.5
+            ),
+            best AS (
+              SELECT doc_id, dup_of, est_jaccard,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY est_jaccard DESC,
+                                                 dup_of ASC) AS rn
+              FROM kept
+            )
+            SELECT doc_id, dup_of, est_jaccard FROM best WHERE rn = 1
+        """,
+        # Brute-force all-pairs Hamming over the scalar-path pHash
+        # fixture (ops/multimodal.ensure_phash_fixture).  The banded
+        # pipeline must agree exactly: 8 bands × 8 bits pigeonhole-
+        # cover every pair within the ≤6 verify threshold, so LSH
+        # recall is complete and the earliest-dup_of argmax matches.
+        "media_phash_dedup": f"""
+            WITH p AS (SELECT media_id, phash FROM '{_phash_path}'),
+            pairs AS (
+              SELECT a.media_id AS media_id, b.media_id AS dup_of,
+                     bit_count(xor(a.phash, b.phash)) AS hamming
+              FROM p a JOIN p b ON a.media_id > b.media_id
+            ),
+            kept AS (SELECT * FROM pairs WHERE hamming <= 6),
+            best AS (
+              SELECT media_id, dup_of, hamming,
+                     row_number() OVER (PARTITION BY media_id
+                                        ORDER BY dup_of ASC) AS rn
+              FROM kept
+            )
+            SELECT media_id, dup_of, CAST(hamming AS BIGINT) AS hamming
+            FROM best WHERE rn = 1
         """,
     }

@@ -461,6 +461,71 @@ def minhash_lsh_candidates(ds: rd.Dataset, *, num_hashes: int = 64,
                               [False, True])
 
 
+def minhash_sig_fixture_path(sf_dir: str) -> str:
+    """Per-``sf_dir`` signature-fixture path (same convention as
+    ``sources.tokenized.flagship_oracle_path``: a pure function of the
+    input directory so the driver's sf0.001 entry() run can't clobber
+    the sf0.01 oracle battery's instance)."""
+    import os
+    import re
+
+    slug = re.sub(r"[^A-Za-z0-9._-]+", "_",
+                  os.path.abspath(sf_dir)).strip("_")
+    return f"/tmp/mlp_minhash_sigs_{slug}.parquet"
+
+
+def ensure_minhash_sig_fixture(sf_dir: str, *, num_hashes: int = 64,
+                               shingle_k: int = 3, seed: int = 42) -> str:
+    """Idempotently persist the exploded per-doc MinHash signatures
+    ``(doc_id, comp, val)`` for ``sf_dir``'s documents, computed via the
+    SCALAR reference path (``MinHasher.signature`` — per-text
+    ``np.unique`` + H×S matrix min), NOT the batched ``reduceat``
+    pipeline path.  The SQL oracle for ``doc_minhash_candidates``
+    replays banding (FNV fold in HUGEINT modular arithmetic), bucket
+    pairing, the signature-equality estimate, thresholding and the
+    best-pair argmax from this table — so a divergence in EITHER the
+    batched signature kernel or any distributed stage breaks the
+    equality.  Validation-scale only (one driver pass over the corpus);
+    the production pipeline never reads it."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    path = minhash_sig_fixture_path(sf_dir)
+    marker = path + ".src"
+    key = (f"{os.path.abspath(sf_dir)}|h={num_hashes}|k={shingle_k}"
+           f"|seed={seed}|v1")
+    if os.path.exists(path) and os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if fh.read().strip() == key:
+                    _pq.ParquetFile(path)  # footer readable → complete
+                    return path
+        except Exception:
+            pass
+    tbl = _pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    hasher = MinHasher(num_hashes, shingle_k, seed)
+    ids = tbl["doc_id"].to_pylist()
+    sigs = np.stack([hasher.signature(t or "")
+                     for t in tbl["text"].to_pylist()])
+    n = len(ids)
+    out = pa.table({
+        "doc_id": pa.array(np.repeat(np.asarray(ids, np.int64),
+                                     num_hashes)),
+        "comp": pa.array(np.tile(np.arange(num_hashes, dtype=np.int32),
+                                 n)),
+        "val": pa.array(sigs.reshape(-1), pa.uint64()),
+    })
+    tmp = f"{path}.tmp-{os.getpid()}"
+    _pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    with open(marker + ".tmp", "w") as fh:
+        fh.write(key)
+    os.replace(marker + ".tmp", marker)
+    return path
+
+
 def minhash_verified_pairs(docs_ds: rd.Dataset, *, shingle_k: int = 3,
                            threshold: float = 0.5, num_hashes: int = 64,
                            bands: int = 16, seed: int = 42,

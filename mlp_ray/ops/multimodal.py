@@ -584,6 +584,71 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
         .astype(np.int64)
 
 
+PHASH_FIXTURE_PATH = "/tmp/mlp_phash_corpus_v1.parquet"
+
+
+def phash_demo_corpus():
+    """Deterministic STRUCTURED image corpus with planted blurred
+    twins: 32 gradient/block base images + 8 box-blurred copies of the
+    first 8 (blur/resize survivors are THE image-dedup target;
+    pure-noise images are pHash's documented pathological case — no
+    low-frequency content to preserve).  Shared by the
+    ``media_phash_dedup`` query and its SQL-oracle fixture."""
+    import pandas as pd
+
+    y, x = np.mgrid[0:48, 0:64]
+    ids, payloads, imgs = [], [], []
+    for i in range(32):
+        img = np.stack([(x * (i + 2)) % 256, (y * (i + 3)) % 256,
+                        ((x + y) * (i + 1)) % 256],
+                       axis=2).astype(np.uint8)
+        img[(8 + i) % 20:(30 + i) % 40 + 8, 10:50] = (i * 37) % 256
+        ids.append(i)
+        payloads.append(encode_ppm(img))
+        imgs.append(img)
+    for i in range(8):
+        ids.append(100_000 + i)
+        payloads.append(encode_ppm(box_blur(imgs[i], 1)))
+    return pd.DataFrame({"media_id": ids, "payload": payloads,
+                         "media_type": "image"})
+
+
+def ensure_phash_fixture() -> str:
+    """Idempotently persist ``(media_id, phash)`` for the demo corpus,
+    computed by the SCALAR reference path (decode_payload → phash64,
+    one image at a time on the driver — no Ray, no banding).  The SQL
+    oracle for ``media_phash_dedup`` brute-forces all-pairs Hamming
+    (``bit_count(xor(...))``) over this table; the banded-LSH pipeline
+    must agree exactly because 8 bands of 8 bits pigeonhole-cover every
+    pair within the verify threshold (≤ 6 < 8 differing bits ⇒ some
+    band identical)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    path = PHASH_FIXTURE_PATH
+    if os.path.exists(path):
+        try:
+            _pq.ParquetFile(path)  # footer readable → complete
+            return path
+        except Exception:
+            pass
+    corpus = phash_demo_corpus()
+    hashes = []
+    for p in corpus["payload"]:
+        kind, img = decode_payload(p)
+        assert kind == "image"
+        hashes.append(int(phash64(img)))
+    out = pa.table({
+        "media_id": pa.array(corpus["media_id"].to_numpy(np.int64)),
+        "phash": pa.array(hashes, pa.uint64()),
+    })
+    tmp = f"{path}.tmp-{os.getpid()}"
+    _pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def phash_near_dup(ds, *, max_hamming: int = 6):
     """Image near-duplicate candidates via banded pHash LSH: each
     decoded image emits 8 (band_idx, band_val) keys; a bucketed

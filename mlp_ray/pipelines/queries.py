@@ -429,8 +429,14 @@ def doc_minhash_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 def doc_minhash_candidates(sf_dir: str) -> pd.DataFrame:
-    """Raw banded-LSH best-pair candidates (est_jaccard from signature
-    agreement; rows-only — the estimate is not SQL-derivable)."""
+    """Raw banded-LSH best-pair candidates (est_jaccard = signature
+    component agreement).  Oracle-backed: the SQL side replays banding
+    (FNV fold in HUGEINT modular arithmetic), the bounded bucket
+    pairing (row_number ≤ max_earlier), the equality-fraction estimate,
+    the ≥ 0.5 threshold and the best-pair argmax from the scalar-path
+    signature fixture (``dedup.ensure_minhash_sig_fixture``) — so both
+    the batched signature kernel and every distributed stage are pinned."""
+    dedup.ensure_minhash_sig_fixture(sf_dir)
     return dedup.minhash_lsh_candidates(
         _docs(sf_dir, ["doc_id", "text"])).to_pandas()
 
@@ -3503,25 +3509,16 @@ def media_phash_dedup(sf_dir: str) -> pd.DataFrame:
     STRUCTURED image corpus with planted blurred twins (resize/blur
     survivors are THE image-dedup target; pure-noise images are the
     documented pathological case for pHash — no low-frequency content
-    to preserve).  Rows-only: planted-recall and band-pigeonhole
-    contracts are pinned in tests/test_multimodal_trim.py."""
-    from ..ops.multimodal import box_blur, encode_ppm, phash_near_dup
+    to preserve).  Oracle-backed: the SQL side brute-forces all-pairs
+    Hamming over the scalar-path fixture (``ensure_phash_fixture``);
+    the banded-LSH pipeline must agree exactly by the 8×8-bit band
+    pigeonhole.  Planted-recall contracts also pinned in
+    tests/test_multimodal_trim.py."""
+    from ..ops.multimodal import (ensure_phash_fixture, phash_demo_corpus,
+                                  phash_near_dup)
 
-    y, x = np.mgrid[0:48, 0:64]
-    ids, payloads, imgs = [], [], []
-    for i in range(32):
-        img = np.stack([(x * (i + 2)) % 256, (y * (i + 3)) % 256,
-                        ((x + y) * (i + 1)) % 256], axis=2)             .astype(np.uint8)
-        img[(8 + i) % 20:(30 + i) % 40 + 8, 10:50] = (i * 37) % 256
-        ids.append(i)
-        payloads.append(encode_ppm(img))
-        imgs.append(img)
-    for i in range(8):
-        ids.append(100_000 + i)
-        payloads.append(encode_ppm(box_blur(imgs[i], 1)))
-    corpus = pd.DataFrame({"media_id": ids, "payload": payloads,
-                           "media_type": "image"})
-    return phash_near_dup(rd.from_pandas(corpus))
+    ensure_phash_fixture()
+    return phash_near_dup(rd.from_pandas(phash_demo_corpus()))
 
 
 def doc_word_topk_cms(sf_dir: str, k: int = 30) -> pd.DataFrame:
