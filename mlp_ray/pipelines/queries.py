@@ -2935,7 +2935,7 @@ def customers_returned_top(sf_dir: str, k: int = 20) -> pd.DataFrame:
     the cent-rounded top-k set reaches the driver, where customer name
     / nation attach from broadcast-scale dimension tables."""
     from ..ops import joins
-    from ..util import round_half_away
+    from ..util import bucketed_groups, round_half_away
 
     lo = np.datetime64("1996-01-01").astype("datetime64[ns]")
     hi = np.datetime64("1996-04-01").astype("datetime64[ns]")
@@ -2969,14 +2969,25 @@ def customers_returned_top(sf_dir: str, k: int = 20) -> pd.DataFrame:
             .groupby("c_custkey", sort=False)["revenue"].sum()
             .reset_index())
 
-    totals = merge_partials(
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # each bucket owns whole custkeys, so its local top-k is a
+        # superset of the bucket's contribution to the global top-k —
+        # only buckets × k rows reach the driver, never the
+        # customer-cardinality rollup.  Rank on the cent-rounded
+        # figure (mirrored by the oracle) so distributed float
+        # association can't flip adjacent ranks.
+        out = (g.groupby("c_custkey", sort=False)["revenue"].sum()
+               .reset_index())
+        out["revenue"] = round_half_away(out["revenue"].to_numpy(), 2)
+        return (out.sort_values(["revenue", "c_custkey"],
+                                ascending=[False, True], kind="mergesort")
+                .head(k))
+
+    parts = bucketed_groups(
         j.map_batches(arrow_partials(partials), batch_format="pandas"),
-        ["c_custkey"], ["revenue"], merge="driver")
-    # rank on the cent-rounded figure (mirrored by the oracle) so
-    # distributed float association can't flip adjacent ranks
-    totals["revenue"] = round_half_away(totals["revenue"].to_numpy(), 2)
-    top = (totals.sort_values(["revenue", "c_custkey"],
-                              ascending=[False, True], kind="mergesort")
+        ["c_custkey"], bucket_topk).to_pandas()
+    top = (parts.sort_values(["revenue", "c_custkey"],
+                             ascending=[False, True], kind="mergesort")
            .head(k).reset_index(drop=True))
 
     cust = pq.read_table(
@@ -4036,10 +4047,14 @@ def source_js_divergence(sf_dir: str) -> pd.DataFrame:
     counts_ds = ds.map_batches(lambda t: arrow_out(tok_counts(t)),
                                batch_format="pyarrow",
                                zero_copy_batch=True)
-    # per-source totals: a bounded rollup off the same partial stream
-    raw = counts_ds.to_pandas()
-    counts = (raw.groupby(["source", "tok"], as_index=False)["n"].sum())
-    totals = counts.groupby("source")["n"].sum()
+    # per-source totals: per-block (source, Σn) partials — ≤ n_sources
+    # rows per block reach the driver, never the (source, tok)
+    # vocabulary-cardinality stream itself
+    tot_parts = counts_ds.map_batches(
+        lambda t: arrow_out(
+            t.to_pandas().groupby("source", as_index=False)["n"].sum()),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    totals = tot_parts.groupby("source")["n"].sum()
     tot_ref = ray.put(totals.to_dict())
 
     def pair_terms(g: pd.DataFrame) -> pd.DataFrame:
@@ -4133,10 +4148,21 @@ def customers_gini(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(arrow_partials(partials), batch_format="pandas"),
         ["o_custkey"], merge)
     ranked = global_cumsum(totals, ["revenue", "o_custkey"], "revenue",
-                           rank_col="rnk", cum_col="cum").to_pandas()
-    n = float(len(ranked))
-    total = float(ranked["revenue"].sum())
-    gini = 1.0 - (2.0 * float(ranked["cum"].sum())
+                           rank_col="rnk", cum_col="cum")
+
+    def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # one (n, Σrev, Σcum) row per block — the customer-cardinality
+        # swept table never reaches the driver (a scalar readout only
+        # needs the three sums)
+        return pd.DataFrame({"n": pd.array([len(df)], dtype="int64"),
+                             "rev": [float(df["revenue"].sum())],
+                             "cum": [float(df["cum"].sum())]})
+
+    parts = ranked.map_batches(arrow_partials(sum_partial),
+                               batch_format="pandas").to_pandas()
+    n = float(parts["n"].sum())
+    total = float(parts["rev"].sum())
+    gini = 1.0 - (2.0 * float(parts["cum"].sum())
                   - total) / (n * total)
     # identity: G = (2·Σ i·x_i)/(n·Σx) − (n+1)/n over ascending x; the
     # cum form above is algebraically the complement of that
