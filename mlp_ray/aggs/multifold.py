@@ -59,23 +59,14 @@ def _key_buckets(df: pd.DataFrame, keys: list[str],
     return key_hash_buckets(df, keys, num_buckets)
 
 
-def run_multi_fold(cds, jobs: dict[str, SinkJob], *,
-                   mode: str = "driver", batch_size: int = 32768,
-                   num_buckets: int = 16) -> dict[str, pd.DataFrame]:
-    """One streaming pass over ``cds`` → one final pandas table per
-    sink.  ``mode="driver"`` collects partial payloads and merges
-    in-process; ``mode="distributed"`` shuffles payloads once, keyed on
-    (sink, key-hash bucket), and merges remotely.
-
-    ``batch_size`` trades task parallelism + per-prep Arrow chunking
-    cost against partial volume (groups × batches).  Measured on the
-    1.5 M-row bench corpus at 32 CPUs: 131072 coalesces 276 read
-    blocks into 12 giant multi-chunk tasks — 10× the emit UDF
-    core-time (chunked Arrow→pandas conversion inside every sink prep)
-    and 3 task waves; per-block batches (~5 k rows) fix the UDF cost
-    but triple the partial rows the merge must reduce.  32768 is the
-    measured knee: full task fan-out, near-minimal UDF time, partial
-    volume within 2× of the floor."""
+def make_emit(jobs: dict[str, SinkJob], mode: str = "driver",
+              num_buckets: int = 16):
+    """The per-batch partial-emit UDF shared by ``run_multi_fold`` and
+    the checkpointed ``analyze.run_full_analysis_resumable`` path:
+    every sink's prep runs over the batch and the partial frames leave
+    as tagged pickled payload rows.  ``mode="distributed"`` splits each
+    partial by its sink's key-hash bucket so a later
+    ``groupby((sink, bucket))`` merge co-locates whole groups."""
 
     def emit(batch: pa.Table) -> pd.DataFrame:
         sinks: list[str] = []
@@ -101,22 +92,31 @@ def run_multi_fold(cds, jobs: dict[str, SinkJob], *,
                              "bucket": np.asarray(buckets, dtype=np.int64),
                              "payload": pd.array(payloads, dtype=object)})
 
-    payload = cds.map_batches(emit, batch_format="pyarrow",
-                              batch_size=batch_size, zero_copy_batch=True)
+    return emit
 
-    def _concat(blobs) -> pd.DataFrame | None:
-        frames = [pickle.loads(b) for b in blobs]
-        return (pd.concat(frames, ignore_index=True)
-                if frames else None)
 
-    if mode == "driver":
-        rows = payload.to_pandas()
-        out = {}
-        for name, job in jobs.items():
-            df = _concat(rows.loc[rows["sink"] == name, "payload"])
-            out[name] = (job.finalize(job.bucket_merge(df))
-                         if df is not None else job.finalize(None))
-        return out
+def _concat(blobs) -> pd.DataFrame | None:
+    frames = [pickle.loads(b) for b in blobs]
+    return (pd.concat(frames, ignore_index=True)
+            if frames else None)
+
+
+def merge_payload_rows(rows: pd.DataFrame,
+                       jobs: dict[str, SinkJob]) -> dict[str, pd.DataFrame]:
+    """Driver-side merge of collected payload rows → final tables."""
+    out = {}
+    for name, job in jobs.items():
+        df = _concat(rows.loc[rows["sink"] == name, "payload"])
+        out[name] = (job.finalize(job.bucket_merge(df))
+                     if df is not None else job.finalize(None))
+    return out
+
+
+def merge_payload_ds(payload, jobs: dict[str, SinkJob]
+                     ) -> dict[str, pd.DataFrame]:
+    """Distributed merge of a payload-row Dataset: ONE
+    ``groupby((sink, bucket))`` shuffle, bucket_merge remote, finalize
+    on the driver over one merged row per (sink, bucket)."""
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
         name = g["sink"].iloc[0]
@@ -133,3 +133,28 @@ def run_multi_fold(cds, jobs: dict[str, SinkJob], *,
         df = _concat(finals.loc[finals["sink"] == name, "payload"])
         out[name] = job.finalize(df) if df is not None else job.finalize(None)
     return out
+
+
+def run_multi_fold(cds, jobs: dict[str, SinkJob], *,
+                   mode: str = "driver", batch_size: int = 32768,
+                   num_buckets: int = 16) -> dict[str, pd.DataFrame]:
+    """One streaming pass over ``cds`` → one final pandas table per
+    sink.  ``mode="driver"`` collects partial payloads and merges
+    in-process; ``mode="distributed"`` shuffles payloads once, keyed on
+    (sink, key-hash bucket), and merges remotely.
+
+    ``batch_size`` trades task parallelism + per-prep Arrow chunking
+    cost against partial volume (groups × batches).  Measured on the
+    1.5 M-row bench corpus at 32 CPUs: 131072 coalesces 276 read
+    blocks into 12 giant multi-chunk tasks — 10× the emit UDF
+    core-time (chunked Arrow→pandas conversion inside every sink prep)
+    and 3 task waves; per-block batches (~5 k rows) fix the UDF cost
+    but triple the partial rows the merge must reduce.  32768 is the
+    measured knee: full task fan-out, near-minimal UDF time, partial
+    volume within 2× of the floor."""
+    emit = make_emit(jobs, mode, num_buckets)
+    payload = cds.map_batches(emit, batch_format="pyarrow",
+                              batch_size=batch_size, zero_copy_batch=True)
+    if mode == "driver":
+        return merge_payload_rows(payload.to_pandas(), jobs)
+    return merge_payload_ds(payload, jobs)

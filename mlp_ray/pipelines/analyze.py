@@ -10,11 +10,13 @@ vectorized classify, actor-pool redaction, two-phase grouped folds.
 
 from __future__ import annotations
 
+import os
 from typing import Iterable
 
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min
@@ -681,3 +683,108 @@ def run_full_analysis(paths, *, redact: bool = True,
     return run_multi_fold(
         cds, _analysis_jobs(by_shard=shards, exclude=exclude,
                             p95_mode=p95_mode, raw=raw), mode=mode)
+
+
+def completed_analysis_partitions(work_dir: str) -> dict[str, dict]:
+    """Manifest of finished partitions for
+    ``run_full_analysis_resumable`` (pid → {"rows": n})."""
+    import json
+
+    path = os.path.join(work_dir, "manifest.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def invalidate_analysis_partitions(work_dir: str, pids) -> None:
+    """Drop partitions from the manifest (and their persisted
+    partials) so the next resumable run recomputes them."""
+    import json
+
+    man = completed_analysis_partitions(work_dir)
+    for pid in pids:
+        man.pop(pid, None)
+        p = os.path.join(work_dir, "partials", f"{pid}.parquet")
+        if os.path.exists(p):
+            os.remove(p)
+    tmp = os.path.join(work_dir, f"manifest.json.tmp-{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, os.path.join(work_dir, "manifest.json"))
+
+
+def run_full_analysis_resumable(paths, work_dir: str, *,
+                                redact: bool = True, shards: bool = False,
+                                exclude: set[str] | frozenset = frozenset(),
+                                p95_mode: str = "exact", raw: bool = False,
+                                merge: str = "driver",
+                                filter_config=None, ns_filter=None
+                                ) -> dict[str, pd.DataFrame]:
+    """CHECKPOINTED ``run_full_analysis``: one emit pass PER INPUT
+    PARTITION (file), its (sink, bucket, payload) partial rows
+    persisted under ``work_dir/partials/<pid>.parquet`` behind an
+    atomically-rewritten manifest — a killed run resumes by skipping
+    every manifest-committed partition and recomputing only the tail,
+    then the final merge reads the persisted partials alone.
+
+    Correct because the multifold contract requires
+    ``finalize(bucket_merge(partials))`` to distribute over any
+    partition of the inputs — the per-partition emit produces exactly
+    the same tagged partial rows the single-pass job would, just
+    persisted between passes.  Partial volume is groups × blocks per
+    partition (never row-scale), so the checkpoint cost is the
+    manifest write + a small parquet.  ``merge="distributed"`` routes
+    the final reduce through the (sink, bucket) groupby exchange for
+    partial sets too large for one driver concat (exact-p95 value
+    arrays over many partitions); emit always bucket-tags so either
+    merge reads the same files."""
+    import json
+
+    from ..aggs.multifold import make_emit, merge_payload_ds, \
+        merge_payload_rows
+
+    jobs = _analysis_jobs(by_shard=shards, exclude=exclude,
+                          p95_mode=p95_mode, raw=raw)
+    emit = make_emit(jobs, "distributed")  # bucket-tag for either merge
+    part_dir = os.path.join(work_dir, "partials")
+    os.makedirs(part_dir, exist_ok=True)
+    manifest = completed_analysis_partitions(work_dir)
+
+    for p in paths:
+        pid = os.path.splitext(os.path.basename(p))[0]
+        if pid.endswith(".log"):  # .log.gz → strip both suffixes
+            pid = os.path.splitext(pid)[0]
+        if pid in manifest:
+            continue
+        cds = classify(load_events([p]), redact=redact,
+                       filter_config=filter_config, ns_filter=ns_filter)
+        rows = cds.map_batches(emit, batch_format="pyarrow",
+                               batch_size=32768,
+                               zero_copy_batch=True).to_pandas()
+        tbl = pa.table({
+            "sink": pa.array(rows["sink"].astype(str), pa.string()),
+            "bucket": pa.array(rows["bucket"].to_numpy(), pa.int64()),
+            "payload": pa.array(list(rows["payload"]), pa.binary()),
+        })
+        tmp = os.path.join(part_dir, f"{pid}.parquet.tmp-{os.getpid()}")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(part_dir, f"{pid}.parquet"))
+        manifest[pid] = {"rows": int(tbl.num_rows)}
+        mtmp = os.path.join(work_dir, f"manifest.json.tmp-{os.getpid()}")
+        with open(mtmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(mtmp, os.path.join(work_dir, "manifest.json"))
+
+    files = sorted(os.path.join(part_dir, f)
+                   for f in os.listdir(part_dir) if f.endswith(".parquet"))
+    if merge == "distributed":
+        return merge_payload_ds(
+            rd.read_parquet(files).map_batches(
+                lambda t: t.to_pandas(), batch_format="pyarrow"), jobs)
+    frames = [pq.read_table(f).to_pandas() for f in files]
+    rows = (pd.concat(frames, ignore_index=True) if frames
+            else pd.DataFrame({"sink": pd.Series(dtype="string"),
+                               "bucket": pd.Series(dtype="int64"),
+                               "payload": pd.Series(dtype=object)}))
+    return merge_payload_rows(rows, jobs)

@@ -167,3 +167,93 @@ def test_route_raw_zip_partition_identity(tmp_path):
     parts = os.listdir(os.path.join(out, "slow_ops"))
     assert parts == ["part=cluster0-shard-07-00"]
     assert route.route_partitioned([str(zpath)], out, raw_logs=True).empty
+
+
+def _norm(df):
+    import pandas as pd
+
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns), kind="mergesort") \
+        .reset_index(drop=True)
+
+
+def test_analyze_kill_resume(fixture_paths, tmp_path, monkeypatch):
+    """Checkpointed full analysis: kill after partition 1, resume,
+    assert (a) only the lost tail is reprocessed (manifest-counted +
+    classify-call-counted) and (b) every final table equals the
+    single-pass run byte-for-byte — the multifold partition-
+    associativity contract, proven at the kill boundary."""
+    import pandas as pd
+    import pytest
+
+    from mlp_ray.pipelines import analyze
+
+    clean = analyze.run_full_analysis(fixture_paths, mode="driver",
+                                      p95_mode="exact")
+    wd = str(tmp_path / "ck")
+    real = analyze.classify
+    calls = {"n": 0}
+
+    def dying(ds, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated mid-run kill")
+        return real(ds, **kw)
+
+    monkeypatch.setattr(analyze, "classify", dying)
+    with pytest.raises(RuntimeError):
+        analyze.run_full_analysis_resumable(fixture_paths, wd)
+    monkeypatch.setattr(analyze, "classify", real)
+
+    man = analyze.completed_analysis_partitions(wd)
+    assert len(man) == 1  # partition 1 committed before the kill
+
+    calls2 = {"n": 0}
+
+    def counting(ds, **kw):
+        calls2["n"] += 1
+        return real(ds, **kw)
+
+    monkeypatch.setattr(analyze, "classify", counting)
+    res = analyze.run_full_analysis_resumable(fixture_paths, wd)
+    # resume processed ONLY the partitions the kill lost
+    assert calls2["n"] == len(fixture_paths) - 1
+    man2 = analyze.completed_analysis_partitions(wd)
+    assert len(man2) == len(fixture_paths)
+
+    assert set(res) == set(clean)
+    for k in clean:
+        pd.testing.assert_frame_equal(_norm(res[k]), _norm(clean[k]))
+
+    # invalidation: dropping one partition recomputes exactly it
+    victim = sorted(man2)[0]
+    analyze.invalidate_analysis_partitions(wd, {victim})
+    calls3 = {"n": 0}
+
+    def counting3(ds, **kw):
+        calls3["n"] += 1
+        return real(ds, **kw)
+
+    monkeypatch.setattr(analyze, "classify", counting3)
+    res2 = analyze.run_full_analysis_resumable(fixture_paths, wd)
+    assert calls3["n"] == 1
+    for k in clean:
+        pd.testing.assert_frame_equal(_norm(res2[k]), _norm(clean[k]))
+
+
+def test_analyze_resumable_distributed_merge(fixture_paths, tmp_path):
+    """The persisted partials support the (sink, bucket) distributed
+    merge too — same tables as the driver merge from the same files."""
+    import pandas as pd
+
+    from mlp_ray.pipelines import analyze
+
+    wd = str(tmp_path / "ck2")
+    a = analyze.run_full_analysis_resumable(fixture_paths, wd,
+                                            p95_mode="sketch")
+    b = analyze.run_full_analysis_resumable(fixture_paths, wd,
+                                            p95_mode="sketch",
+                                            merge="distributed")
+    assert set(a) == set(b)
+    for k in a:
+        pd.testing.assert_frame_equal(_norm(a[k]), _norm(b[k]))
