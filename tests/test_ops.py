@@ -369,6 +369,27 @@ def test_minhash_near_dup_partial_overlap(docs_df):
         assert abs(r["jaccard"] - round(inter / union, 6)) < 1e-9
 
 
+def test_verify_broadcast_budget_fallback(docs_df, monkeypatch):
+    """Past MAX_BROADCAST_PAIRS the verify stage must fall back to the
+    dataset-shaped pair join and return IDENTICAL pairs — the 100 TB
+    guard against a candidate blow-up OOMing the driver."""
+    dups = docs_df.head(10).copy()
+    dups["doc_id"] = dups["doc_id"] + 500_000
+    corpus = rd.from_pandas(pd.concat([docs_df, dups], ignore_index=True))
+    cand = dedup.minhash_lsh_candidates(corpus,
+                                        est_threshold=0.5).to_pandas()
+    assert len(cand) > 1
+    via_broadcast = dedup.ngram_jaccard_verify(corpus, cand,
+                                               threshold=0.5)
+    monkeypatch.setattr(dedup, "MAX_BROADCAST_PAIRS", 1)
+    via_dataset = dedup.ngram_jaccard_verify(corpus, cand, threshold=0.5)
+    a = via_broadcast.sort_values(["doc_id", "dup_of"]) \
+        .reset_index(drop=True)
+    b = via_dataset.sort_values(["doc_id", "dup_of"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_token_histogram_matches_numpy(ray_session):
     """Bounded-state token histogram == brute-force numpy bincount."""
     import pyarrow as pa
