@@ -54,12 +54,29 @@ def prepare_training_data(docs_ds: rd.Dataset, out_dir: str, *,
                           quality_min: float = 0.5, gram_k: int = 5,
                           vocab_size: int = 256, cap: int = 2048,
                           val_pct: int = 10, test_pct: int = 10,
-                          id_col: str = "doc_id") -> pd.DataFrame:
+                          id_col: str = "doc_id",
+                          resume_key: str | None = None) -> pd.DataFrame:
     """Run the full preparation; writes ``<out>/tokenized`` and
     ``<out>/packed/<split>`` parquet, returns a per-split summary
-    (docs, tokens, bins)."""
+    (docs, tokens, bins).
+
+    ``resume_key``: an input-identity string (e.g. the source path +
+    snapshot version) that turns on STAGE-LEVEL RESUME — each stage
+    directory (survivors / tokenized / packed per split) gets a
+    ``_DONE.json`` marker keyed on (resume_key + the params that shape
+    that stage), written only after its parquet completes, and a rerun
+    skips every stage whose marker matches.  A job killed mid-pack
+    resumes without re-running the gates, the dedup exchange or the
+    tokenizer; a parameter change (e.g. a different ``cap``) naturally
+    invalidates exactly the stages it shapes.  ``None`` (default)
+    keeps the replace-everything semantics."""
     ref = (ray.put(np.asarray(bench_grams, dtype=np.uint64))
            if bench_grams is not None and len(bench_grams) else None)
+    n_bg = 0 if bench_grams is None else len(bench_grams)
+    surv_key = (None if resume_key is None else
+                f"{resume_key}|q={quality_min}|k={gram_k}|bg={n_bg}|v1")
+    tok_key = (None if surv_key is None else
+               f"{surv_key}|vs={vocab_size}|val={val_pct}|test={test_pct}")
 
     def gate(batch: pa.Table, _ref=ref, _qmin=quality_min,
              _k=gram_k) -> pa.Table:
@@ -95,27 +112,31 @@ def prepare_training_data(docs_ds: rd.Dataset, out_dir: str, *,
     # rerun into the same out_dir is idempotent (write_parquet appends
     # uniquely-named files and would otherwise double every row)
     surv_dir = os.path.join(out_dir, "survivors")
-    shutil.rmtree(surv_dir, ignore_errors=True)
-    survivors.write_parquet(surv_dir)
+    if not _stage_done(surv_dir, surv_key):
+        shutil.rmtree(surv_dir, ignore_errors=True)
+        survivors.write_parquet(surv_dir)
+        _mark_stage(surv_dir, surv_key)
     if not _parquet_files(surv_dir):
         return pd.DataFrame({"split": list(SPLITS),
                              "n_bins": np.zeros(3, np.int64),
                              "n_tokens": np.zeros(3, np.int64)})
-    surv = rd.read_parquet(surv_dir, columns=[id_col, "text"])
 
-    # vocabulary from the SURVIVING corpus (contaminated/dup text must
-    # not shape ids), then tokenize + split and persist ONCE
-    vocab_ref = ray.put(text.build_vocab(surv, vocab_size=vocab_size))
-    tokenized = surv.map_batches(
-        text.VocabTokenizer, batch_format="pyarrow",
-        fn_constructor_kwargs={"vocab_ref": vocab_ref},
-        concurrency=(1, 8))
-    tokenized = scrub.hash_split(tokenized, id_col=id_col,
-                                 val_pct=val_pct, test_pct=test_pct)
     tok_dir = os.path.join(out_dir, "tokenized")
-    shutil.rmtree(tok_dir, ignore_errors=True)
-    (tokenized.select_columns([id_col, "tokens", "n_tok", "split"])
-     .write_parquet(tok_dir))
+    if not _stage_done(tok_dir, tok_key):
+        surv = rd.read_parquet(surv_dir, columns=[id_col, "text"])
+        # vocabulary from the SURVIVING corpus (contaminated/dup text
+        # must not shape ids), then tokenize + split and persist ONCE
+        vocab_ref = ray.put(text.build_vocab(surv, vocab_size=vocab_size))
+        tokenized = surv.map_batches(
+            text.VocabTokenizer, batch_format="pyarrow",
+            fn_constructor_kwargs={"vocab_ref": vocab_ref},
+            concurrency=(1, 8))
+        tokenized = scrub.hash_split(tokenized, id_col=id_col,
+                                     val_pct=val_pct, test_pct=test_pct)
+        shutil.rmtree(tok_dir, ignore_errors=True)
+        (tokenized.select_columns([id_col, "tokens", "n_tok", "split"])
+         .write_parquet(tok_dir))
+        _mark_stage(tok_dir, tok_key)
 
     rows = []
     for split in SPLITS:
@@ -131,10 +152,14 @@ def prepare_training_data(docs_ds: rd.Dataset, out_dir: str, *,
 
         ds = ds.map_batches(one_split, batch_format="pyarrow",
                             zero_copy_batch=True)
-        packed = pack_materialize(ds, cap=cap, order_col="doc_key")
         split_dir = os.path.join(out_dir, "packed", split)
-        shutil.rmtree(split_dir, ignore_errors=True)
-        packed.write_parquet(split_dir)
+        pack_key = (None if tok_key is None
+                    else f"{tok_key}|cap={cap}|split={split}")
+        if not _stage_done(split_dir, pack_key):
+            packed = pack_materialize(ds, cap=cap, order_col="doc_key")
+            shutil.rmtree(split_dir, ignore_errors=True)
+            packed.write_parquet(split_dir)
+            _mark_stage(split_dir, pack_key)
         # an empty split writes no files; read back only when it did.
         # summary = distributed Count/Sum aggregate — at 100 TB / cap
         # 2048 the bin table is ~10^9 rows, so a to_pandas() collect
@@ -159,3 +184,35 @@ def _parquet_files(d: str) -> list[str]:
     if not os.path.isdir(d):
         return []
     return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+
+def _stage_done(stage_dir: str, key: str | None) -> bool:
+    """True iff the stage's completion marker matches ``key`` (None —
+    resume off — is never done; the dir is wiped and rebuilt)."""
+    import json
+
+    if key is None:
+        return False
+    marker = os.path.join(stage_dir, "_DONE.json")
+    if not os.path.exists(marker):
+        return False
+    try:
+        with open(marker) as fh:
+            return json.load(fh).get("key") == key
+    except Exception:
+        return False
+
+
+def _mark_stage(stage_dir: str, key: str | None) -> None:
+    """Write the completion marker AFTER the stage's parquet is fully
+    on disk (atomic rename) — a kill between write and mark simply
+    re-runs that one stage."""
+    import json
+
+    if key is None:
+        return
+    os.makedirs(stage_dir, exist_ok=True)
+    tmp = os.path.join(stage_dir, f"_DONE.json.tmp-{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump({"key": key}, fh)
+    os.replace(tmp, os.path.join(stage_dir, "_DONE.json"))

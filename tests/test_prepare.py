@@ -85,3 +85,69 @@ def test_prepare_deterministic(prepared, tmp_path):
     pd.testing.assert_frame_equal(
         summary.sort_values("split").reset_index(drop=True),
         again.sort_values("split").reset_index(drop=True))
+
+
+def test_prepare_kill_resume_stage_markers(tmp_path, monkeypatch):
+    """Stage-level resume (north rule): a run killed mid-pack resumes
+    without re-running the gate/dedup or the tokenizer (stage markers
+    + call counting), and the resumed outputs equal a clean run's."""
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    clean_dir = str(tmp_path / "clean")
+    clean = prepare.prepare_training_data(docs, clean_dir, cap=512,
+                                          resume_key="sf0.001|v1")
+
+    kill_dir = str(tmp_path / "killed")
+    real_pack = prepare.pack_materialize
+    calls = {"n": 0}
+
+    def dying_pack(ds, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die packing the SECOND split
+            raise RuntimeError("simulated mid-run kill")
+        return real_pack(ds, **kw)
+
+    monkeypatch.setattr(prepare, "pack_materialize", dying_pack)
+    with pytest.raises(RuntimeError):
+        prepare.prepare_training_data(docs, kill_dir, cap=512,
+                                      resume_key="sf0.001|v1")
+    monkeypatch.setattr(prepare, "pack_materialize", real_pack)
+
+    # resume: the expensive upstream stages must NOT re-run
+    from mlp_ray.ops import text as text_mod
+    real_vocab = text_mod.build_vocab
+    vocab_calls = {"n": 0}
+
+    def counting_vocab(*a, **kw):
+        vocab_calls["n"] += 1
+        return real_vocab(*a, **kw)
+
+    pack_calls = {"n": 0}
+
+    def counting_pack(ds, **kw):
+        pack_calls["n"] += 1
+        return real_pack(ds, **kw)
+
+    monkeypatch.setattr(prepare.text, "build_vocab", counting_vocab)
+    monkeypatch.setattr(prepare, "pack_materialize", counting_pack)
+    resumed = prepare.prepare_training_data(docs, kill_dir, cap=512,
+                                            resume_key="sf0.001|v1")
+    assert vocab_calls["n"] == 0          # tokenized stage skipped
+    assert pack_calls["n"] == 2           # only the 2 lost splits pack
+
+    pd.testing.assert_frame_equal(
+        resumed.sort_values("split").reset_index(drop=True),
+        clean.sort_values("split").reset_index(drop=True))
+    for split in ("train", "val", "test"):
+        a = (pq.read_table(f"{clean_dir}/packed/{split}").to_pandas()
+             .sort_values("pack_bin").reset_index(drop=True))
+        b = (pq.read_table(f"{kill_dir}/packed/{split}").to_pandas()
+             .sort_values("pack_bin").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+    # param change invalidates exactly the stages it shapes: a new cap
+    # re-packs but still never re-runs the tokenizer
+    vocab_calls["n"] = pack_calls["n"] = 0
+    prepare.prepare_training_data(docs, kill_dir, cap=256,
+                                  resume_key="sf0.001|v1")
+    assert vocab_calls["n"] == 0
+    assert pack_calls["n"] == 3
