@@ -193,6 +193,99 @@ def test_index_stats_golden(results, golden):
             assert _jround(r["p95_duration_ms"]) == o["p95DurationMs"]
 
 
+def _parse_count_summary(s: str) -> dict:
+    """Golden 'key: n<br>key: n' summaries (NumberFormat US commas) →
+    dict.  Order is count-desc with HashMap-arbitrary ties, so only the
+    dict compares."""
+    if not s:
+        return {}
+    out = {}
+    for line in s.split("<br>"):
+        k, n = line.rsplit(": ", 1)
+        out[k] = int(n.replace(",", ""))
+    return out
+
+
+def _imap(js) -> dict:
+    return {} if js is None or pd.isna(js) else json.loads(js)
+
+
+def test_query_hash_deep_golden(results, golden):
+    """Every derived queryHashAnalysis field on the golden's top-100:
+    integer-division averages, Java long totalDurationSec,
+    examined/returned ratio, Math.round'ed avg planning ms, replanned
+    percentage, the readPreference(+tags) count-map summaries, and —
+    where the plan-cache table shows the entry had exactly ONE distinct
+    plan summary (last-write-wins is thread-order dependent otherwise)
+    — planSummary itself."""
+    qh = results["query_hash"]
+    pc_tbl = results["plan_cache"]
+    n_summaries = (pc_tbl.groupby(["query_hash", "ns", "op"])
+                   ["plan_summary"].nunique().to_dict())
+    mine = {(r["query_hash"], r["ns"], r["op"]): r
+            for r in qh.to_dict("records")}
+
+    def s(r, col) -> int:
+        v = r[col]
+        return 0 if pd.isna(v) else int(v)
+
+    for o in golden["queryHashAnalysis"]["queries"]:
+        k = (o["queryHash"], o["namespace"], o["operation"])
+        r = mine[k]
+        c = int(r["count"])
+        assert c == o["count"], k
+        avg = s(r, "sum_duration_ms") // c if c else 0
+        assert avg == o["avgDurationMs"], k
+        assert c * avg // 1000 == o["totalDurationSec"], k
+        for mycol, gcol in (("sum_keys_examined", "avgKeysExamined"),
+                            ("sum_docs_examined", "avgDocsExamined"),
+                            ("sum_nret", "avgDocsReturned"),
+                            ("sum_n_shards", "avgShards"),
+                            ("sum_bytes_read", "avgBytesRead"),
+                            ("sum_bytes_written", "avgBytesWritten")):
+            if gcol in o:
+                assert s(r, mycol) // c == o[gcol], (k, gcol)
+        nret = s(r, "sum_nret")
+        ratio = s(r, "sum_docs_examined") // nret if nret > 0 else 0
+        assert ratio == o["examinedReturnedRatio"], k
+        # avgPlanningTimeMs = Math.round((ΣµS / n) / 1000.0)
+        # (QueryHashAccumulatorEntry.java:486-488)
+        pn = s(r, "count_planning_time_us")
+        exp_plan = _jround((s(r, "sum_planning_time_us") // pn) / 1000.0) \
+            if pn else 0
+        assert exp_plan == o["avgPlanningTimeMs"], k
+        assert round(int(r["replanned_count"]) * 100.0 / c, 10) == \
+            round(o["replannedPercentage"], 10), k
+        # readPreference: absent mode accumulates as "default"
+        got_rp = _imap(r["map_read_pref_mode"])
+        if not got_rp:
+            got_rp = {"default": c}
+        assert got_rp == _parse_count_summary(o["readPreference"]), k
+        assert _imap(r["map_read_pref_tags"]) == \
+            _parse_count_summary(o["readPreferenceTags"]), k
+        if n_summaries.get(k, 0) == 1 and not pd.isna(
+                r["last_plan_summary"]):
+            assert r["last_plan_summary"] == o["planSummary"], k
+
+
+def test_main_ops_bytes_golden(results, golden):
+    """mainOperations max bytes read/written per (ns, op) — absent
+    values report 0 (getMaxBytesRead guards on MIN sentinel)."""
+    main = results["main_ops"]
+    grp: dict = {}
+    for r in main.to_dict("records"):
+        grp.setdefault((r["ns"], r["op"]), []).append(r)
+    for o in golden["mainOperations"]["operations"]:
+        rs = grp[(o["namespace"], o["operation"])]
+        for mycol, gcol in (("max_bytes_read", "maxBytesRead"),
+                            ("max_bytes_written", "maxBytesWritten")):
+            if gcol not in o:
+                continue
+            vals = [r[mycol] for r in rs if not pd.isna(r[mycol])]
+            got = int(max(vals)) if vals else 0
+            assert got == o[gcol], (o["namespace"], o["operation"], gcol)
+
+
 def test_timestamp_range_golden(results, golden):
     ts = results["ts_range"].iloc[0]
     assert ts["min_ts"] == pd.Timestamp("2025-08-18 18:58:37.043")
