@@ -237,17 +237,90 @@ def oracle_sql() -> dict[str, str]:
     # driver compares at sf=0.01 — pre-warm them here (pure
     # pyarrow/numpy, no Ray) so the oracle side is correct regardless
     # of whether it runs before or after the Ray side.
-    from mlp_ray.ops.dedup import minhash_sig_fixture_path
+    from mlp_ray.ops.dedup import (minhash_sig_fixture_path,
+                                   simhash_fixture_path)
     from mlp_ray.ops.multimodal import PHASH_FIXTURE_PATH as _phash_path
 
     _minhash_sig_path = minhash_sig_fixture_path("/root/testdata/sf0.01")
+    _simhash_path = simhash_fixture_path("/root/testdata/sf0.01")
+    # shared candidate-replay CTE (through the best-pair argmax) for
+    # doc_minhash_candidates and doc_ngram_jaccard
+    _minhash_cand_cte = f"""
+            WITH sig AS (
+              SELECT doc_id, comp, val FROM '{_minhash_sig_path}'
+            ),
+            bl AS (
+              SELECT doc_id, comp // 4 AS band,
+                     MAX(CASE WHEN comp % 4 = 0 THEN val END) AS v0,
+                     MAX(CASE WHEN comp % 4 = 1 THEN val END) AS v1,
+                     MAX(CASE WHEN comp % 4 = 2 THEN val END) AS v2,
+                     MAX(CASE WHEN comp % 4 = 3 THEN val END) AS v3
+              FROM sig GROUP BY 1, 2
+            ),
+            m1 AS (SELECT doc_id, band, v1, v2, v3,
+                          CAST((CAST(xor(CAST(11400714819323198485
+                                              AS UBIGINT), v0)
+                                     AS HUGEINT) * 1099511628211)
+                               % 18446744073709551616 AS UBIGINT) AS m
+                   FROM bl),
+            m2 AS (SELECT doc_id, band, v2, v3,
+                          CAST((CAST(xor(m, v1) AS HUGEINT)
+                                * 1099511628211)
+                               % 18446744073709551616 AS UBIGINT) AS m
+                   FROM m1),
+            m3 AS (SELECT doc_id, band, v3,
+                          CAST((CAST(xor(m, v2) AS HUGEINT)
+                                * 1099511628211)
+                               % 18446744073709551616 AS UBIGINT) AS m
+                   FROM m2),
+            bh AS (SELECT doc_id, band,
+                          CAST((CAST(xor(m, v3) AS HUGEINT)
+                                * 1099511628211)
+                               % 18446744073709551616 AS UBIGINT)
+                              AS band_hash
+                   FROM m3),
+            ranked AS (
+              SELECT doc_id, band, band_hash,
+                     row_number() OVER (PARTITION BY band, band_hash
+                                        ORDER BY doc_id) AS rn
+              FROM bh
+            ),
+            cand AS (
+              SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS dup_of
+              FROM ranked b
+              JOIN ranked a ON a.band = b.band
+                           AND a.band_hash = b.band_hash
+              WHERE a.rn <= 8 AND a.rn < b.rn AND b.rn <= 4096
+            ),
+            est AS (
+              SELECT c.doc_id, c.dup_of,
+                     avg(CASE WHEN s1.val = s2.val
+                              THEN 1.0 ELSE 0.0 END) AS e
+              FROM cand c
+              JOIN sig s1 ON s1.doc_id = c.doc_id
+              JOIN sig s2 ON s2.doc_id = c.dup_of AND s2.comp = s1.comp
+              GROUP BY 1, 2
+            ),
+            kept AS (
+              SELECT doc_id, dup_of, round(e, 6) AS est_jaccard
+              FROM est WHERE e >= 0.5
+            ),
+            best AS (
+              SELECT doc_id, dup_of, est_jaccard,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY est_jaccard DESC,
+                                                 dup_of ASC) AS rn
+              FROM kept
+            )"""
     try:
-        from mlp_ray.ops.dedup import ensure_minhash_sig_fixture
+        from mlp_ray.ops.dedup import (ensure_minhash_sig_fixture,
+                                       ensure_simhash_fixture)
         from mlp_ray.ops.multimodal import ensure_phash_fixture
         from mlp_ray.sources.rawlog import ensure_rawlog_fixture
         from mlp_ray.sources.tokenized import ensure_flagship_parquet
 
         ensure_flagship_parquet("/root/testdata/sf0.01")
+        ensure_simhash_fixture("/root/testdata/sf0.01")
         ensure_rawlog_fixture()
         ensure_minhash_sig_fixture("/root/testdata/sf0.01")
         ensure_phash_fixture()
@@ -2122,75 +2195,79 @@ def oracle_sql() -> dict[str, str]:
         # one best pair per doc (est DESC, dup_of ASC).  Mirrors
         # minhash_lsh_candidates defaults (64 hashes / 16 bands / 4
         # rows / max_earlier 8 / pos cap 4096).
-        "doc_minhash_candidates": f"""
-            WITH sig AS (
-              SELECT doc_id, comp, val FROM '{_minhash_sig_path}'
-            ),
-            bl AS (
-              SELECT doc_id, comp // 4 AS band,
-                     MAX(CASE WHEN comp % 4 = 0 THEN val END) AS v0,
-                     MAX(CASE WHEN comp % 4 = 1 THEN val END) AS v1,
-                     MAX(CASE WHEN comp % 4 = 2 THEN val END) AS v2,
-                     MAX(CASE WHEN comp % 4 = 3 THEN val END) AS v3
-              FROM sig GROUP BY 1, 2
-            ),
-            m1 AS (SELECT doc_id, band, v1, v2, v3,
-                          CAST((CAST(xor(CAST(11400714819323198485
-                                              AS UBIGINT), v0)
-                                     AS HUGEINT) * 1099511628211)
-                               % 18446744073709551616 AS UBIGINT) AS m
-                   FROM bl),
-            m2 AS (SELECT doc_id, band, v2, v3,
-                          CAST((CAST(xor(m, v1) AS HUGEINT)
-                                * 1099511628211)
-                               % 18446744073709551616 AS UBIGINT) AS m
-                   FROM m1),
-            m3 AS (SELECT doc_id, band, v3,
-                          CAST((CAST(xor(m, v2) AS HUGEINT)
-                                * 1099511628211)
-                               % 18446744073709551616 AS UBIGINT) AS m
-                   FROM m2),
-            bh AS (SELECT doc_id, band,
-                          CAST((CAST(xor(m, v3) AS HUGEINT)
-                                * 1099511628211)
-                               % 18446744073709551616 AS UBIGINT)
-                              AS band_hash
-                   FROM m3),
-            ranked AS (
-              SELECT doc_id, band, band_hash,
-                     row_number() OVER (PARTITION BY band, band_hash
-                                        ORDER BY doc_id) AS rn
-              FROM bh
-            ),
-            cand AS (
-              SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS dup_of
-              FROM ranked b
-              JOIN ranked a ON a.band = b.band
-                           AND a.band_hash = b.band_hash
-              WHERE a.rn <= 8 AND a.rn < b.rn AND b.rn <= 4096
-            ),
-            est AS (
-              SELECT c.doc_id, c.dup_of,
-                     avg(CASE WHEN s1.val = s2.val
-                              THEN 1.0 ELSE 0.0 END) AS e
-              FROM cand c
-              JOIN sig s1 ON s1.doc_id = c.doc_id
-              JOIN sig s2 ON s2.doc_id = c.dup_of AND s2.comp = s1.comp
-              GROUP BY 1, 2
-            ),
-            kept AS (
-              SELECT doc_id, dup_of, round(e, 6) AS est_jaccard
-              FROM est WHERE e >= 0.5
-            ),
-            best AS (
-              SELECT doc_id, dup_of, est_jaccard,
-                     row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY est_jaccard DESC,
-                                                 dup_of ASC) AS rn
-              FROM kept
-            )
+        "doc_minhash_candidates": _minhash_cand_cte + """
             SELECT doc_id, dup_of, est_jaccard FROM best WHERE rn = 1
         """,
+        # Same candidate replay, then the exact word-3-gram Jaccard of
+        # exactly those pairs re-derived from the documents table
+        # (ngram_jaccard_verify semantics: candidates' est_jaccard
+        # rides through, verify keeps jaccard >= 0.5)
+        "doc_ngram_jaccard": _minhash_cand_cte + r"""
+            , pairs AS (
+              SELECT doc_id, dup_of, est_jaccard FROM best WHERE rn = 1
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct([
+                         array_to_string(toks[i:i+2], ' ')
+                         FOR i IN range(1, greatest(len(toks) - 1, 2))
+                     ]) AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM documents)
+            )
+            SELECT p.doc_id, p.dup_of, p.est_jaccard,
+                   round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                         len(list_distinct(list_concat(a.grams, b.grams))),
+                         6) AS jaccard
+            FROM pairs p
+            JOIN g a ON a.doc_id = p.doc_id
+            JOIN g b ON b.doc_id = p.dup_of
+            WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+                  len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+        """,
+        # SimHash near-dup replay from the scalar-path fixture
+        # (ops/dedup.ensure_simhash_fixture): 4×16-bit bands, each doc
+        # pairs with its FIRST earlier co-bucketed match at Hamming<=3
+        # (positions capped at 4096), then one best pair per doc
+        # (hamming ASC, dup_of ASC) — simhash_candidates exactly.
+        "doc_simhash_dedup": f"""
+            WITH p AS (SELECT doc_id, simhash FROM '{_simhash_path}'),
+            b AS (
+              SELECT doc_id, simhash, band,
+                     CAST((simhash >> (16 * band)) & 65535 AS INTEGER)
+                         AS key
+              FROM p, UNNEST([0, 1, 2, 3]) AS t(band)
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY band, key
+                                           ORDER BY doc_id) AS rn
+              FROM b
+            ),
+            cand AS (
+              SELECT bb.doc_id, aa.doc_id AS dup_of,
+                     CAST(bit_count(xor(aa.simhash, bb.simhash))
+                          AS BIGINT) AS hamming,
+                     row_number() OVER (PARTITION BY bb.doc_id, bb.band
+                                        ORDER BY aa.doc_id) AS pick
+              FROM r bb
+              JOIN r aa ON aa.band = bb.band AND aa.key = bb.key
+              WHERE aa.rn < bb.rn AND bb.rn <= 4096 AND aa.rn <= 4096
+                AND bit_count(xor(aa.simhash, bb.simhash)) <= 3
+            ),
+            firsts AS (
+              SELECT DISTINCT doc_id, dup_of, hamming
+              FROM cand WHERE pick = 1
+            ),
+            best AS (
+              SELECT doc_id, dup_of, hamming,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY hamming, dup_of) AS rn
+              FROM firsts
+            )
+            SELECT doc_id, dup_of, hamming FROM best WHERE rn = 1
+        """,
+
         # Brute-force all-pairs Hamming over the scalar-path pHash
         # fixture (ops/multimodal.ensure_phash_fixture).  The banded
         # pipeline must agree exactly: 8 bands × 8 bits pigeonhole-

@@ -526,6 +526,55 @@ def ensure_minhash_sig_fixture(sf_dir: str, *, num_hashes: int = 64,
     return path
 
 
+def simhash_fixture_path(sf_dir: str) -> str:
+    """Per-``sf_dir`` simhash-fixture path (same convention as
+    ``minhash_sig_fixture_path``)."""
+    import os
+    import re
+
+    slug = re.sub(r"[^A-Za-z0-9._-]+", "_",
+                  os.path.abspath(sf_dir)).strip("_")
+    return f"/tmp/mlp_simhash_{slug}.parquet"
+
+
+def ensure_simhash_fixture(sf_dir: str) -> str:
+    """Idempotently persist ``(doc_id, simhash)`` for ``sf_dir``'s
+    documents, computed one text at a time via the scalar
+    ``SimHasher.simhash`` reference path on the driver.  The SQL oracle
+    for ``doc_simhash_dedup`` replays the 4×16-bit banding, the
+    first-earlier-match-per-band pairing, the Hamming ≤ 3 verify and
+    the best-pair argmax from this table — pinning every distributed
+    stage of ``simhash_candidates``.  Validation-scale only."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    path = simhash_fixture_path(sf_dir)
+    marker = path + ".src"
+    key = f"{os.path.abspath(sf_dir)}|v1"
+    if os.path.exists(path) and os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if fh.read().strip() == key:
+                    _pq.ParquetFile(path)
+                    return path
+        except Exception:
+            pass
+    tbl = _pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    h = SimHasher()
+    sigs = [h.simhash(t or "") for t in tbl["text"].to_pylist()]
+    out = pa.table({"doc_id": tbl["doc_id"],
+                    "simhash": pa.array(sigs, pa.uint64())})
+    tmp = f"{path}.tmp-{os.getpid()}"
+    _pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    with open(marker + ".tmp", "w") as fh:
+        fh.write(key)
+    os.replace(marker + ".tmp", marker)
+    return path
+
+
 def minhash_verified_pairs(docs_ds: rd.Dataset, *, shingle_k: int = 3,
                            threshold: float = 0.5, num_hashes: int = 64,
                            bands: int = 16, seed: int = 42,

@@ -442,6 +442,11 @@ def doc_minhash_candidates(sf_dir: str) -> pd.DataFrame:
 
 
 def doc_simhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup candidates.  Oracle-backed: the SQL side
+    replays the 4×16-bit banding, first-earlier-match pairing,
+    Hamming ≤ 3 verify and best-pair argmax from the scalar-path
+    simhash fixture (``dedup.ensure_simhash_fixture``)."""
+    dedup.ensure_simhash_fixture(sf_dir)
     return dedup.simhash_candidates(
         _docs(sf_dir, ["doc_id", "text"])).to_pandas()
 
@@ -1002,7 +1007,12 @@ def media_resize(sf_dir: str) -> pd.DataFrame:
 
 
 def doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
-    """MinHash-LSH candidates verified with exact n-gram Jaccard."""
+    """MinHash-LSH best-pair candidates verified with exact word-3-gram
+    Jaccard ≥ 0.5.  Oracle-backed: the SQL side replays the candidate
+    stage from the signature fixture (same CTE as
+    ``doc_minhash_candidates``) and re-computes the exact gram Jaccard
+    over the documents table for exactly those pairs."""
+    dedup.ensure_minhash_sig_fixture(sf_dir)
     docs = _docs(sf_dir, ["doc_id", "text"])
     cand = dedup.minhash_lsh_candidates(docs).to_pandas()
     return dedup.ngram_jaccard_verify(docs, cand, threshold=0.5)
