@@ -240,9 +240,15 @@ def oracle_sql() -> dict[str, str]:
     from mlp_ray.ops.dedup import (minhash_sig_fixture_path,
                                    simhash_fixture_path)
     from mlp_ray.ops.multimodal import PHASH_FIXTURE_PATH as _phash_path
+    from mlp_ray.util import fixture_path as _fx
 
     _minhash_sig_path = minhash_sig_fixture_path("/root/testdata/sf0.01")
     _simhash_path = simhash_fixture_path("/root/testdata/sf0.01")
+    _hplsh_path = _fx("hplsh", "/root/testdata/sf0.01")
+    _semantic_path = _fx("semantic", "/root/testdata/sf0.01")
+    _lshq_path = _fx("lshq", "/root/testdata/sf0.01")
+    _ivf_path = _fx("ivf", "/root/testdata/sf0.01")
+    _cms_path = _fx("cms", "/root/testdata/sf0.01")
     # shared candidate-replay CTE (through the best-pair argmax) for
     # doc_minhash_candidates and doc_ngram_jaccard
     _minhash_cand_cte = f"""
@@ -313,9 +319,14 @@ def oracle_sql() -> dict[str, str]:
               FROM kept
             )"""
     try:
-        from mlp_ray.ops.dedup import (ensure_minhash_sig_fixture,
+        from mlp_ray.ops.ann import (ensure_ivf_fixture,
+                                     ensure_lshq_fixture)
+        from mlp_ray.ops.dedup import (ensure_hplsh_fixture,
+                                       ensure_minhash_sig_fixture,
+                                       ensure_semantic_fixture,
                                        ensure_simhash_fixture)
         from mlp_ray.ops.multimodal import ensure_phash_fixture
+        from mlp_ray.ops.sketch import ensure_cms_fixture
         from mlp_ray.sources.rawlog import ensure_rawlog_fixture
         from mlp_ray.sources.tokenized import ensure_flagship_parquet
 
@@ -324,6 +335,11 @@ def oracle_sql() -> dict[str, str]:
         ensure_rawlog_fixture()
         ensure_minhash_sig_fixture("/root/testdata/sf0.01")
         ensure_phash_fixture()
+        ensure_hplsh_fixture("/root/testdata/sf0.01")
+        ensure_semantic_fixture("/root/testdata/sf0.01")
+        ensure_lshq_fixture("/root/testdata/sf0.01")
+        ensure_ivf_fixture("/root/testdata/sf0.01")
+        ensure_cms_fixture("/root/testdata/sf0.01")
     except Exception:
         pass  # fixture warm-up is best-effort; queries() rebuilds it
 
@@ -2266,6 +2282,175 @@ def oracle_sql() -> dict[str, str]:
               FROM firsts
             )
             SELECT doc_id, dup_of, hamming FROM best WHERE rn = 1
+        """,
+        # Hyperplane-LSH embedding near-dup replay from the
+        # scalar-path bucket fixture (ops/dedup.ensure_hplsh_fixture):
+        # within each bucket (vec_id order, positions capped at 4096)
+        # every vec pairs with its FIRST earlier member at unrounded
+        # cosine >= 0.95, then one best pair per vec (rounded cosine
+        # DESC, dup_of ASC) — embedding_near_dup exactly.
+        "emb_near_dup": f"""
+            WITH bk AS (SELECT vec_id, bucket FROM '{_hplsh_path}'),
+            r AS (
+              SELECT vec_id, bucket,
+                     row_number() OVER (PARTITION BY bucket
+                                        ORDER BY vec_id) AS rn
+              FROM bk
+            ),
+            pairs AS (
+              SELECT bb.vec_id, aa.vec_id AS dup_of,
+                     round(list_cosine_similarity(
+                         CAST(ea.embedding AS DOUBLE[]),
+                         CAST(eb.embedding AS DOUBLE[])), 6) AS cosine,
+                     row_number() OVER (PARTITION BY bb.bucket, bb.vec_id
+                                        ORDER BY aa.vec_id) AS pick
+              FROM r bb
+              JOIN r aa ON aa.bucket = bb.bucket AND aa.rn < bb.rn
+              JOIN embeddings ea ON ea.vec_id = aa.vec_id
+              JOIN embeddings eb ON eb.vec_id = bb.vec_id
+              WHERE bb.rn <= 4096 AND aa.rn <= 4096
+                AND list_cosine_similarity(
+                        CAST(ea.embedding AS DOUBLE[]),
+                        CAST(eb.embedding AS DOUBLE[])) >= 0.95
+            ),
+            firsts AS (
+              SELECT DISTINCT vec_id, dup_of, cosine
+              FROM pairs WHERE pick = 1
+            ),
+            best AS (
+              SELECT vec_id, dup_of, cosine,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cosine DESC,
+                                                 dup_of) AS rn
+              FROM firsts
+            )
+            SELECT vec_id, dup_of, cosine FROM best WHERE rn = 1
+        """,
+        # SemDeDup replay from the scalar-path assignment fixture
+        # (ops/dedup.ensure_semantic_fixture): within-cluster pairs on
+        # the float32 normalized vectors, unrounded dot >= 0.95
+        # threshold, earliest dup_of per vec — semantic_dedup exactly.
+        "emb_semantic_dedup": f"""
+            WITH f AS (SELECT vec_id, "cluster", nv
+                       FROM '{_semantic_path}'),
+            pairs AS (
+              SELECT b.vec_id, a.vec_id AS dup_of,
+                     round(list_dot_product(CAST(a.nv AS DOUBLE[]),
+                                            CAST(b.nv AS DOUBLE[])),
+                           6) AS "cos"
+              FROM f b
+              JOIN f a ON a."cluster" = b."cluster"
+                      AND a.vec_id < b.vec_id
+              WHERE list_dot_product(CAST(a.nv AS DOUBLE[]),
+                                     CAST(b.nv AS DOUBLE[])) >= 0.95
+            ),
+            best AS (
+              SELECT vec_id, dup_of, "cos",
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dup_of) AS rn
+              FROM pairs
+            )
+            SELECT vec_id, dup_of, "cos" FROM best WHERE rn = 1
+        """,
+        # Sign-LSH top-k replay from the scalar-path code fixture
+        # (ops/ann.ensure_lshq_fixture): a vec is a candidate for a
+        # query iff they share a (table, code) bucket in ANY table;
+        # candidates rank by rounded cosine (score DESC, vec_id ASC).
+        "ann_lsh_topk": f"""
+            WITH f AS (SELECT vec_id, tbl, code FROM '{_lshq_path}'),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, v.vec_id
+              FROM f q JOIN f v ON v.tbl = q.tbl AND v.code = q.code
+              WHERE q.vec_id < 3
+            ),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     round(list_cosine_similarity(
+                         CAST(eq.embedding AS DOUBLE[]),
+                         CAST(ev.embedding AS DOUBLE[])), 6) AS score
+              FROM cand c
+              JOIN embeddings eq ON eq.vec_id = c.query_id
+              JOIN embeddings ev ON ev.vec_id = c.vec_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC,
+                                                 vec_id) AS rnk
+              FROM scored
+            )
+            SELECT query_id, vec_id, score, rnk
+            FROM ranked WHERE rnk <= 10
+        """,
+        # IVF top-k replay from the scalar-path routing fixture
+        # (ops/ann.ensure_ivf_fixture): candidate iff the vec's
+        # nearest-centroid assignment is in the query's nprobe probe
+        # set; rank by rounded cosine.
+        "ann_ivf_topk": f"""
+            WITH f AS (SELECT kind, id, c FROM '{_ivf_path}'),
+            v AS (SELECT id AS vec_id, c FROM f WHERE kind = 'v'),
+            q AS (SELECT id AS query_id, c FROM f WHERE kind = 'q'),
+            cand AS (
+              SELECT DISTINCT q.query_id, v.vec_id
+              FROM q JOIN v ON v.c = q.c
+            ),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     round(list_cosine_similarity(
+                         CAST(eq.embedding AS DOUBLE[]),
+                         CAST(ev.embedding AS DOUBLE[])), 6) AS score
+              FROM cand c
+              JOIN embeddings eq ON eq.vec_id = c.query_id
+              JOIN embeddings ev ON ev.vec_id = c.vec_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC,
+                                                 vec_id) AS rnk
+              FROM scored
+            )
+            SELECT query_id, vec_id, score, rnk
+            FROM ranked WHERE rnk <= 10
+        """,
+        # Count-Min heavy-hitter replay from the scalar-path
+        # word→counter mapping (ops/sketch.ensure_cms_fixture): word
+        # counts re-derived from the documents table, summed per
+        # (depth, counter), per-word min across depths = the CMS
+        # estimate; top-30 by (est DESC, gram ASC).
+        "doc_word_topk_cms": rf"""
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                  AS word
+              FROM documents
+            ),
+            wc AS (
+              SELECT word, count(*) AS n
+              FROM w WHERE word <> '' GROUP BY 1
+            ),
+            j AS (
+              SELECT f.word, wc.n, f.b0, f.b1, f.b2, f.b3
+              FROM '{_cms_path}' f JOIN wc USING (word)
+            ),
+            s0 AS (SELECT b0 AS b, sum(n) AS s FROM j GROUP BY 1),
+            s1 AS (SELECT b1 AS b, sum(n) AS s FROM j GROUP BY 1),
+            s2 AS (SELECT b2 AS b, sum(n) AS s FROM j GROUP BY 1),
+            s3 AS (SELECT b3 AS b, sum(n) AS s FROM j GROUP BY 1),
+            est AS (
+              SELECT j.word AS gram,
+                     CAST(least(s0.s, s1.s, s2.s, s3.s) AS BIGINT)
+                         AS est_count
+              FROM j
+              JOIN s0 ON s0.b = j.b0 JOIN s1 ON s1.b = j.b1
+              JOIN s2 ON s2.b = j.b2 JOIN s3 ON s3.b = j.b3
+            ),
+            ranked AS (
+              SELECT gram, est_count,
+                     row_number() OVER (ORDER BY est_count DESC,
+                                        gram) AS rnk
+              FROM est
+            )
+            SELECT gram, est_count, rnk FROM ranked WHERE rnk <= 30
         """,
 
         # Brute-force all-pairs Hamming over the scalar-path pHash

@@ -182,13 +182,17 @@ class IvfScorer(BruteForceScorer):
             mask = np.isin(assign, list(self.probe_sets[j]))
             if not mask.any():
                 continue
-            s = (x[mask] @ self.q[j])
+            # select on ROUNDED (half-away, DuckDB round()) score with
+            # (score desc, vec_id asc) tie-break so local pruning, the
+            # global merge and the assignment-replay SQL oracle all
+            # use the same total order
+            s = round_half_away(x[mask] @ self.q[j], 6)
             sub_ids = ids[mask]
             order = np.lexsort((sub_ids, -s))[:self.k]
             for i in order:
                 out.append({"query_id": int(qid),
                             "vec_id": int(sub_ids[i]),
-                            "score": round(float(s[i]), 6)})
+                            "score": float(s[i])})
         if not out:
             return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
                                  "vec_id": pd.Series(dtype="int64"),
@@ -285,3 +289,109 @@ def lsh_topk(ds: rd.Dataset, queries: np.ndarray, query_ids, *,
     partial = ds.map_batches(score, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(_global_topk(k),
                                                   batch_format="pandas")
+
+
+# --- scalar-path oracle fixtures ----------------------------------------
+def scalar_train_centroids(emb: np.ndarray, n_centroids: int, *,
+                           iters: int = 3, seed: int = 42,
+                           sample_limit: int = 4096) -> np.ndarray:
+    """Pure-numpy mirror of ``train_centroids`` (no Ray): same seeded
+    init over the first ``sample_limit`` rows, same Lloyd rounds.  The
+    distributed version sums per-block partials in block order, so the
+    two paths differ by float-association noise (~1e-14) — which only
+    matters for vectors within that distance of an argmax boundary;
+    the replay oracles accept that negligible-probability divergence
+    (same contract as the pHash / minhash scalar fixtures)."""
+    x = _normalize(np.asarray(emb[:sample_limit], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(len(x), size=min(n_centroids, len(x)),
+                      replace=False)
+    cent = x[np.sort(pick)]
+    xa = _normalize(np.asarray(emb, dtype=np.float64))
+    for _ in range(iters):
+        a = (xa @ cent.T).argmax(axis=1)
+        new = cent.copy()
+        for ci in range(len(cent)):
+            m = a == ci
+            if m.any():
+                new[ci] = xa[m].sum(axis=0) / m.sum()
+        cent = _normalize(new)
+    return cent
+
+
+def ensure_lshq_fixture(sf_dir: str) -> str:
+    """Idempotently persist ``(vec_id, tbl, code)`` sign-LSH bucket
+    codes for ``sf_dir``'s embeddings, scalar-path with ``lsh_topk``'s
+    defaults (8 tables × 6 bits, seed 42).  The SQL oracle for
+    ``ann_lsh_topk`` replays the any-table candidate gate from this
+    table (the vec_id<3 query rows double as the query codes) and
+    ranks candidates by ``round(list_cosine_similarity(...), 6)`` —
+    exactly the scorer's rounded-score total order."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from ..util import ensure_fixture, fixture_path
+
+    path = fixture_path("lshq", sf_dir)
+
+    def build() -> pa.Table:
+        tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        x = _normalize(np.stack([np.asarray(e, dtype=np.float64)
+                                 for e in tbl["embedding"].to_pylist()]))
+        rng = np.random.default_rng(42)
+        planes = rng.standard_normal((8, 6, x.shape[1]))
+        pows = (1 << np.arange(6)).astype(np.int64)
+        ids = tbl["vec_id"].to_numpy()
+        rows_id, rows_t, rows_c = [], [], []
+        for t in range(8):
+            codes = ((x @ planes[t].T) > 0) @ pows
+            rows_id.append(ids)
+            rows_t.append(np.full(len(ids), t, dtype=np.int64))
+            rows_c.append(codes.astype(np.int64))
+        return pa.table({"vec_id": pa.array(np.concatenate(rows_id)),
+                         "tbl": pa.array(np.concatenate(rows_t)),
+                         "code": pa.array(np.concatenate(rows_c))})
+
+    return ensure_fixture(path, f"{os.path.abspath(sf_dir)}|v1", build)
+
+
+def ensure_ivf_fixture(sf_dir: str) -> str:
+    """Idempotently persist the IVF routing for ``sf_dir``'s
+    embeddings under ``ann_ivf_topk``'s defaults (16 centroids, 2
+    Lloyd rounds, nprobe 4, queries = vec_id<3): kind 'v' rows carry
+    each vector's nearest-centroid assignment, kind 'q' rows carry
+    each query's probe-set membership.  The SQL oracle joins the two
+    (candidate iff assignment ∈ probe set) and ranks by the rounded
+    cosine — the scorer's exact semantics."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from ..util import ensure_fixture, fixture_path
+
+    path = fixture_path("ivf", sf_dir)
+
+    def build() -> pa.Table:
+        tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        emb = np.stack([np.asarray(e, dtype=np.float64)
+                        for e in tbl["embedding"].to_pylist()])
+        ids = tbl["vec_id"].to_numpy()
+        cent = scalar_train_centroids(emb, 16, iters=2)
+        x = _normalize(emb)
+        assign = (x @ cent.T).argmax(axis=1).astype(np.int64)
+        qmask = ids < 3
+        order = np.argsort(ids[qmask])
+        q = x[qmask][order]
+        qids = ids[qmask][order]
+        probe = np.argsort(-(q @ cent.T), axis=1)[:, :4]
+        kind = ["v"] * len(ids) + ["q"] * probe.size
+        rid = np.concatenate([ids, np.repeat(qids, 4)])
+        c = np.concatenate([assign, probe.reshape(-1).astype(np.int64)])
+        return pa.table({"kind": pa.array(kind),
+                         "id": pa.array(rid, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    return ensure_fixture(path, f"{os.path.abspath(sf_dir)}|v1", build)

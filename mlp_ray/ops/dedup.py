@@ -575,6 +575,70 @@ def ensure_simhash_fixture(sf_dir: str) -> str:
     return path
 
 
+def ensure_hplsh_fixture(sf_dir: str) -> str:
+    """Idempotently persist ``(vec_id, bucket)`` rows for ``sf_dir``'s
+    embeddings, computed scalar-path with the SAME ``HyperplaneLSH``
+    stage (``embedding_near_dup`` defaults: nbits 12, seed 42, 4
+    tables).  The SQL oracle for ``emb_near_dup`` replays the bucket
+    pairing (first earlier qualifying vec per bucket, position cap
+    4096), the cosine ≥ 0.95 verify via ``list_cosine_similarity`` and
+    the best-pair argmax from this table — pinning every distributed
+    stage.  Validation-scale only."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from ..util import ensure_fixture, fixture_path
+
+    path = fixture_path("hplsh", sf_dir)
+
+    def build() -> pa.Table:
+        tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        dim = len(tbl["embedding"][0])
+        h = HyperplaneLSH(dim)
+        out = h(tbl)
+        return out.select(["vec_id", "bucket"])
+
+    return ensure_fixture(path, f"{os.path.abspath(sf_dir)}|v1", build)
+
+
+def ensure_semantic_fixture(sf_dir: str) -> str:
+    """Idempotently persist ``(vec_id, cluster, nv)`` for ``sf_dir``'s
+    embeddings — the k-means cluster assignment and the float32
+    normalized vector exactly as ``semantic_dedup``'s assign stage
+    ships them — computed scalar-path (``ann.scalar_train_centroids``
+    mirrors the distributed Lloyd rounds; sum-order float drift only
+    matters for vectors within ~1e-14 of an argmax boundary).  The SQL
+    oracle replays the within-cluster pairing, the unrounded ≥ 0.95
+    dot-product threshold and the earliest-dup_of pick from this
+    table.  Validation-scale only."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from .ann import _normalize, scalar_train_centroids
+    from ..util import ensure_fixture, fixture_path
+
+    path = fixture_path("semantic", sf_dir)
+
+    def build() -> pa.Table:
+        tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        emb = np.stack([np.asarray(e, dtype=np.float64)
+                        for e in tbl["embedding"].to_pylist()])
+        cent = scalar_train_centroids(emb, 16)
+        x = _normalize(emb)
+        a = (x @ cent.T).argmax(axis=1)
+        return pa.table({
+            "vec_id": tbl["vec_id"],
+            "cluster": pa.array(a.astype(np.int64)),
+            "nv": pa.array(list(x.astype(np.float32)),
+                           pa.list_(pa.float32()))})
+
+    return ensure_fixture(path, f"{os.path.abspath(sf_dir)}|v1", build)
+
+
 def minhash_verified_pairs(docs_ds: rd.Dataset, *, shingle_k: int = 3,
                            threshold: float = 0.5, num_hashes: int = 64,
                            bands: int = 16, seed: int = 42,
@@ -916,8 +980,10 @@ def embedding_near_dup(ds: rd.Dataset, *, dim: int, nbits: int = 12,
             hits = np.nonzero(s >= cos_threshold)[0]
             if len(hits):
                 j = hits[0]  # earliest qualifying earlier vec
+                # half-away rounding (DuckDB round()) so the SQL
+                # bucket-replay oracle orders best pairs identically
                 out.append((int(ids[i]), int(ids[j]),
-                            round(float(s[j]), 6)))
+                            float(round_half_away(s[j], 6))))
 
     def bucket_pairs_bulk(g: pd.DataFrame) -> pd.DataFrame:
         """All LSH buckets of one hash bucket in one call (the
@@ -1128,8 +1194,11 @@ def semantic_dedup(emb_ds, *, n_clusters: int = 16,
             ii, jj = np.nonzero(np.triu(sims >= cos_threshold, k=1))
             if len(ii) == 0:
                 continue
+            # threshold on the UNROUNDED similarity, emit half-away
+            # 6-decimal values so the cluster-replay SQL oracle hashes
+            # identically (DuckDB round() is half-away)
             d = pd.DataFrame({id_col: ids[jj], "dup_of": ids[ii],
-                              "cos": sims[ii, jj]})
+                              "cos": round_half_away(sims[ii, jj], 6)})
             # earliest dup_of per id inside the cluster
             d = (d.sort_values([id_col, "dup_of"], kind="mergesort")
                  .drop_duplicates([id_col], keep="first"))

@@ -202,3 +202,43 @@ def cms_heavy_hitters(ds: rd.Dataset, key_fn, *, k: int = 30,
            .head(k).reset_index(drop=True))
     out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+def ensure_cms_fixture(sf_dir: str) -> str:
+    """Idempotently persist ``(word, b0..b3)`` — every distinct
+    whitespace token of ``sf_dir``'s documents with its four Count-Min
+    counter columns (``CountMinSketch._cols``, width 16384 / depth 4),
+    computed scalar-path with the same pyarrow tokenizer and the same
+    ``pd.util.hash_pandas_object`` key hash ``doc_word_topk_cms``
+    uses.  The SQL oracle re-derives word counts from the documents
+    table, sums them per (depth, counter) through this mapping, takes
+    the per-word min across depths — the CMS estimate exactly — and
+    replays the (est DESC, gram ASC) top-k.  Validation-scale only."""
+    import os
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    from ..util import ensure_fixture, fixture_path
+
+    path = fixture_path("cms", sf_dir)
+
+    def build() -> pa.Table:
+        tbl = _pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["text"])
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(pc.fill_null(tbl["text"], "")))
+        flat = pc.list_flatten(toks).to_pandas()
+        flat = flat[flat != ""]
+        words = pd.Series(flat.unique(), dtype="object")
+        hashes = pd.util.hash_pandas_object(words, index=False) \
+            .to_numpy(dtype=np.uint64)
+        cols = CountMinSketch()._cols(hashes)
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "b0": pa.array(cols[0]),
+                         "b1": pa.array(cols[1]),
+                         "b2": pa.array(cols[2]),
+                         "b3": pa.array(cols[3])})
+
+    return ensure_fixture(path, f"{os.path.abspath(sf_dir)}|v1", build)

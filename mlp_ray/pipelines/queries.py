@@ -452,6 +452,11 @@ def doc_simhash_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 def emb_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Hyperplane-LSH embedding near-dup.  Oracle-backed: the SQL side
+    replays the bucket pairing (first earlier qualifying vec per
+    bucket), the cosine ≥ 0.95 verify and the best-pair argmax from
+    the scalar-path bucket fixture (``dedup.ensure_hplsh_fixture``)."""
+    dedup.ensure_hplsh_fixture(sf_dir)
     first = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)
     dim = len(first["embedding"][0])
     out = dedup.embedding_near_dup(
@@ -497,6 +502,10 @@ def ann_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
 
 def ann_ivf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """IVF top-k.  Oracle-backed: the SQL side gates candidates by
+    (assignment ∈ probe set) from the scalar-path routing fixture
+    (``ann.ensure_ivf_fixture``) and ranks by rounded cosine."""
+    ann.ensure_ivf_fixture(sf_dir)
     q, qids = _query_matrix(sf_dir)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
@@ -506,6 +515,10 @@ def ann_ivf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
 
 def ann_lsh_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Sign-LSH top-k.  Oracle-backed: the SQL side replays the
+    any-table candidate gate from the scalar-path code fixture
+    (``ann.ensure_lshq_fixture``) and ranks by rounded cosine."""
+    ann.ensure_lshq_fixture(sf_dir)
     qm, qids = _query_matrix(sf_dir)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
@@ -2790,7 +2803,13 @@ def doc_segment_dedup(sf_dir: str, k: int = 16) -> pd.DataFrame:
     seg_rows = ds.map_batches(segments, batch_format="pyarrow",
                               zero_copy_batch=True)
     marked = bucketed_groups(seg_rows, ["seg"], mark)
-    return bucketed_groups(marked, ["doc_id"], assemble).to_pandas()
+    out = bucketed_groups(marked, ["doc_id"], assemble).to_pandas()
+    if out.empty:  # all-blank corpus: zero segment rows lose the schema
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "n_segs": pd.Series(dtype="int64"),
+                            "n_kept": pd.Series(dtype="int64"),
+                            "text_dedup": pd.Series(dtype="object")})
+    return out
 
 
 def nations_volume_shipping(sf_dir: str) -> pd.DataFrame:
@@ -3548,9 +3567,16 @@ def doc_word_topk_cms(sf_dir: str, k: int = 30) -> pd.DataFrame:
     candidate list, never its distinct-word set — the scale path when
     the vocabulary outgrows the exact gram-bucketed exchange
     (``doc_ngram_topk`` is the exact oracle-attested sibling).
-    Estimates are one-sided (≥ true); rows-only, with the error-bound
-    and exact-top-k-recovery contracts pinned in tests/test_ops.py."""
-    from ..ops.sketch import cms_heavy_hitters
+    Estimates are one-sided (≥ true).  Oracle-backed: the SQL side
+    re-derives word counts from the documents table, pushes them
+    through the scalar-path word→counter mapping
+    (``sketch.ensure_cms_fixture``), takes the per-word min across
+    depths — the CMS estimate exactly — and replays the top-k; the
+    error-bound and exact-top-k-recovery contracts stay pinned in
+    tests/test_ops.py."""
+    from ..ops.sketch import cms_heavy_hitters, ensure_cms_fixture
+
+    ensure_cms_fixture(sf_dir)
 
     def key_fn(batch: pa.Table):
         toks = pc.utf8_split_whitespace(
@@ -3636,11 +3662,14 @@ def doc_lang_logreg(sf_dir: str) -> pd.DataFrame:
 
 def emb_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     """SemDeDup-style cluster-partitioned semantic dedup over the
-    embeddings table (ops/dedup.semantic_dedup).  Rows-only: exact
-    same-cluster duplicates are guaranteed (identical vectors share a
-    centroid), pinned by the planted-dup test in tests/test_ops.py;
-    the exact-pair sibling ``emb_cosine_pairs`` carries the oracle."""
-    from ..ops.dedup import semantic_dedup
+    embeddings table (ops/dedup.semantic_dedup).  Oracle-backed: the
+    SQL side replays the within-cluster pairing, the ≥ 0.95 dot
+    threshold and the earliest-dup_of pick from the scalar-path
+    assignment fixture (``dedup.ensure_semantic_fixture``); the
+    planted-dup recall contract stays pinned in tests/test_ops.py."""
+    from ..ops.dedup import ensure_semantic_fixture, semantic_dedup
+
+    ensure_semantic_fixture(sf_dir)
     return semantic_dedup(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"]))

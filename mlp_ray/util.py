@@ -132,3 +132,45 @@ def key_hash_buckets(df, key_cols: list[str], num_buckets: int):
             h = h * np.uint64(31) + pd.util.hash_pandas_object(
                 df[c], index=False).to_numpy().astype(np.uint64)
     return (h % num_buckets).astype("int64")
+
+
+def fixture_path(prefix: str, sf_dir: str) -> str:
+    """Per-``sf_dir`` oracle-fixture path under /tmp (a pure function
+    of the input directory so the driver's sf0.001 entry() run can't
+    clobber the sf0.01 comparison fixture)."""
+    import os
+    import re
+
+    slug = re.sub(r"[^A-Za-z0-9._-]+", "_",
+                  os.path.abspath(sf_dir)).strip("_")
+    return f"/tmp/mlp_{prefix}_{slug}.parquet"
+
+
+def ensure_fixture(path: str, key: str, build) -> str:
+    """Idempotently persist an oracle-replay fixture: ``build()``
+    returns a pyarrow Table, written atomically with a source-key
+    marker so a stale fixture from another input is rebuilt.  The
+    builders are scalar-path (pure pyarrow/numpy, no Ray) so the SQL
+    oracle side works regardless of whether it runs before or after
+    the Ray side.  Validation-scale only."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    marker = path + ".src"
+    if os.path.exists(path) and os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if fh.read().strip() == key:
+                    _pq.ParquetFile(path)
+                    return path
+        except Exception:
+            pass
+    tbl = build()
+    tmp = f"{path}.tmp-{os.getpid()}"
+    _pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    with open(marker + ".tmp", "w") as fh:
+        fh.write(key)
+    os.replace(marker + ".tmp", marker)
+    return path
