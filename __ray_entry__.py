@@ -249,6 +249,9 @@ def oracle_sql() -> dict[str, str]:
     _lshq_path = _fx("lshq", "/root/testdata/sf0.01")
     _ivf_path = _fx("ivf", "/root/testdata/sf0.01")
     _cms_path = _fx("cms", "/root/testdata/sf0.01")
+    _bloom_path = _fx("bloom", "/root/testdata/sf0.01")
+    _zlib_path = _fx("zlib", "/root/testdata/sf0.01")
+    _frames_path = _fx("frames", "/root/testdata/sf0.01")
     # shared candidate-replay CTE (through the best-pair argmax) for
     # doc_minhash_candidates and doc_ngram_jaccard
     _minhash_cand_cte = f"""
@@ -325,8 +328,11 @@ def oracle_sql() -> dict[str, str]:
                                        ensure_minhash_sig_fixture,
                                        ensure_semantic_fixture,
                                        ensure_simhash_fixture)
-        from mlp_ray.ops.multimodal import ensure_phash_fixture
+        from mlp_ray.ops.multimodal import (ensure_frames_fixture,
+                                            ensure_phash_fixture)
+        from mlp_ray.ops.scrub import ensure_bloom_fixture
         from mlp_ray.ops.sketch import ensure_cms_fixture
+        from mlp_ray.ops.text import ensure_zlib_fixture
         from mlp_ray.sources.rawlog import ensure_rawlog_fixture
         from mlp_ray.sources.tokenized import ensure_flagship_parquet
 
@@ -340,6 +346,9 @@ def oracle_sql() -> dict[str, str]:
         ensure_lshq_fixture("/root/testdata/sf0.01")
         ensure_ivf_fixture("/root/testdata/sf0.01")
         ensure_cms_fixture("/root/testdata/sf0.01")
+        ensure_bloom_fixture("/root/testdata/sf0.01")
+        ensure_zlib_fixture("/root/testdata/sf0.01")
+        ensure_frames_fixture("/root/testdata/sf0.01")
     except Exception:
         pass  # fixture warm-up is best-effort; queries() rebuilds it
 
@@ -1919,7 +1928,7 @@ def oracle_sql() -> dict[str, str]:
                    round(1 - (2 * scum - total) / (n * total), 6) AS gini
             FROM a
         """,
-        "source_js_divergence": """
+        "source_js_divergence": r"""
             WITH c AS (
                 SELECT source, tok, count(*) AS n
                 FROM (SELECT source,
@@ -2451,6 +2460,45 @@ def oracle_sql() -> dict[str, str]:
               FROM est
             )
             SELECT gram, est_count, rnk FROM ranked WHERE rnk <= 30
+        """,
+        # Bloom-gated decontamination: n_grams re-derived from the
+        # documents table (the exact sibling's gram CTE), the Bloom
+        # overlap joined from the scalar-path probe fixture
+        # (ops/scrub.ensure_bloom_fixture), contaminated replayed.
+        "doc_decontaminate_bloom": rf"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct([
+                         array_to_string(toks[i:i+4], ' ')
+                         FOR i IN range(1, greatest(len(toks) - 3, 2))
+                     ]) AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM documents))
+            SELECT g.doc_id, len(g.grams) AS n_grams, f.overlap_grams,
+                   CAST(f.overlap_grams >= 1 AS BIGINT) AS contaminated
+            FROM g JOIN '{_bloom_path}' f USING (doc_id)
+        """,
+        # Compression-ratio junk signal: deflate sizes from the
+        # scalar-path fixture (ops/text.ensure_zlib_fixture), ratio
+        # arithmetic (incl. the empty-doc -> 1.0 contract) re-derived.
+        "doc_compression_ratio": f"""
+            SELECT doc_id, n_bytes, n_compressed,
+                   CASE WHEN n_bytes > 0
+                        THEN round(n_compressed * 1.0 / n_bytes, 6)
+                        ELSE 1.0 END AS ratio
+            FROM '{_zlib_path}'
+        """,
+        # Frame-sampling plan: codec-derived per-media frame counts
+        # from the scalar-path fixture (ops/multimodal.
+        # ensure_frames_fixture); the stride expansion — FrameSampler's
+        # range(0, max(1, n_frames), 10) — re-derived as a LATERAL
+        # generate_series.
+        "media_frame_plan": f"""
+            SELECT media_id,
+                   CAST(unnest(range(0, greatest(n_frames, 1), 10))
+                        AS INTEGER) AS frame_index
+            FROM '{_frames_path}'
         """,
 
         # Brute-force all-pairs Hamming over the scalar-path pHash

@@ -709,3 +709,41 @@ def phash_near_dup(ds, *, max_hamming: int = 6):
     cand = cand.sort_values(["media_id", "dup_of", "hamming"]) \
         .drop_duplicates(["media_id"], keep="first")
     return cand.reset_index(drop=True)
+
+
+def ensure_frames_fixture(sf_dir: str) -> str:
+    """Idempotently persist ``(media_id, n_frames)`` for the
+    deterministic ``synth_media_table(256, real_payloads=True)``
+    corpus ``media_frame_plan`` samples: the REAL per-media frame
+    count (decoded WAV sample count // 256, size-derived fallback)
+    computed scalar-path on the driver.  The SQL oracle re-derives the
+    sampling plan itself — ``range(0, max(1, n_frames), 10)`` as a
+    LATERAL generate_series — so the distributed expansion is replayed
+    end-to-end; only the codec decode rides the fixture.  The
+    ``sf_dir`` parameter keys the fixture path convention (the synth
+    corpus itself is input-independent)."""
+    import os
+
+    from ..util import ensure_fixture, fixture_path
+
+    path = fixture_path("frames", sf_dir)
+
+    def build() -> pa.Table:
+        tbl = synth_media_table(256, real_payloads=True)
+        ids, nf = [], []
+        for mid, p in zip(tbl["media_id"].to_pylist(),
+                          tbl["payload"].to_pylist()):
+            if p[:4] == b"RIFF":
+                try:
+                    samples, _ = decode_wav_pcm16(p)
+                    n = max(1, len(samples) // 256)
+                except UNDECODABLE:
+                    n = max(1, len(p) // 256)
+            else:
+                n = max(1, len(p) // 256)
+            ids.append(mid)
+            nf.append(n)
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "n_frames": pa.array(nf, pa.int64())})
+
+    return ensure_fixture(path, "synth256|v1", build)

@@ -308,3 +308,40 @@ def decontaminate_bloom(docs_ds: rd.Dataset, bench_grams: np.ndarray, *,
         })
 
     return docs_ds.map_batches(probe, batch_format="pyarrow")
+
+
+def ensure_bloom_fixture(sf_dir: str) -> str:
+    """Idempotently persist ``(doc_id, overlap_grams)`` — each doc's
+    Bloom-gated benchmark-gram overlap count, computed scalar-path
+    with the same ``_distinct_grams_per_doc`` / ``BloomFilter``
+    kernels and ``doc_decontaminate_bloom``'s defaults (k 5, 16
+    bits/key, 8 hashes, doc_id %% 53 bench slice).  The SQL oracle
+    re-derives ``n_grams`` from the documents table (the exact
+    sibling's gram CTE), joins the Bloom overlap from this fixture —
+    the membership probe is the only non-SQL-expressible step — and
+    replays the ``contaminated`` threshold.  Validation-scale only."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from ..util import ensure_fixture, fixture_path
+
+    path = fixture_path("bloom", sf_dir)
+
+    def build() -> pa.Table:
+        tbl = _pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        ids = tbl["doc_id"].to_numpy().astype(np.int64)
+        texts = [t or "" for t in tbl["text"].to_pylist()]
+        bench_texts = [t for i, t in zip(ids, texts) if i % 53 == 0]
+        _, bg, _ = _distinct_grams_per_doc(bench_texts, 5)
+        bench = np.unique(bg)
+        bf = BloomFilter(max(64, 16 * max(1, len(bench))), 8)
+        bf.add(bench)
+        d, g, n = _distinct_grams_per_doc(texts, 5)
+        hit = bf.contains(g)
+        overlap = np.bincount(d[hit], minlength=n).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "overlap_grams": pa.array(overlap)})
+
+    return ensure_fixture(path, f"{os.path.abspath(sf_dir)}|v1", build)

@@ -734,3 +734,36 @@ def _cached_obj(key, ref):
     if key not in _OBJ_CACHE:
         _OBJ_CACHE[key] = ray.get(ref)
     return _OBJ_CACHE[key]
+
+
+def ensure_zlib_fixture(sf_dir: str) -> str:
+    """Idempotently persist ``(doc_id, n_bytes, n_compressed)`` — the
+    scalar-path zlib level-6 deflate sizes of each doc's UTF-8 bytes.
+    The SQL oracle for ``doc_compression_ratio`` reads the sizes from
+    this fixture (DEFLATE is the only non-SQL-expressible step) and
+    re-derives the ratio arithmetic including the empty-doc → 1.0
+    contract.  Validation-scale only."""
+    import os
+    import zlib
+
+    import pyarrow.parquet as _pq
+
+    from ..util import ensure_fixture, fixture_path
+
+    path = fixture_path("zlib", sf_dir)
+
+    def build() -> pa.Table:
+        tbl = _pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        n_bytes, n_comp = [], []
+        for s in tbl["text"].to_pylist():
+            b = (s or "").encode("utf-8")
+            n_bytes.append(len(b))
+            n_comp.append(len(zlib.compress(b, 6)))
+        return pa.table({
+            "doc_id": tbl["doc_id"],
+            "n_bytes": pa.array(np.asarray(n_bytes, dtype=np.int64)),
+            "n_compressed": pa.array(np.asarray(n_comp,
+                                                dtype=np.int64))})
+
+    return ensure_fixture(path, f"{os.path.abspath(sf_dir)}|v1", build)

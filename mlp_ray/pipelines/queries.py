@@ -1033,8 +1033,13 @@ def doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
 
 def media_frame_plan(sf_dir: str) -> pd.DataFrame:
     """Segment-sampling plan: REAL sample-count windows for WAV
-    payloads, size-derived fallback for opaque ones."""
-    from ..ops.multimodal import FrameSampler, synth_media_table
+    payloads, size-derived fallback for opaque ones.  Oracle-backed:
+    the SQL side re-derives the stride expansion (LATERAL
+    generate_series) from the scalar-path per-media frame counts
+    (``multimodal.ensure_frames_fixture``)."""
+    from ..ops.multimodal import (FrameSampler, ensure_frames_fixture,
+                                  synth_media_table)
+    ensure_frames_fixture(sf_dir)
     tbl = synth_media_table(256, real_payloads=True)
     return (rd.from_arrow(tbl)
             .map_batches(FrameSampler, batch_format="pyarrow",
@@ -2729,9 +2734,12 @@ def doc_normalize(sf_dir: str) -> pd.DataFrame:
 def doc_decontaminate_bloom(sf_dir: str) -> pd.DataFrame:
     """Bloom-gated decontamination (the scale path when the benchmark
     gram set outgrows the broadcast budget).  Overlap counts are a
-    conservative upper bound — rows-only here; the exact sibling
-    ``doc_decontaminate`` carries the oracle, and the no-false-negative
-    contract is pinned in tests/test_ops.py."""
+    conservative upper bound.  Oracle-backed: the SQL side re-derives
+    n_grams from the documents table, joins the Bloom overlap from the
+    scalar-path probe fixture (``scrub.ensure_bloom_fixture``) and
+    replays the contaminated threshold; the no-false-negative contract
+    stays pinned in tests/test_ops.py."""
+    scrub.ensure_bloom_fixture(sf_dir)
     docs = _docs(sf_dir, ["doc_id", "text"])
     bg = scrub.benchmark_gram_set(_bench_docs(docs), k=5)
     return scrub.decontaminate_bloom(docs, bg, k=5).to_pandas()
@@ -3798,9 +3806,15 @@ def doc_compression_ratio(sf_dir: str) -> pd.DataFrame:
     deflate ratio of each doc's UTF-8 bytes — repetitive/boilerplate
     text compresses far below prose, making this a one-number junk
     detector.  Pure per-row map (zlib is C-speed); no exchange at all.
-    Rows-only: the repetitive-vs-diverse ordering contract is pinned
-    in tests/test_ops.py."""
+    Oracle-backed: the SQL side reads the scalar-path deflate sizes
+    (``text.ensure_zlib_fixture``) and re-derives the ratio including
+    the empty-doc → 1.0 contract; the repetitive-vs-diverse ordering
+    contract stays pinned in tests/test_ops.py."""
     import zlib
+
+    from ..ops.text import ensure_zlib_fixture
+
+    ensure_zlib_fixture(sf_dir)
 
     ds = _docs(sf_dir, ["doc_id", "text"])
 
