@@ -533,21 +533,25 @@ def _analysis_jobs(top_k: int = 50, by_shard: bool = False,
         # and queryHashAnalysis the avgShards / avgBytes* /
         # avgDocsReturned integer-division averages
         # (QueryHashAccumulatorEntry.java:243-273)
+        def _with(stats: tuple, *extra: str) -> tuple:
+            # order-preserving append (a set literal here would make
+            # the emitted column order hash-seed-dependent run to run)
+            return stats + tuple(e for e in extra if e not in stats)
+
         if "main_ops" in fold_specs:
             m = fold_specs["main_ops"].metrics
-            m["bytes_read"] = tuple({*m.get("bytes_read", ()), "sum",
-                                     "max"})
-            m["bytes_written"] = tuple({*m.get("bytes_written", ()),
-                                        "sum", "max"})
+            m["bytes_read"] = _with(m.get("bytes_read", ()), "sum", "max")
+            m["bytes_written"] = _with(m.get("bytes_written", ()),
+                                       "sum", "max")
         if "query_hash" in fold_specs:
             q = fold_specs["query_hash"].metrics
             for c in ("nret", "n_shards", "bytes_read", "bytes_written"):
-                q[c] = tuple({*q.get(c, ()), "sum"})
+                q[c] = _with(q.get(c, ()), "sum")
             # the report's integer-division avg/total readouts need the
             # raw sums (float means can't reproduce Java long division)
-            q["duration_ms"] = tuple({*q.get("duration_ms", ()), "sum"})
-            q["planning_time_us"] = tuple({*q.get("planning_time_us", ()),
-                                           "sum"})
+            q["duration_ms"] = _with(q.get("duration_ms", ()), "sum")
+            q["planning_time_us"] = _with(q.get("planning_time_us", ()),
+                                          "sum")
 
     def _ref_count(df: pd.DataFrame) -> pd.DataFrame:
         if "count_duration_ms" in df.columns:
