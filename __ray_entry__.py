@@ -252,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
     _bloom_path = _fx("bloom", "/root/testdata/sf0.01")
     _zlib_path = _fx("zlib", "/root/testdata/sf0.01")
     _frames_path = _fx("frames", "/root/testdata/sf0.01")
+    _mahal_path = _fx("mahal", "/root/testdata/sf0.01")
     # shared candidate-replay CTE (through the best-pair argmax) for
     # doc_minhash_candidates and doc_ngram_jaccard
     _minhash_cand_cte = f"""
@@ -323,7 +324,8 @@ def oracle_sql() -> dict[str, str]:
             )"""
     try:
         from mlp_ray.ops.ann import (ensure_ivf_fixture,
-                                     ensure_lshq_fixture)
+                                     ensure_lshq_fixture,
+                                     ensure_mahal_fixture)
         from mlp_ray.ops.dedup import (ensure_hplsh_fixture,
                                        ensure_minhash_sig_fixture,
                                        ensure_semantic_fixture,
@@ -349,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         ensure_bloom_fixture("/root/testdata/sf0.01")
         ensure_zlib_fixture("/root/testdata/sf0.01")
         ensure_frames_fixture("/root/testdata/sf0.01")
+        ensure_mahal_fixture("/root/testdata/sf0.01")
     except Exception:
         pass  # fixture warm-up is best-effort; queries() rebuilds it
 
@@ -2499,6 +2502,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unnest(range(0, greatest(n_frames, 1), 10))
                         AS INTEGER) AS frame_index
             FROM '{_frames_path}'
+        """,
+        # Mahalanobis outliers: mean + regularized precision from the
+        # scalar-path fixture (ops/ann.ensure_mahal_fixture — both
+        # paths quantize the parameters to 9 decimals, so inputs are
+        # bit-identical); the quadratic form and the top-20 re-derived.
+        "emb_mahalanobis_outliers": f"""
+            WITH f AS (SELECT i, j, val FROM '{_mahal_path}'),
+            mu AS (SELECT i, val FROM f WHERE j = -1),
+            p AS (SELECT i, j, val FROM f WHERE j >= 0),
+            x AS (
+              SELECT vec_id, i, v - mu.val AS xv
+              FROM (SELECT e.vec_id, t.i - 1 AS i,
+                           CAST(e.embedding[t.i] AS DOUBLE) AS v
+                    FROM embeddings e,
+                         UNNEST(range(1, len(e.embedding) + 1)) AS t(i))
+                  u JOIN mu USING (i)
+            ),
+            d AS (
+              SELECT a.vec_id,
+                     round(sum(a.xv * p.val * b.xv), 6)
+                         AS mahalanobis_sq
+              FROM x a
+              JOIN p ON p.i = a.i
+              JOIN x b ON b.vec_id = a.vec_id AND b.i = p.j
+              GROUP BY 1
+            )
+            SELECT vec_id, mahalanobis_sq FROM d
+            QUALIFY row_number() OVER (ORDER BY mahalanobis_sq DESC,
+                                       vec_id) <= 20
+        """,
+        # Two-NN intrinsic dimension (Facco et al.): at sf0.01 the
+        # md5 decimation gate keeps every row (n <= cap), so the SQL
+        # side IS the estimator — nearest two neighbors per vector by
+        # euclidean distance, id = n / sum(ln(d2/d1)).
+        "emb_intrinsic_dim": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            nn AS (
+              SELECT a.vec_id, list_distance(a.v, b.v) AS dist
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            ),
+            r AS (
+              SELECT vec_id, dist,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist) AS rn
+              FROM nn
+            ),
+            m AS (
+              SELECT vec_id,
+                     max(CASE WHEN rn = 1 THEN dist END) AS d1,
+                     max(CASE WHEN rn = 2 THEN dist END) AS d2
+              FROM r WHERE rn <= 2 GROUP BY 1
+            ),
+            s AS (
+              SELECT count(*) AS n, sum(ln(d2 / d1)) AS slog
+              FROM m WHERE d1 > 0
+            )
+            SELECT CAST(n AS BIGINT) AS n_vectors,
+                   round(n / slog, 6) AS intrinsic_dim,
+                   (SELECT CAST(len(v) AS BIGINT) FROM e LIMIT 1)
+                       AS ambient_dim
+            FROM s
         """,
 
         # Brute-force all-pairs Hamming over the scalar-path pHash

@@ -395,3 +395,44 @@ def ensure_ivf_fixture(sf_dir: str) -> str:
                          "c": pa.array(c, pa.int64())})
 
     return ensure_fixture(path, f"{os.path.abspath(sf_dir)}|v1", build)
+
+
+def ensure_mahal_fixture(sf_dir: str) -> str:
+    """Idempotently persist the Mahalanobis scoring parameters for
+    ``sf_dir``'s embeddings as ``(i, j, val)`` rows: the corpus mean
+    (j = -1) and the FULL regularized-precision matrix (j ≥ 0), both
+    rounded half-away to 9 decimals — the same quantization
+    ``emb_mahalanobis_outliers`` applies to its distributed-moment
+    parameters, so the two paths score from bit-identical inputs and
+    only commutative-sum association separates them (absorbed by the
+    6-decimal distance rounding).  The SQL oracle re-derives the
+    quadratic form itself — Σᵢⱼ (xᵢ−µᵢ)·Pᵢⱼ·(xⱼ−µⱼ) as an
+    unnest/self-join — plus the top-k.  Validation-scale only."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from ..util import ensure_fixture, fixture_path, round_half_away
+
+    path = fixture_path("mahal", sf_dir)
+
+    def build() -> pa.Table:
+        tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"])
+        X = np.stack([np.asarray(e, dtype=np.float64)
+                      for e in tbl["embedding"].to_pylist()])
+        n = float(len(X))
+        d = X.shape[1]
+        sx = X.sum(axis=0)
+        cov = (X.T @ X - np.outer(sx, sx) / n) / (n - 1.0)
+        mean = round_half_away(sx / n, 9)
+        prec = round_half_away(np.linalg.inv(cov + 1e-9 * np.eye(d)), 9)
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        return pa.table({
+            "i": pa.array(np.concatenate([np.arange(d),
+                                          ii.reshape(-1)]), pa.int64()),
+            "j": pa.array(np.concatenate([np.full(d, -1),
+                                          jj.reshape(-1)]), pa.int64()),
+            "val": pa.array(np.concatenate([mean, prec.reshape(-1)]))})
+
+    return ensure_fixture(path, f"{os.path.abspath(sf_dir)}|v1", build)

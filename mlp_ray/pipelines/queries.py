@@ -20,7 +20,8 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..aggs.fold import FoldSpec, run_fold
 from ..ops import ann, dedup, scrub, text, trim
-from ..util import arrow_partials, merge_partials, round_cols
+from ..util import (arrow_partials, merge_partials, round_cols,
+                    round_half_away)
 
 
 def _events(sf_dir, columns=None):
@@ -4489,8 +4490,14 @@ def emb_mahalanobis_outliers(sf_dir: str, k: int = 20) -> pd.DataFrame:
     from the one-pass sufficient-stats exchange (``_emb_moment_stats``);
     its (regularized) inverse broadcasts once, each batch scores with
     two matmuls, and per-block top-k partials reduce on the driver —
-    the corpus is read twice, shuffled never.  Rows-only: pinned
-    against a direct numpy computation in tests/test_ops.py."""
+    the corpus is read twice, shuffled never.  Oracle-backed: mean and
+    precision quantize to 9 decimals on BOTH paths (the scalar fixture
+    ``ann.ensure_mahal_fixture`` and here), so the SQL side re-derives
+    the quadratic form and the top-k from bit-identical parameters;
+    the direct-numpy pin in tests/test_ops.py stays."""
+    from ..ops.ann import ensure_mahal_fixture
+
+    ensure_mahal_fixture(sf_dir)
     m = _emb_moment_stats(sf_dir)
     n = float(m.loc[(m["i"] == -1) & (m["j"] == -1), "val"].iloc[0])
     sx = (m.loc[(m["j"] == -1) & (m["i"] >= 0)]
@@ -4504,7 +4511,11 @@ def emb_mahalanobis_outliers(sf_dir: str, k: int = 20) -> pd.DataFrame:
     cv = (tri["val"].to_numpy() - sx[ii] * sx[jj] / n) / (n - 1.0)
     cov[ii, jj] = cv
     cov[jj, ii] = cv
-    prec = np.linalg.inv(cov + 1e-9 * np.eye(d))
+    # 9-decimal half-away quantization: the scalar-path fixture and
+    # this distributed-moment path then score from bit-identical
+    # parameters (sum-order float drift in the moments is ≪ the grid)
+    mean = round_half_away(mean, 9)
+    prec = round_half_away(np.linalg.inv(cov + 1e-9 * np.eye(d)), 9)
     ref = ray.put((mean, prec))
 
     from ..ops.ann import _stack
@@ -4512,9 +4523,12 @@ def emb_mahalanobis_outliers(sf_dir: str, k: int = 20) -> pd.DataFrame:
     def score(t: pa.Table) -> pd.DataFrame:
         mu, P = ray.get(ref)
         X = _stack(t.combine_chunks()["embedding"]) - mu
-        d2 = np.einsum("ij,jk,ik->i", X, P, X)
+        # select on the ROUNDED distance with (d2 desc, vec_id asc)
+        # tie-break so local pruning, the driver merge and the SQL
+        # oracle share one total order
+        d2 = round_half_away(np.einsum("ij,jk,ik->i", X, P, X), 6)
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        top = np.argsort(-d2, kind="stable")[:k]
+        top = np.lexsort((ids, -d2))[:k]
         return pd.DataFrame({"vec_id": ids[top],
                              "mahalanobis_sq": d2[top]})
 
@@ -4718,8 +4732,14 @@ def emb_intrinsic_dim(sf_dir: str) -> pd.DataFrame:
     sample collects once (bounded by the cap, never
     corpus-cardinality), broadcasts as the reference matrix, and each
     block scores its own gated rows with one matmul; per-block
-    Σ log µ partials reduce on the driver.  Rows-only: the
-    planted-subspace recovery contract is pinned in tests/test_ops.py."""
+    Σ log µ partials reduce on the driver.  The matmul selects the two
+    neighbors; their distances then RECOMPUTE as direct Σ(x−y)² — the
+    x²+y²−2xy shortcut cancels catastrophically exactly where TwoNN
+    is most sensitive (d₁ → 0 near-duplicates).  Oracle-backed at
+    validation scale (the gate keeps every row ≤ the cap, so the SQL
+    side IS the estimator): nearest-pair self-join via list_distance,
+    Σ ln(d₂/d₁), the same MLE readout; the planted-subspace recovery
+    contract is pinned in tests/test_ops.py."""
     import hashlib
 
     from ..ops.ann import _stack
@@ -4758,10 +4778,14 @@ def emb_intrinsic_dim(sf_dir: str) -> pd.DataFrame:
               + np.sum(full * full, axis=1)[None, :]
               - 2.0 * (X @ full.T))
         d2 = np.maximum(d2, 0.0)
-        part = np.partition(d2, 2, axis=1)[:, :3]
-        part.sort(axis=1)
-        d1 = np.sqrt(part[:, 1])          # 0 is self
-        d2_ = np.sqrt(part[:, 2])
+        idx = np.argpartition(d2, 2, axis=1)[:, :3]
+        # exact re-distance of the 3 selected candidates (self + 2NN):
+        # the matmul identity is fine for SELECTION but cancels near
+        # d→0, exactly where the µ ratio is most sensitive
+        ex = ((X[:, None, :] - full[idx]) ** 2).sum(axis=2)
+        ex.sort(axis=1)
+        d1 = np.sqrt(ex[:, 1])            # 0 is self
+        d2_ = np.sqrt(ex[:, 2])
         ok = d1 > 0
         mu = d2_[ok] / d1[ok]
         return pd.DataFrame({
