@@ -182,11 +182,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": Q.doc_stratified_sample,  # md5-bucket gate
         "doc_split": Q.doc_split,  # train/val/test
         "doc_bpe_train": Q.doc_bpe_train,  # BPE trainer
-        "doc_simhash_dedup": Q.doc_simhash_dedup,  # rows-only
-        "doc_ngram_jaccard": Q.doc_ngram_jaccard,  # rows-only
-        "emb_near_dup": Q.emb_near_dup,  # rows-only
-        "ann_ivf_topk": Q.ann_ivf_topk,  # rows-only (approx)
-        "ann_lsh_topk": Q.ann_lsh_topk,  # rows-only (approx)
+        "doc_simhash_dedup": Q.doc_simhash_dedup,  # fixture-replay oracle
+        "doc_ngram_jaccard": Q.doc_ngram_jaccard,  # fixture-replay oracle
+        "emb_near_dup": Q.emb_near_dup,  # fixture-replay oracle
+        "ann_ivf_topk": Q.ann_ivf_topk,  # fixture-replay oracle
+        "ann_lsh_topk": Q.ann_lsh_topk,  # fixture-replay oracle
         "media_features": Q.media_features,
         "media_resize": Q.media_resize,
         "media_frame_plan": Q.media_frame_plan,
@@ -201,7 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trim_props": Q.events_trim_props,  # rows-only
         "flagship_pack_greedy": Q.flagship_pack_greedy,  # rows-only
         "doc_decontaminate_bloom":
-            Q.doc_decontaminate_bloom,  # rows-only (fp≥0)
+            Q.doc_decontaminate_bloom,  # fixture-replay oracle
         "emb_pca": Q.emb_pca,  # rows-only (eigh)
         "doc_compression_ratio": Q.doc_compression_ratio,  # zlib junk signal
         "customers_abc": Q.customers_abc,  # Pareto classes
@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_simpson_diversity": Q.source_simpson_diversity,  # 1 - Σp²
         "orders_interpurchase": Q.orders_interpurchase,  # gap quantiles
         "events_bounce_rate": Q.events_bounce_rate,  # entry-type bounce
+        "doc_curriculum": Q.doc_curriculum,  # quality-ordered shards
     }
 
 
@@ -2564,6 +2565,43 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(len(v) AS BIGINT) FROM e LIMIT 1)
                        AS ambient_dim
             FROM s
+        """,
+        # Quality-curriculum sharding: quality-desc ordered running
+        # token sum, shard = shards*cum_before // total (INTEGER
+        # division on both sides — no float boundary drift).
+        "doc_curriculum": r"""
+            WITH q AS (
+              SELECT doc_id,
+                     round(least(len(regexp_split_to_array(trim(text),
+                                                           '\s+'))
+                                 / 50.0, 1.0) * 0.4
+                           + (length(regexp_replace(text, '[^A-Za-z]',
+                                                    '', 'g'))
+                              * 1.0 / greatest(length(text), 1)) * 0.5
+                           + (1.0 - length(regexp_replace(text, '[^0-9]',
+                                                          '', 'g'))
+                              * 1.0 / greatest(length(text), 1)) * 0.1,
+                           6) AS quality_score,
+                     len(regexp_split_to_array(trim(text), '\s+'))
+                         AS n_ws_tokens
+              FROM documents
+            ),
+            o AS (
+              SELECT doc_id, quality_score, n_ws_tokens,
+                     row_number() OVER (ORDER BY quality_score DESC,
+                                        doc_id) AS rnk,
+                     sum(n_ws_tokens) OVER (ORDER BY quality_score DESC,
+                                            doc_id
+                                            ROWS UNBOUNDED PRECEDING)
+                         - n_ws_tokens AS cum_before,
+                     sum(n_ws_tokens) OVER () AS total
+              FROM q
+            )
+            SELECT doc_id, quality_score, n_ws_tokens,
+                   CAST(rnk AS BIGINT) AS rnk,
+                   CAST(least((8 * cum_before) // greatest(total, 1), 7)
+                        AS BIGINT) AS shard
+            FROM o
         """,
 
         # Brute-force all-pairs Hamming over the scalar-path pHash

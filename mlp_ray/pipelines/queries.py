@@ -4949,3 +4949,44 @@ def events_bounce_rate(sf_dir: str) -> pd.DataFrame:
     out["bounce_rate"] = out["n_bounces"] / out["n_sessions"]
     return round_cols(out.sort_values("entry_type").reset_index(drop=True),
                       ["bounce_rate"])
+
+
+def doc_curriculum(sf_dir: str, shards: int = 8) -> pd.DataFrame:
+    """Quality-curriculum sharding (curriculum-learning data prep):
+    docs ordered highest-quality-first (the composite ``quality_batch``
+    score, ties by doc_id), then split into ``shards`` contiguous
+    shards of ~equal TOKEN budget — shard 0 is the cleanest slice a
+    schedule trains on first, the tail shards hold the noisy remnant.
+
+    Distributed shape: the quality score + token count reduce each doc
+    to one narrow row inside ``map_batches``; the global
+    quality-ordered running token sum is the distributed ordered scan
+    (``ops/window.global_cumsum`` — range partition by sampled score
+    boundaries, per-partition offset fix-up), so neither the corpus
+    nor its text column ever centralizes.  Shard assignment is PURE
+    INTEGER arithmetic (``shards·cum_before // total``) so float
+    association cannot move a boundary doc between shards — the SQL
+    oracle re-derives it with the same integer division."""
+    from ..ops.window import global_cumsum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    scored = ds.map_batches(
+        lambda t: text.quality_batch(t).select(
+            ["doc_id", "n_ws_tokens", "quality_score"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ranked = global_cumsum(scored, ["quality_score", "doc_id"],
+                           "n_ws_tokens", descending=[True, False],
+                           rank_col="rnk",
+                           cum_col="cum_tokens").to_pandas()
+    total = int(round(float(ranked["n_ws_tokens"].sum())))
+    cum_before = (ranked["cum_tokens"].to_numpy(dtype=np.float64)
+                  - ranked["n_ws_tokens"].to_numpy(dtype=np.float64)) \
+        .astype(np.int64)
+    shard = np.minimum((shards * cum_before) // max(total, 1),
+                       shards - 1)
+    out = ranked[["doc_id", "quality_score", "n_ws_tokens", "rnk"]] \
+        .copy()
+    out["rnk"] = out["rnk"].astype("int64")
+    out["n_ws_tokens"] = out["n_ws_tokens"].astype("int64")
+    out["shard"] = shard.astype("int64")
+    return out.sort_values("rnk").reset_index(drop=True)
