@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_interpurchase": Q.orders_interpurchase,  # gap quantiles
         "events_bounce_rate": Q.events_bounce_rate,  # entry-type bounce
         "doc_curriculum": Q.doc_curriculum,  # quality-ordered shards
+        "doc_mix_temperature": Q.doc_mix_temperature,  # τ-mix weights
     }
 
 
@@ -2602,6 +2603,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least((8 * cum_before) // greatest(total, 1), 7)
                         AS BIGINT) AS shard
             FROM o
+        """,
+        # Temperature-scaled source mixing: exact integer token rollup
+        # per source, then the pow(τ=0.7)/normalize readout.
+        "doc_mix_temperature": r"""
+            WITH c AS (
+              SELECT source,
+                     sum(len(regexp_split_to_array(trim(text), '\s+')))
+                         AS n_tokens
+              FROM documents GROUP BY source
+            ),
+            t AS (SELECT sum(n_tokens) AS total,
+                         sum(pow(n_tokens, 0.7)) AS pw_total
+                  FROM c)
+            SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(n_tokens * 1.0 / total, 6) AS nat_share,
+                   round(pow(n_tokens, 0.7) / pw_total, 6) AS weight,
+                   round((pow(n_tokens, 0.7) / pw_total)
+                         / (n_tokens * 1.0 / total), 6) AS boost
+            FROM c CROSS JOIN t
         """,
 
         # Brute-force all-pairs Hamming over the scalar-path pHash

@@ -4990,3 +4990,41 @@ def doc_curriculum(sf_dir: str, shards: int = 8) -> pd.DataFrame:
     out["n_ws_tokens"] = out["n_ws_tokens"].astype("int64")
     out["shard"] = shard.astype("int64")
     return out.sort_values("rnk").reset_index(drop=True)
+
+
+def doc_mix_temperature(sf_dir: str, tau: float = 0.7) -> pd.DataFrame:
+    """Temperature-scaled source-mixing weights (the multilingual /
+    multi-source sampling-rate step: weight_s ∝ n_s^τ, τ < 1 upweights
+    small sources the way mT5/XLM-R temperature sampling does): one
+    bounded (source, Σ tokens) rollup — a handful of partial rows per
+    block — then pure driver arithmetic.  ``boost`` = weight ÷ natural
+    share is the effective oversampling factor a data loader applies.
+    Integer token sums are exact on both sides; the pow/normalize
+    readout rounds to 6 like every derived float column."""
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        txt = pa.array(df["text"].fillna(""), pa.string())
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(txt))
+        out = (pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "n_tokens": pc.list_value_length(toks)
+            .to_numpy(zero_copy_only=False).astype(np.int64)})
+            .groupby("source", sort=False)["n_tokens"].sum()
+            .reset_index())
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return out
+
+    d = merge_partials(
+        ds.map_batches(arrow_partials(partials), batch_format="pandas"),
+        ["source"], ["n_tokens"], merge="driver") \
+        .sort_values("source").reset_index(drop=True)
+    d["n_tokens"] = d["n_tokens"].astype("int64")
+    n = d["n_tokens"].to_numpy(dtype=np.float64)
+    total = n.sum()
+    pw = n ** tau
+    d["nat_share"] = n / total
+    d["weight"] = pw / pw.sum()
+    d["boost"] = (pw / pw.sum()) / (n / total)
+    return round_cols(d[["source", "n_tokens", "nat_share", "weight",
+                         "boost"]], ["nat_share", "weight", "boost"])
