@@ -35,6 +35,22 @@ import ray.data as rd
 
 
 
+def _empty_join_result(*schemas_and_renames) -> rd.Dataset:
+    """Typed-as-far-as-known empty join result: an executed-empty
+    input Dataset loses its schema (``ds.schema()`` → None after a
+    map_batches stage yields zero blocks), so the join can't type its
+    output — emit an empty frame carrying whatever column names the
+    known sides still provide instead of crashing on ``.names``."""
+    cols: list[str] = []
+    for schema, rename in schemas_and_renames:
+        if schema is not None:
+            for n in schema.names:
+                c = rename(n)
+                if c is not None and c not in cols:
+                    cols.append(c)
+    return rd.from_pandas(pd.DataFrame(columns=cols))
+
+
 def _arrow_type(typ) -> pa.DataType:
     """Normalize a ``Dataset.schema()`` entry (Arrow type for
     Arrow-block datasets, numpy/pandas dtype for pandas-block ones) to
@@ -82,6 +98,10 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *, on: str,
     srcs = list(dict.fromkeys([on, *attach]))
     acols = [f"r_{c}" for c in srcs]
     ls, rs = left.schema(), right.schema()
+    if ls is None or rs is None:  # executed-empty side: empty result
+        return _empty_join_result(
+            (ls, lambda n: n),
+            (rs, lambda n: f"r_{n}" if n in srcs else None))
     ltypes = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
     rtypes = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}
     order = [*ltypes, "_side", "_tb", *acols]
@@ -220,6 +240,25 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, *, on: list[str],
             index=False, name=None))) if len(on) > 1
             else set(hot_keys[on[0]].tolist()))
     ls, rs = left.schema(), right.schema()
+    if ls is None or rs is None:
+        # an executed-empty side loses its schema (None).  Resolve the
+        # modes whose result is provable without it; the rest need the
+        # missing schema to type null-filled columns — fail clearly.
+        if ls is None and how in ("inner", "left", "semi", "anti"):
+            ren = dict(zip(right_on, on))
+            return _empty_join_result(
+                (rs if how in ("inner", "left") else None,
+                 lambda n: ren.get(n, n)))
+        if rs is None and how in ("inner", "semi"):
+            return _empty_join_result((ls, lambda n: n))
+        if rs is None and how == "anti":
+            return left  # nothing to match: every left row survives
+        raise ValueError(
+            f"hash_join(how={how!r}): the "
+            f"{'left' if ls is None else 'right'} side executed to "
+            "empty and lost its schema, so the null-filled output "
+            "columns cannot be typed; materialize a typed empty "
+            "input (e.g. read_parquet of an empty file) instead")
     ltypes = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
     rtypes = {o: _arrow_type(t) for o, t in zip(
         [dict(zip(right_on, on)).get(c, c) for c in rs.names],

@@ -80,8 +80,15 @@ def merge_partials(partials_ds, keys: list[str], sum_cols: list[str], *,
 
     if merge == "driver":
         return _reduce(partials_ds.to_pandas())
-    return bucketed_groups(partials_ds, keys, _reduce,
-                           num_buckets=num_buckets).to_pandas()
+    out = bucketed_groups(partials_ds, keys, _reduce,
+                          num_buckets=num_buckets).to_pandas()
+    if out.empty and not set(keys) <= set(out.columns):
+        # zero partial rows anywhere: the empty Dataset loses its
+        # schema through to_pandas — restore the contract columns
+        import pandas as pd
+
+        return pd.DataFrame(columns=[*keys, *sum_cols])
+    return out
 
 
 def arrow_partials(fn):
