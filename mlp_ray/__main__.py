@@ -20,6 +20,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 
 def _init_ray(num_cpus):
@@ -63,6 +64,7 @@ def cmd_analyze(args):
     from .stages.filters import FilterConfig, NamespaceFilter
     from . import report as report_mod
 
+    t0 = time.perf_counter()
     fc = (FilterConfig.from_properties_file(args.config)
           if args.config else None)
     nf = NamespaceFilter(args.ns) if args.ns else None
@@ -83,6 +85,20 @@ def cmd_analyze(args):
         results, os.path.join(args.out, "report.html"),
         source_files=list(args.inputs), shards=args.shards)
     print(report_mod.console_report(results, top=args.top))
+    if args.debug:
+        # --debug timing/memory summary (LogParser.java:69-73,692-724
+        # prints elapsed + heap; here: wall, driver RSS, result-table
+        # cardinalities — the per-stage detail lives in the lineage /
+        # processing_stats tables and Ray's own ds.stats())
+        import resource
+
+        wall = time.perf_counter() - t0
+        rss_mb = (resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                  / 1024.0)
+        lines = [f"[debug] wall={wall:.2f}s driver_rss={rss_mb:.0f}MB"]
+        for name, df in sorted(results.items()):
+            lines.append(f"[debug]   {name}: {len(df)} rows")
+        print("\n".join(lines), file=sys.stderr)
 
 
 def cmd_route(args):
@@ -295,6 +311,10 @@ def main(argv=None):
                          "not parquet")
     sp.add_argument("--limit", type=int, default=None,
                     help="stop each input file after N rows")
+    sp.add_argument("--debug", action="store_true",
+                    help="print wall time, driver RSS and result-table "
+                         "cardinalities to stderr (reference --debug, "
+                         "LogParser.java:69-73)")
     sp.set_defaults(fn=cmd_analyze)
 
     sp = sub.add_parser("route")

@@ -148,3 +148,13 @@ def test_trim_stdin_stream(tmp_path):
         assert d["attr"]["durationMillis"] == 55
     stats = json.loads(p.stderr.strip().splitlines()[-1])
     assert stats == {"lines": 3, "emitted": 2}
+
+
+def test_analyze_debug_flag(fixture_paths, tmp_path):
+    out = str(tmp_path / "dbg")
+    p = _run("analyze", fixture_paths[0], "--limit", "200", "--out", out,
+             "--debug")
+    assert p.returncode == 0, p.stderr[-2000:]
+    # --debug prints wall/RSS + per-table cardinalities to stderr
+    assert "[debug] wall=" in p.stderr and "driver_rss=" in p.stderr
+    assert "[debug]   main_ops:" in p.stderr
