@@ -28,6 +28,15 @@ def _events(sf_dir, columns=None):
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+def _table_rows(path: str) -> int:
+    """Metadata-only row count that accepts a single parquet file OR a
+    re-sharded directory of part files (another cluster's write
+    layout) — `pq.ParquetFile` only opens the former."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(path, format="parquet").count_rows()
+
+
 def _docs(sf_dir, columns=None):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
@@ -3726,8 +3735,7 @@ def doc_vocab_growth(sf_dir: str) -> pd.DataFrame:
     from ..util import bucketed_groups
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-    n_docs = int(pq.ParquetFile(f"{sf_dir}/documents.parquet")
-                 .metadata.num_rows)
+    n_docs = int(_table_rows(f"{sf_dir}/documents.parquet"))
     steps = [max(1, (n_docs * p) // 100) for p in (20, 40, 60, 80, 100)]
 
     def tok_rows(t: pa.Table) -> pd.DataFrame:
@@ -4745,8 +4753,7 @@ def emb_intrinsic_dim(sf_dir: str) -> pd.DataFrame:
     from ..ops.ann import _stack
 
     _CAP = 65536
-    n_rows = int(pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-                 .metadata.num_rows)
+    n_rows = int(_table_rows(f"{sf_dir}/embeddings.parquet"))
     # md5(id) mod 2^20 gate — deterministic, re-shard-stable; the
     # expected sample lands at ~_CAP regardless of corpus size
     gate = (1 << 20) if n_rows <= _CAP else \

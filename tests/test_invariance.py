@@ -128,6 +128,21 @@ def test_sf_queries_layout_invariance(ray_session, tmp_path_factory):
         ("emb_covariance", ["i", "j"]),
         ("doc_split_safe", ["doc_id"]),
         ("emb_pca", ["component", "dim"]),
+        # round-4 shapes: fixture-replay-oracled approximate ops (the
+        # Ray side must be layout-independent for the scalar fixture
+        # to stay a valid oracle) + the curriculum/mixture additions
+        ("doc_curriculum", ["doc_id"]),
+        ("doc_mix_temperature", ["source"]),
+        ("doc_word_topk_cms", ["gram"]),
+        ("doc_simhash_dedup", ["doc_id"]),
+        ("doc_compression_ratio", ["doc_id"]),
+        ("doc_decontaminate_bloom", ["doc_id"]),
+        ("emb_near_dup", ["vec_id"]),
+        ("emb_semantic_dedup", ["vec_id"]),
+        ("ann_ivf_topk", ["query_id", "vec_id"]),
+        ("ann_lsh_topk", ["query_id", "vec_id"]),
+        ("emb_mahalanobis_outliers", ["vec_id"]),
+        ("emb_intrinsic_dim", ["n_vectors"]),
     ]
     for name, keys in checks:
         fn = getattr(Q, name)
