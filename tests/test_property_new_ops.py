@@ -108,3 +108,84 @@ def test_segment_dedup_property(ray_session, tmp_path_factory, case):
         assert int(got.loc[d, "n_segs"]) == n_segs, d
         assert int(got.loc[d, "n_kept"]) == n_kept, d
         assert got.loc[d, "text_dedup"] == text, d
+
+
+def _write_docs(tmp, texts: dict[int, str]):
+    df = pd.DataFrame({"doc_id": sorted(texts),
+                       "text": [texts[d] for d in sorted(texts)],
+                       "source": [f"s{d % 3}" for d in sorted(texts)]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp / "documents.parquet")
+
+
+def _ref_quality(text: str):
+    import re
+
+    # the engine's documented token convention (ops/text.py:48):
+    # len(regexp_split_to_array(trim(text), '\\s+')) — a blank doc
+    # splits to [''] and counts as ONE token
+    n_tok = len(text.split()) or 1
+    total = max(len(text), 1)
+    alpha = len(re.sub(r"[^A-Za-z]", "", text))
+    digit = len(re.sub(r"[^0-9]", "", text))
+    score = (min(n_tok / 50.0, 1.0) * 0.4 + (alpha / total) * 0.5
+             + (1.0 - digit / total) * 0.1)
+    return n_tok, score
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpora())
+def test_curriculum_property(ray_session, tmp_path_factory, case):
+    """doc_curriculum == a pure-Python reference: quality-desc order
+    (rounded score, doc_id tie-break), integer-division token shards."""
+    from mlp_ray.util import round_half_away
+    from mlp_ray.pipelines.queries import doc_curriculum
+
+    tmp = tmp_path_factory.mktemp("currprop")
+    _write_docs(tmp, case)
+    got = doc_curriculum(str(tmp)).reset_index(drop=True)
+
+    rows = []
+    for d in sorted(case):
+        n_tok, score = _ref_quality(case[d])
+        rows.append((d, float(round_half_away(score, 6)), n_tok))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    total = sum(r[2] for r in rows) or 1
+    cum = 0
+    exp = []
+    for rnk, (d, score, n_tok) in enumerate(rows, 1):
+        exp.append((d, score, n_tok, rnk, min(8 * cum // total, 7)))
+        cum += n_tok
+    assert len(got) == len(exp)
+    for row, (d, score, n_tok, rnk, shard) in zip(
+            got.itertuples(index=False), exp):
+        assert (row.doc_id, row.n_ws_tokens, row.rnk,
+                row.shard) == (d, n_tok, rnk, shard), (d, row)
+        assert row.quality_score == score, d
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpora())
+def test_mix_temperature_property(ray_session, tmp_path_factory, case):
+    """doc_mix_temperature == a pure-Python per-source token rollup
+    with the tau=0.7 pow/normalize readout."""
+    from mlp_ray.util import round_half_away
+    from mlp_ray.pipelines.queries import doc_mix_temperature
+
+    tmp = tmp_path_factory.mktemp("mixprop")
+    _write_docs(tmp, case)
+    got = doc_mix_temperature(str(tmp)).set_index("source")
+
+    counts: dict[str, int] = {}
+    for d in sorted(case):
+        counts.setdefault(f"s{d % 3}", 0)
+        counts[f"s{d % 3}"] += len(case[d].split()) or 1
+    total = sum(counts.values())
+    pw_total = sum(n ** 0.7 for n in counts.values())
+    assert set(got.index) == set(counts)
+    for s, n in counts.items():
+        assert int(got.loc[s, "n_tokens"]) == n, s
+        assert got.loc[s, "nat_share"] == float(
+            round_half_away(n / total, 6)), s
+        assert got.loc[s, "weight"] == float(
+            round_half_away(n ** 0.7 / pw_total, 6)), s
