@@ -1,32 +1,32 @@
-"""Cluster job entrypoint: the training-data curation path as one Ray
+"""Cluster job entrypoint: the corpus-curation hygiene pass as one Ray
 job — quality gate → benchmark decontamination → exact dedup →
-leakage-safe split → curriculum sharding → partitioned parquet out.
+stratified sample (``pipelines/curate.curate``), survivors written as
+partitioned parquet.  For the FULL prep path (tokenize, leakage-safe
+split, packing, stage-level resume) submit ``python -m mlp_ray
+prepare`` the same way — this job is the lighter hygiene-only front.
 
 On a real fixed-size cluster:
 
     ray job submit --address http://<head>:8265 \
         --working-dir . -- python jobs/curate_job.py \
-        --input 's3://corpus/docs/part-*.parquet' \
-        --benchmark 's3://evals/grams/*.parquet' \
+        --input s3://corpus/docs --benchmark s3://evals/bench_docs \
         --out s3://curated/run1
 
-and unchanged against a local session (``RAY_ADDRESS=local``), which is
-how this sandbox exercises it.  Scale notes, stage by stage:
+(remote inputs are directories or single files — object-store URIs
+pass through to ``read_parquet`` untouched; shell-style wildcards only
+expand for LOCAL paths).  The same file runs unchanged against a local
+session (``RAY_ADDRESS=local``), which is how this sandbox exercises
+it.  Scale notes, stage by stage:
 
-- quality / lang-id: fused ``map_batches`` over Arrow batches — no
-  exchange, prunes before anything wide runs.
-- decontamination: the benchmark gram set broadcasts ONCE (``ray.put``;
-  Bloom-compressed past the broadcast budget, ops/scrub.py) — the
-  corpus never shuffles for it.
-- exact dedup: ONE text-hash-bucketed exchange; the md5-gated split is
-  resolved inside the same exchange against the dup CANONICAL id, so
-  byte-identical dups can never straddle the eval boundary
-  (queries.doc_split_safe semantics).
-- curriculum: the quality-desc ordered running token sum is the
-  distributed ordered scan (ops/window.global_cumsum — narrow rows,
-  range partition + per-partition offsets); text never centralizes.
-- output: one parquet directory per (split, shard) — a failed run
-  re-submits and completed partitions are skipped by the writer.
+- quality gate + decontamination probe + content hash: ONE fused
+  ``map_batches`` task — the benchmark gram set broadcasts once
+  (``ray.put``; Bloom-compressed past the broadcast budget,
+  ops/scrub.py), the corpus never shuffles for it.
+- exact dedup + md5-gated stratified sample: ONE text-hash-bucketed
+  exchange; within-batch partials pre-combine before it.
+- output: the curated survivor table ``(doc_id, lang, quality_score,
+  dup_count)`` as a parquet directory (one file per output block) —
+  join text back from the source by doc_id when materializing.
 """
 
 from __future__ import annotations
@@ -49,7 +49,6 @@ def main(argv=None):
                          "against (defaults to the doc_id%%53 slice)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--quality-min", type=float, default=0.5)
-    ap.add_argument("--shards", type=int, default=8)
     args = ap.parse_args(argv)
 
     import ray
@@ -65,17 +64,21 @@ def main(argv=None):
     from mlp_ray.ops import scrub
     from mlp_ray.pipelines import curate as curate_mod
 
-    if os.path.isdir(args.input):
-        paths = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
-    else:
-        paths = sorted(glob.glob(args.input)) or [args.input]
+    def expand(p: str) -> list[str]:
+        # glob only applies to LOCAL paths; object-store URIs go to
+        # read_parquet as-is (directory or file)
+        if "://" in p:
+            return [p]
+        if os.path.isdir(p):
+            return sorted(glob.glob(os.path.join(p, "*.parquet"))) or [p]
+        return sorted(glob.glob(p)) or [p]
 
     t0 = time.perf_counter()
-    docs = rd.read_parquet(paths, columns=["doc_id", "text", "lang"])
+    docs = rd.read_parquet(expand(args.input),
+                           columns=["doc_id", "text", "lang"])
     if args.benchmark:
-        bench_docs = rd.read_parquet(
-            sorted(glob.glob(args.benchmark)) or [args.benchmark],
-            columns=["text"])
+        bench_docs = rd.read_parquet(expand(args.benchmark),
+                                     columns=["text"])
     else:
         # default held-out slice: doc_id % 53 (the repo's eval-set
         # convention, queries._bench_docs)

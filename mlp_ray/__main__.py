@@ -93,8 +93,10 @@ def cmd_analyze(args):
         import resource
 
         wall = time.perf_counter() - t0
+        # ru_maxrss is KiB on Linux but BYTES on Darwin
+        denom = 1024.0 * 1024.0 if sys.platform == "darwin" else 1024.0
         rss_mb = (resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-                  / 1024.0)
+                  / denom)
         lines = [f"[debug] wall={wall:.2f}s driver_rss={rss_mb:.0f}MB"]
         for name, df in sorted(results.items()):
             lines.append(f"[debug]   {name}: {len(df)} rows")

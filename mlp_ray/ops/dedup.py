@@ -527,14 +527,11 @@ def ensure_minhash_sig_fixture(sf_dir: str, *, num_hashes: int = 64,
 
 
 def simhash_fixture_path(sf_dir: str) -> str:
-    """Per-``sf_dir`` simhash-fixture path (same convention as
-    ``minhash_sig_fixture_path``)."""
-    import os
-    import re
+    """Per-``sf_dir`` simhash-fixture path (the shared
+    ``util.fixture_path`` convention)."""
+    from ..util import fixture_path
 
-    slug = re.sub(r"[^A-Za-z0-9._-]+", "_",
-                  os.path.abspath(sf_dir)).strip("_")
-    return f"/tmp/mlp_simhash_{slug}.parquet"
+    return fixture_path("simhash", sf_dir)
 
 
 def ensure_simhash_fixture(sf_dir: str) -> str:
@@ -549,30 +546,18 @@ def ensure_simhash_fixture(sf_dir: str) -> str:
 
     import pyarrow.parquet as _pq
 
-    path = simhash_fixture_path(sf_dir)
-    marker = path + ".src"
-    key = f"{os.path.abspath(sf_dir)}|v1"
-    if os.path.exists(path) and os.path.exists(marker):
-        try:
-            with open(marker) as fh:
-                if fh.read().strip() == key:
-                    _pq.ParquetFile(path)
-                    return path
-        except Exception:
-            pass
-    tbl = _pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    h = SimHasher()
-    sigs = [h.simhash(t or "") for t in tbl["text"].to_pylist()]
-    out = pa.table({"doc_id": tbl["doc_id"],
-                    "simhash": pa.array(sigs, pa.uint64())})
-    tmp = f"{path}.tmp-{os.getpid()}"
-    _pq.write_table(out, tmp)
-    os.replace(tmp, path)
-    with open(marker + ".tmp", "w") as fh:
-        fh.write(key)
-    os.replace(marker + ".tmp", marker)
-    return path
+    from ..util import ensure_fixture
+
+    def build() -> pa.Table:
+        tbl = _pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        h = SimHasher()
+        sigs = [h.simhash(t or "") for t in tbl["text"].to_pylist()]
+        return pa.table({"doc_id": tbl["doc_id"],
+                         "simhash": pa.array(sigs, pa.uint64())})
+
+    return ensure_fixture(simhash_fixture_path(sf_dir),
+                          f"{os.path.abspath(sf_dir)}|v1", build)
 
 
 def ensure_hplsh_fixture(sf_dir: str) -> str:

@@ -346,18 +346,25 @@ class FrameSampler:
         self.every_n = every_n
         self.frame_bytes = frame_bytes
 
+    @staticmethod
+    def frame_count(payload: bytes, frame_bytes: int = 256) -> int:
+        """Per-payload frame count — ONE implementation shared by the
+        distributed stage and the scalar oracle fixture
+        (``ensure_frames_fixture``), so a convention change cannot
+        silently diverge the two."""
+        if payload[:4] == b"RIFF":
+            try:
+                samples, _ = decode_wav_pcm16(payload)
+                return max(1, len(samples) // frame_bytes)
+            except UNDECODABLE:
+                pass
+        return max(1, len(payload) // frame_bytes)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames = [], []
         for mid, p in zip(batch["media_id"].to_pylist(),
                           batch["payload"].to_pylist()):
-            if p[:4] == b"RIFF":
-                try:
-                    samples, _ = decode_wav_pcm16(p)
-                    n_frames = max(1, len(samples) // self.frame_bytes)
-                except UNDECODABLE:
-                    n_frames = max(1, len(p) // self.frame_bytes)
-            else:
-                n_frames = max(1, len(p) // self.frame_bytes)
+            n_frames = self.frame_count(p, self.frame_bytes)
             for f in range(0, n_frames, self.every_n):
                 ids.append(mid)
                 frames.append(f)
@@ -730,19 +737,9 @@ def ensure_frames_fixture(sf_dir: str) -> str:
 
     def build() -> pa.Table:
         tbl = synth_media_table(256, real_payloads=True)
-        ids, nf = [], []
-        for mid, p in zip(tbl["media_id"].to_pylist(),
-                          tbl["payload"].to_pylist()):
-            if p[:4] == b"RIFF":
-                try:
-                    samples, _ = decode_wav_pcm16(p)
-                    n = max(1, len(samples) // 256)
-                except UNDECODABLE:
-                    n = max(1, len(p) // 256)
-            else:
-                n = max(1, len(p) // 256)
-            ids.append(mid)
-            nf.append(n)
+        ids = tbl["media_id"].to_pylist()
+        nf = [FrameSampler.frame_count(p)
+              for p in tbl["payload"].to_pylist()]
         return pa.table({"media_id": pa.array(ids, pa.int64()),
                          "n_frames": pa.array(nf, pa.int64())})
 

@@ -285,7 +285,7 @@ def generate_events_tok(n_rows: int, seed: int = 42, tok_mean: int = 64) -> pa.T
     """Generate the full table in memory (test-scale only)."""
     n_chunks = (n_rows + CHUNK - 1) // CHUNK
     if n_chunks == 0:  # degenerate empty corpus: keep the schema
-        return generate_chunk(0, CHUNK, seed, tok_mean).slice(0, 0)
+        return generate_chunk(0, 1, seed, tok_mean).slice(0, 0)
     tables = [generate_chunk(c, n_rows, seed, tok_mean) for c in range(n_chunks)]
     return pa.concat_tables(tables)
 
