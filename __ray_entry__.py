@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bounce_rate": Q.events_bounce_rate,  # entry-type bounce
         "doc_curriculum": Q.doc_curriculum,  # quality-ordered shards
         "doc_mix_temperature": Q.doc_mix_temperature,  # τ-mix weights
+        "doc_dedup_eval": Q.doc_dedup_eval,  # LSH recall vs exact
     }
     # ORDER MATTERS: the driver's battery hash-checks exactly the
     # first 50 dict entries each round.  Round-4 rotation (VERDICT r3
@@ -2656,6 +2657,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least((8 * cum_before) // greatest(total, 1), 7)
                         AS BIGINT) AS shard
             FROM o
+        """,
+        # Dedup-method evaluation: the exact quadratic pair set and
+        # the signature-fixture candidate replay verified by the same
+        # exact word-3-gram Jaccard >= 0.5, then count/recall readout.
+        "doc_dedup_eval": _minhash_cand_cte + r"""
+            , gx AS (
+              SELECT doc_id,
+                     list_distinct([
+                         array_to_string(toks[i:i+2], ' ')
+                         FOR i IN range(1, greatest(len(toks) - 1, 2))
+                     ]) AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM documents)
+            ),
+            exact AS (
+              SELECT a.doc_id, b.doc_id AS dup_of
+              FROM gx a JOIN gx b ON a.doc_id > b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+                    len(list_distinct(list_concat(a.grams, b.grams)))
+                    >= 0.5
+            ),
+            found AS (
+              SELECT DISTINCT c.doc_id, c.dup_of
+              FROM cand c
+              JOIN gx a ON a.doc_id = c.doc_id
+              JOIN gx b ON b.doc_id = c.dup_of
+              WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+                    len(list_distinct(list_concat(a.grams, b.grams)))
+                    >= 0.5
+            ),
+            counts AS (
+              SELECT (SELECT count(*) FROM exact) AS n_exact,
+                     (SELECT count(*) FROM found) AS n_found,
+                     (SELECT count(*) FROM found f
+                      JOIN exact e ON e.doc_id = f.doc_id
+                                  AND e.dup_of = f.dup_of) AS n_corr
+            )
+            SELECT CAST(n_exact AS BIGINT) AS n_exact_pairs,
+                   CAST(n_found AS BIGINT) AS n_lsh_pairs,
+                   CAST(n_corr AS BIGINT) AS n_correct,
+                   CASE WHEN n_found = 0 THEN 1.0
+                        ELSE round(n_corr * 1.0 / n_found, 6) END
+                       AS precision,
+                   CASE WHEN n_exact = 0 THEN 1.0
+                        ELSE round(n_corr * 1.0 / n_exact, 6) END
+                       AS recall
+            FROM counts
         """,
         # Temperature-scaled source mixing: exact integer token rollup
         # per source, then the pow(τ=0.7)/normalize readout.

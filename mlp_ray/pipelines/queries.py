@@ -5035,3 +5035,33 @@ def doc_mix_temperature(sf_dir: str, tau: float = 0.7) -> pd.DataFrame:
     d["boost"] = (pw / pw.sum()) / (n / total)
     return round_cols(d[["source", "n_tokens", "nat_share", "weight",
                          "boost"]], ["nat_share", "weight", "boost"])
+
+
+def doc_dedup_eval(sf_dir: str) -> pd.DataFrame:
+    """Dedup-method evaluation: recall of the production banded-LSH
+    near-dup pass against the EXACT quadratic ground truth at the same
+    word-3-gram Jaccard ≥ 0.5 threshold — the measurement a curation
+    team runs before trusting an approximate dedup on a new corpus.
+    Verified LSH pairs are a SUBSET of the exact pair set (the verify
+    stage applies the identical metric), so precision is 1 by
+    construction and the number that matters is recall = found/exact.
+    The exact side is the guarded validation op (all-pairs, broadcast
+    gram sets); the LSH side is the candidate-bounded production path
+    — at 100 TB the eval runs on a sampled slice, never the corpus."""
+    found = dedup.minhash_verified_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+    exact = dedup.exact_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.5).to_pandas()
+    f = set(zip(found["doc_id"].astype("int64"),
+                found["dup_of"].astype("int64")))
+    e = set(zip(exact["doc_id"].astype("int64"),
+                exact["dup_of"].astype("int64")))
+    n_correct = len(f & e)
+    recall = n_correct / len(e) if e else 1.0
+    precision = n_correct / len(f) if f else 1.0
+    return pd.DataFrame({
+        "n_exact_pairs": pd.array([len(e)], dtype="int64"),
+        "n_lsh_pairs": pd.array([len(f)], dtype="int64"),
+        "n_correct": pd.array([n_correct], dtype="int64"),
+        "precision": [float(round_half_away(precision, 6))],
+        "recall": [float(round_half_away(recall, 6))]})
