@@ -4,8 +4,7 @@ On a real fixed-size cluster this is submitted as
 
     ray job submit --address http://<head>:8265 \
         --working-dir . -- python jobs/route_job.py \
-        --input 's3://corpus/part-*.parquet' --out s3://sinks/run1 \
-        [--resume]
+        --input s3://corpus/shards --out s3://sinks/run1
 
 and the same file runs unchanged against a local session
 (``RAY_ADDRESS=local python jobs/route_job.py --input ... --out ...``),
@@ -13,10 +12,17 @@ which is how it is exercised in this sandbox (no multi-node cluster
 available; the N-vs-4N scaling evidence instead comes from
 ``bench.py --scaling`` — see BASELINE.md).
 
-The job is resumable by construction: partitions recorded in the
-output manifest are skipped on re-submission, so a killed job picks up
-where it stopped (north-rule checkpoint requirement; the manifest
-protocol lives in ``mlp_ray/pipelines/route.py``).
+The job is resumable by construction — no flag needed: partitions
+recorded in the output manifest are skipped on re-submission, so a
+killed job picks up where it stopped (north-rule checkpoint
+requirement; the manifest protocol lives in
+``mlp_ray/pipelines/route.py``, and the real-SIGKILL contract is
+pinned by tests/test_job_sigkill_resume.py).  NOTE: glob expansion is
+local-only, and the resume MANIFEST is per input path — a remote run
+should enumerate its part files with the object store's lister and
+pass them to ``route.route_partitioned`` directly (one path per
+partition keeps per-file resume granularity; a single directory URI
+routes correctly but resumes as one partition).
 """
 
 from __future__ import annotations
