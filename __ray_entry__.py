@@ -222,12 +222,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's battery hash-checks exactly the
     # first 50 dict entries each round.  Round-4 rotation (VERDICT r3
     # item 5): 2 always-green sentinels (flagship + rawlog core), the
-    # 14 views that moved OUT of rows-only THIS round (their oracles
-    # have never seen a driver hash row), then never-driver-checked
-    # oracle-backed entries (r01-r03 covered 98 distinct names; 35
-    # remain for the round-5 rotation).  Entries past 50 are equally
-    # real — every oracle-backed one is re-attested per session by
-    # tests/test_driver_contract.py at the driver's own sf0.01 scale.
+    # 14 views that moved OUT of rows-only THIS round (5 of them had
+    # prior rows-only driver rows; their oracles have never seen a
+    # hash row), then 43 entries that never had ANY driver row.
+    # Arithmetic: r01-r03 recorded 98 distinct names, so 78 of the
+    # (pre-round) 176 entries were never checked; 43 sit in this
+    # window, 35 remain for the round-5 rotation (36 counting
+    # doc_dedup_eval, added past the window this round).  Entries
+    # past 50 are equally real — every oracle-backed one is
+    # re-attested per session by tests/test_driver_contract.py at
+    # the driver's own sf0.01 scale.
     window = [
         "flagship_main_ops",
         "rawlog_main_ops",

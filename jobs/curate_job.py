@@ -57,8 +57,6 @@ def main(argv=None):
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
-    import numpy as np
-    import pyarrow as pa
     import ray.data as rd
 
     from mlp_ray.ops import scrub
@@ -80,14 +78,9 @@ def main(argv=None):
         bench_docs = rd.read_parquet(expand(args.benchmark),
                                      columns=["text"])
     else:
-        # default held-out slice: doc_id % 53 (the repo's eval-set
-        # convention, queries._bench_docs)
-        def _slice(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            return t.filter(pa.array(ids % 53 == 0))
-
-        bench_docs = docs.map_batches(_slice, batch_format="pyarrow")
+        # default held-out slice: the repo's shared eval-set
+        # convention (doc_id % 53, ops/scrub.bench_slice)
+        bench_docs = scrub.bench_slice(docs)
     bg = scrub.benchmark_gram_set(bench_docs, k=5)
     kept = curate_mod.curate(docs, bg, quality_min=args.quality_min)
     out_dir = os.path.join(args.out, "curated")

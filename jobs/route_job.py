@@ -46,6 +46,9 @@ def main(argv=None):
     ap.add_argument("--commit-every", type=int, default=512,
                     help="manifest commit cadence in partitions; a "
                          "killed job loses at most one wave")
+    ap.add_argument("--cpus", type=int, default=None,
+                    help="num_cpus for a LOCAL session (ignored when "
+                         "joining a cluster via RAY_ADDRESS=auto)")
     ap.add_argument("--sink-agg", default="main_ops",
                     help="'main_ops' (duration fold over the routed ops "
                          "sink, column-pruned) or 'none'")
@@ -53,7 +56,10 @@ def main(argv=None):
 
     import ray
     if not ray.is_initialized():
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"))
+        addr = os.environ.get("RAY_ADDRESS", "auto")
+        kw = {"num_cpus": args.cpus} if (
+            args.cpus and addr == "local") else {}
+        ray.init(address=addr, **kw)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 

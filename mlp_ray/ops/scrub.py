@@ -96,6 +96,18 @@ def _distinct_grams_per_doc(texts: list[str], k: int):
     return d[new], g[new], n
 
 
+def bench_slice(ds, *, mod: int = 53, id_col: str = "doc_id"):
+    """THE deterministic held-out 'benchmark' slice convention
+    (``doc_id %% mod == 0``) — one implementation shared by the
+    decontamination queries, the curation pipeline and the cluster
+    jobs, so the eval-set definition cannot drift between them."""
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % mod == 0))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def benchmark_gram_set(bench_ds: rd.Dataset, *, k: int = 5,
                        text_col: str = "text") -> np.ndarray:
     """Sorted distinct gram hashes of the (small) benchmark dataset.

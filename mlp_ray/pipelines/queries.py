@@ -364,12 +364,9 @@ def doc_pii_scrub(sf_dir: str) -> pd.DataFrame:
 
 
 def _bench_docs(ds: rd.Dataset, mod: int = 53) -> rd.Dataset:
-    """The deterministic 'benchmark' slice (doc_id % mod == 0) that the
-    decontamination op treats as the held-out eval set."""
-    def keep(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.filter(pa.array(ids % mod == 0))
-    return ds.map_batches(keep, batch_format="pyarrow")
+    """The deterministic 'benchmark' slice that the decontamination op
+    treats as the held-out eval set (shared ``scrub.bench_slice``)."""
+    return scrub.bench_slice(ds, mod=mod)
 
 
 def doc_decontaminate(sf_dir: str) -> pd.DataFrame:
@@ -5047,7 +5044,10 @@ def doc_dedup_eval(sf_dir: str) -> pd.DataFrame:
     construction and the number that matters is recall = found/exact.
     The exact side is the guarded validation op (all-pairs, broadcast
     gram sets); the LSH side is the candidate-bounded production path
-    — at 100 TB the eval runs on a sampled slice, never the corpus."""
+    — at 100 TB the eval runs on a sampled slice, never the corpus.
+    The two passes recompute the gram sets independently (the corpus
+    is read twice) — deliberate: each op keeps its own oracle-attested
+    shape, and the eval is validation-scale by contract."""
     found = dedup.minhash_verified_pairs(
         _docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
     exact = dedup.exact_jaccard_pairs(
