@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curriculum": Q.doc_curriculum,  # quality-ordered shards
         "doc_mix_temperature": Q.doc_mix_temperature,  # τ-mix weights
         "doc_dedup_eval": Q.doc_dedup_eval,  # LSH recall vs exact
+        "customers_idle_rich": Q.customers_idle_rich,  # Q22 shape
     }
     # ORDER MATTERS: the driver's battery hash-checks exactly the
     # first 50 dict entries each round.  Round-4 rotation (VERDICT r3
@@ -2709,6 +2710,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(n_corr * 1.0 / n_exact, 6) END
                        AS recall
             FROM counts
+        """,
+        # Q22 shape: global positive-balance average (scalar
+        # subquery), above-threshold customers with NO orders (anti
+        # join), per-segment rollup.
+        "customers_idle_rich": """
+            WITH t AS (
+              SELECT avg(c_acctbal) AS thr
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c.c_mktsegment,
+                   count(*) AS n_customers,
+                   round(sum(c.c_acctbal), 2) AS total_bal
+            FROM customer c CROSS JOIN t
+            WHERE c.c_acctbal > t.thr
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+            GROUP BY 1
         """,
         # Temperature-scaled source mixing: exact integer token rollup
         # per source, then the pow(τ=0.7)/normalize readout.

@@ -5065,3 +5065,57 @@ def doc_dedup_eval(sf_dir: str) -> pd.DataFrame:
         "n_correct": pd.array([n_correct], dtype="int64"),
         "precision": [float(round_half_away(precision, 6))],
         "recall": [float(round_half_away(recall, 6))]})
+
+
+def customers_idle_rich(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22-shaped composition: customers whose balance exceeds
+    the GLOBAL average of positive balances (scalar-subquery pass) and
+    who placed NO orders (anti join), rolled up per market segment.
+    Three scale-safe pieces: (1) a one-row (n, Σbal) moment partial
+    per block gives the threshold with no collect; (2) the threshold
+    broadcasts as a plain float closure constant; (3) the anti join
+    ships only deduplicated order custkeys through the one bucketed
+    exchange.  The segment rollup is bounded (≤ |segments| rows per
+    block, driver merge); balances are cents-rounded on both sides."""
+    from ..ops import joins
+
+    cust_cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=cust_cols)
+
+    def bal_partials(df: pd.DataFrame) -> pd.DataFrame:
+        pos = df.loc[df["c_acctbal"] > 0, "c_acctbal"]
+        return pd.DataFrame({"k": pd.array([0], dtype="int64"),
+                             "n": pd.array([len(pos)], dtype="int64"),
+                             "s": [float(pos.sum())]})
+
+    m = merge_partials(
+        cust.map_batches(arrow_partials(bal_partials),
+                         batch_format="pandas"),
+        ["k"], ["n", "s"], merge="driver")
+    thr = (float(m["s"].iloc[0]) / float(m["n"].iloc[0])
+           if len(m) and m["n"].iloc[0] else 0.0)
+
+    rich = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=cust_cols).map_batches(
+        lambda t, _thr=thr: t.filter(pc.greater(t["c_acctbal"], _thr)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    j = joins.hash_join(rich, orders, on=["c_custkey"],
+                        right_on=["o_custkey"], how="anti")
+
+    def seg_partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("c_mktsegment", sort=False)["c_acctbal"]
+               .agg(n_customers="size", total_bal="sum").reset_index())
+        out["n_customers"] = out["n_customers"].astype("int64")
+        return out
+
+    out = merge_partials(
+        j.map_batches(arrow_partials(seg_partials),
+                      batch_format="pandas"),
+        ["c_mktsegment"], ["n_customers", "total_bal"], merge="driver")
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["total_bal"] = round_half_away(out["total_bal"].to_numpy(), 2)
+    return (out.sort_values("c_mktsegment").reset_index(drop=True)
+            [["c_mktsegment", "n_customers", "total_bal"]])
