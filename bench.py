@@ -324,12 +324,47 @@ def main_scaling() -> dict:
     }
 
 
+def cpu_probe() -> dict:
+    """Effective-core measurement behind BASELINE.md's SMT-ceiling
+    analysis: a fixed pure-Python loop run under 1 / 8 / 32 worker
+    processes; effective parallelism at N workers =
+    (N / wall_N) / (1 / wall_1).  No Ray involved — this measures the
+    HOST, so pair-efficiency ceilings like (eff32/8)/4 for the 8v32
+    pair are reproducible from the same box state as the bench."""
+    import time as _t
+    from concurrent.futures import ProcessPoolExecutor
+
+    def wall(workers: int) -> float:
+        t = _t.perf_counter()
+        with ProcessPoolExecutor(workers) as ex:
+            list(ex.map(_burn, [8_000_000] * workers))
+        return _t.perf_counter() - t
+
+    wall(2)  # warm the pool-fork path
+    w1 = min(wall(1) for _ in range(3))
+    out = {"workers": {}, "metric": "effective parallel CPU units"}
+    for n in (8, 32):
+        wn = min(wall(n) for _ in range(3))
+        out["workers"][str(n)] = round((n / wn) / (1.0 / w1), 2)
+    return out
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-worker", type=int, default=None)
+    ap.add_argument("--cpu-probe", action="store_true")
     args = ap.parse_args()
-    if args.scaling_worker:
+    if args.cpu_probe:
+        print(json.dumps(cpu_probe()))
+    elif args.scaling_worker:
         scaling_worker(args.scaling_worker)
     elif args.scaling:
         print(json.dumps(main_scaling()))
