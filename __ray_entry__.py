@@ -2711,21 +2711,25 @@ def oracle_sql() -> dict[str, str]:
                        AS recall
             FROM counts
         """,
-        # Q22 shape: global positive-balance average (scalar
-        # subquery), above-threshold customers with NO orders (anti
-        # join), per-segment rollup.
+        # Q22 shape: global positive-balance average + latest order
+        # date (two scalar subqueries), above-threshold customers with
+        # no order in the trailing 365 days (time-filtered anti join),
+        # per-segment rollup.
         "customers_idle_rich": """
             WITH t AS (
               SELECT avg(c_acctbal) AS thr
               FROM customer WHERE c_acctbal > 0
-            )
+            ),
+            mx AS (SELECT max(o_orderdate) AS m FROM orders)
             SELECT c.c_mktsegment,
                    count(*) AS n_customers,
                    round(sum(c.c_acctbal), 2) AS total_bal
-            FROM customer c CROSS JOIN t
+            FROM customer c CROSS JOIN t CROSS JOIN mx
             WHERE c.c_acctbal > t.thr
-              AND NOT EXISTS (SELECT 1 FROM orders o
-                              WHERE o.o_custkey = c.c_custkey)
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= mx.m - INTERVAL 365 DAY)
             GROUP BY 1
         """,
         # Temperature-scaled source mixing: exact integer token rollup

@@ -5070,13 +5070,15 @@ def doc_dedup_eval(sf_dir: str) -> pd.DataFrame:
 def customers_idle_rich(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q22-shaped composition: customers whose balance exceeds
     the GLOBAL average of positive balances (scalar-subquery pass) and
-    who placed NO orders (anti join), rolled up per market segment.
-    Three scale-safe pieces: (1) a one-row (n, Σbal) moment partial
-    per block gives the threshold with no collect; (2) the threshold
-    broadcasts as a plain float closure constant; (3) the anti join
-    ships only deduplicated order custkeys through the one bucketed
-    exchange.  The segment rollup is bounded (≤ |segments| rows per
-    block, driver merge); balances are cents-rounded on both sides."""
+    who placed no order within 365 days of the corpus's LATEST order
+    date (a second scalar pass + time-filtered anti join), rolled up
+    per market segment.  Scale-safe pieces: (1) one-row (n, Σbal) and
+    (max date) partials per block give both scalars with no collect;
+    (2) they broadcast as plain closure constants; (3) the anti join
+    ships only deduplicated RECENT order custkeys through the one
+    bucketed exchange.  The segment rollup is bounded (≤ |segments|
+    rows per block, driver merge); balances cents-rounded on both
+    sides."""
     from ..ops import joins
 
     cust_cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
@@ -5096,13 +5098,29 @@ def customers_idle_rich(sf_dir: str) -> pd.DataFrame:
     thr = (float(m["s"].iloc[0]) / float(m["n"].iloc[0])
            if len(m) and m["n"].iloc[0] else 0.0)
 
+    def date_partials(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": pd.array([0], dtype="int64"),
+                             "mx": [df["o_orderdate"].max()]})
+
+    dmax = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate"])
+            .map_batches(arrow_partials(date_partials),
+                         batch_format="pandas").to_pandas()["mx"].max())
+    cutoff = pd.Timestamp(dmax) - pd.Timedelta(days=365)
+
     rich = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=cust_cols).map_batches(
         lambda t, _thr=thr: t.filter(pc.greater(t["c_acctbal"], _thr)),
         batch_format="pyarrow", zero_copy_batch=True)
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey"])
-    j = joins.hash_join(rich, orders, on=["c_custkey"],
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"]).map_batches(
+        lambda t, _c=cutoff: t.filter(
+            pc.greater_equal(t["o_orderdate"],
+                             pa.scalar(_c.to_pydatetime())))
+            .select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = joins.hash_join(rich, recent, on=["c_custkey"],
                         right_on=["o_custkey"], how="anti")
 
     def seg_partials(df: pd.DataFrame) -> pd.DataFrame:
