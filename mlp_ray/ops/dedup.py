@@ -491,18 +491,13 @@ def ensure_minhash_sig_fixture(sf_dir: str, *, num_hashes: int = 64,
 
     import pyarrow.parquet as _pq
 
+    from ..util import fixture_key_matches, write_fixture_atomic
+
     path = minhash_sig_fixture_path(sf_dir)
-    marker = path + ".src"
     key = (f"{os.path.abspath(sf_dir)}|h={num_hashes}|k={shingle_k}"
            f"|seed={seed}|v1")
-    if os.path.exists(path) and os.path.exists(marker):
-        try:
-            with open(marker) as fh:
-                if fh.read().strip() == key:
-                    _pq.ParquetFile(path)  # footer readable → complete
-                    return path
-        except Exception:
-            pass
+    if fixture_key_matches(path, key):
+        return path
     tbl = _pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     hasher = MinHasher(num_hashes, shingle_k, seed)
@@ -517,13 +512,7 @@ def ensure_minhash_sig_fixture(sf_dir: str, *, num_hashes: int = 64,
                                  n)),
         "val": pa.array(sigs.reshape(-1), pa.uint64()),
     })
-    tmp = f"{path}.tmp-{os.getpid()}"
-    _pq.write_table(out, tmp)
-    os.replace(tmp, path)
-    with open(marker + ".tmp", "w") as fh:
-        fh.write(key)
-    os.replace(marker + ".tmp", marker)
-    return path
+    return write_fixture_atomic(path, out, key)
 
 
 def simhash_fixture_path(sf_dir: str) -> str:

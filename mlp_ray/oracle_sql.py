@@ -371,7 +371,11 @@ WITH lines AS (
 keep AS (
   SELECT CASE WHEN json_valid(line) THEN line END AS js
   FROM lines
-  WHERE json_valid(line)
+  -- engine's MAX_LINE_BYTES safety cap (sources/rawlog.py:43): a
+  -- JSON-valid line over 1 MB is dropped with parse_status='too_long'
+  -- (strlen = BYTE length, matching the engine's utf8 byte count)
+  WHERE strlen(line) <= 1048576
+    AND json_valid(line)
     AND ({_TARGET_OP_SQL}
          OR contains(line, '"msg":"client metadata"')
          OR (contains(line, '"c":"ACCESS"')

@@ -709,6 +709,21 @@ def run_full_analysis(paths, *, redact: bool = True,
                             p95_mode=p95_mode, raw=raw), mode=mode)
 
 
+def analysis_partition_id(path: str) -> str:
+    """Stable partition id for ``run_full_analysis_resumable``: the
+    readable basename stem PLUS a hash of the FULL input path, so two
+    inputs with the same basename (e.g. shard dirs each holding an
+    ``events.log.gz``) never collide in the manifest/partials
+    namespace (ADVICE r4)."""
+    import hashlib
+
+    pid = os.path.splitext(os.path.basename(path))[0]
+    if pid.endswith(".log"):  # .log.gz → strip both suffixes
+        pid = os.path.splitext(pid)[0]
+    digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
+    return f"{pid}-{digest}"
+
+
 def completed_analysis_partitions(work_dir: str) -> dict[str, dict]:
     """Manifest of finished partitions for
     ``run_full_analysis_resumable`` (pid → {"rows": n})."""
@@ -723,19 +738,28 @@ def completed_analysis_partitions(work_dir: str) -> dict[str, dict]:
 
 def invalidate_analysis_partitions(work_dir: str, pids) -> None:
     """Drop partitions from the manifest (and their persisted
-    partials) so the next resumable run recomputes them."""
+    partials) so the next resumable run recomputes them.
+
+    Manifest first, partials second: a crash between the two leaves a
+    partition that is UNcommitted but still has its partial on disk —
+    the resume recomputes and overwrites it, which is safe.  The
+    opposite order (delete partial, then rewrite manifest — the r4
+    code) left a committed pid with no data, silently dropping that
+    partition from the final merge (ADVICE r4)."""
     import json
 
     man = completed_analysis_partitions(work_dir)
+    pids = set(pids)
     for pid in pids:
         man.pop(pid, None)
-        p = os.path.join(work_dir, "partials", f"{pid}.parquet")
-        if os.path.exists(p):
-            os.remove(p)
     tmp = os.path.join(work_dir, f"manifest.json.tmp-{os.getpid()}")
     with open(tmp, "w") as fh:
         json.dump(man, fh)
     os.replace(tmp, os.path.join(work_dir, "manifest.json"))
+    for pid in pids:
+        p = os.path.join(work_dir, "partials", f"{pid}.parquet")
+        if os.path.exists(p):
+            os.remove(p)
 
 
 def run_full_analysis_resumable(paths, work_dir: str, *,
@@ -775,11 +799,15 @@ def run_full_analysis_resumable(paths, work_dir: str, *,
     os.makedirs(part_dir, exist_ok=True)
     manifest = completed_analysis_partitions(work_dir)
 
+    pids = {p: analysis_partition_id(p) for p in paths}
+    if len(set(pids.values())) != len(paths):
+        raise ValueError("duplicate input paths in resumable analysis")
     for p in paths:
-        pid = os.path.splitext(os.path.basename(p))[0]
-        if pid.endswith(".log"):  # .log.gz → strip both suffixes
-            pid = os.path.splitext(pid)[0]
-        if pid in manifest:
+        pid = pids[p]
+        part_file = os.path.join(part_dir, f"{pid}.parquet")
+        # committed-but-missing partial (e.g. a crash inside an older
+        # invalidate) is treated as uncommitted: recompute (ADVICE r4)
+        if pid in manifest and os.path.exists(part_file):
             continue
         cds = classify(load_events([p]), redact=redact,
                        filter_config=filter_config, ns_filter=ns_filter)
@@ -800,8 +828,17 @@ def run_full_analysis_resumable(paths, work_dir: str, *,
             json.dump(manifest, fh)
         os.replace(mtmp, os.path.join(work_dir, "manifest.json"))
 
-    files = sorted(os.path.join(part_dir, f)
-                   for f in os.listdir(part_dir) if f.endswith(".parquet"))
+    # Merge ONLY the current run's partitions: a reused work_dir may
+    # hold manifest entries / partials from inputs no longer in
+    # `paths` — merging every *.parquet on disk would silently inflate
+    # every sink with stale data (ADVICE r4).
+    files = sorted(os.path.join(part_dir, f"{pid}.parquet")
+                   for pid in pids.values())
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise RuntimeError(
+            f"resumable analysis: {len(missing)} committed partition(s) "
+            f"missing partials, e.g. {missing[0]}")
     if merge == "distributed":
         return merge_payload_ds(
             rd.read_parquet(files).map_batches(

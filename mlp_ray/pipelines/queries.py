@@ -4727,16 +4727,37 @@ def events_user_zipf(sf_dir: str) -> pd.DataFrame:
     return round_cols(out, ["zipf_slope", "intercept"])
 
 
+def _hard_cap_sample(sample: pa.Table, id_col: str, cap: int) -> pa.Table:
+    """Deterministically truncate an md5-gated sample to at most
+    ``cap`` rows: keep the ``cap`` smallest (md5(id), id) pairs.  The
+    gate alone bounds only the EXPECTED sample size (binomial
+    variance can overshoot), so broadcast/driver-memory claims need
+    this hard bound (ADVICE r4).  Same hash, so the kept set is a
+    stable subset of the gated set across re-shards."""
+    import hashlib
+
+    ids = sample[id_col].to_pylist()
+    if len(ids) <= cap:
+        return sample
+    hv = np.fromiter(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+         for i in ids), dtype=np.int64, count=len(ids))
+    order = np.lexsort((np.asarray(ids, np.int64), hv))[:cap]
+    return sample.take(pa.array(np.sort(order)))
+
+
 def emb_intrinsic_dim(sf_dir: str) -> pd.DataFrame:
     """Two-NN intrinsic-dimension estimate (Facco et al. 2017): for
     each vector the ratio µ = d₂/d₁ of its two nearest-neighbor
     distances; id = n / Σ log µ (the MLE under the Pareto likelihood).
     Computed over a FIXED-SIZE deterministic subsample (md5-gated on
-    vec_id, cap 65536 rows — the estimator's standard decimation
-    protocol, and how Facco et al. recommend scale analysis): the
-    sample collects once (bounded by the cap, never
-    corpus-cardinality), broadcasts as the reference matrix, and each
-    block scores its own gated rows with one matmul; per-block
+    vec_id, then HARD-truncated to the 65536 smallest (md5, vec_id)
+    pairs — the gate alone only bounds the EXPECTED size, binomial
+    variance can overshoot it, ADVICE r4; the truncation makes the
+    driver/broadcast bound a guarantee): the sample collects once
+    (bounded by the cap, never corpus-cardinality), broadcasts as the
+    reference matrix with its kept-id set, and each block scores its
+    own kept rows with one matmul; per-block
     Σ log µ partials reduce on the driver.  The matmul selects the two
     neighbors; their distances then RECOMPUTE as direct Σ(x−y)² — the
     x²+y²−2xy shortcut cancels catastrophically exactly where TwoNN
@@ -4771,11 +4792,25 @@ def emb_intrinsic_dim(sf_dir: str) -> pd.DataFrame:
     sample = pa.concat_tables(
         b for b in ds.iter_batches(batch_format="pyarrow",
                                    batch_size=None))
+    # HARD cap: the md5 gate bounds only the EXPECTED sample size —
+    # keep the _CAP smallest (md5, vec_id) pairs deterministically so
+    # the broadcast matrix can never exceed the documented bound.
+    # The kept-id set broadcasts too: the self-distance readout
+    # (ex[:, 0] == 0) requires scored rows ⊆ reference rows exactly.
+    sample = _hard_cap_sample(sample, "vec_id", _CAP)
+    kept = np.sort(sample["vec_id"].to_numpy().astype(np.int64))
     M = _stack(sample["embedding"].combine_chunks())
-    ref = ray.put(M)
+    ref = ray.put((M, kept))
 
     def partials(t: pa.Table) -> pd.DataFrame:
-        full = ray.get(ref)
+        full, kept_ids = ray.get(ref)
+        pos = np.searchsorted(kept_ids, t["vec_id"].to_numpy())
+        pos = np.minimum(pos, len(kept_ids) - 1)
+        t = t.filter(pa.array(
+            kept_ids[pos] == t["vec_id"].to_numpy()))
+        if t.num_rows == 0:
+            return pd.DataFrame({"n": pd.array([0], dtype="int64"),
+                                 "sum_log_mu": [0.0]})
         X = _stack(t.combine_chunks()["embedding"])
         # squared euclidean distances to the whole corpus
         d2 = (np.sum(X * X, axis=1)[:, None]

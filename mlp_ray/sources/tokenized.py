@@ -89,31 +89,21 @@ def ensure_flagship_parquet(sf_dir: str, seed: int = 42,
     """Idempotently persist the flagship input table (scalar columns +
     driver-side redaction outputs) for ``sf_dir``; returns ``path``
     (default: the per-sf_dir fixture path)."""
+    from ..util import fixture_key_matches, write_fixture_atomic
+
     if path is None:
         path = flagship_oracle_path(sf_dir)
-    marker = path + ".src"
     # bump the version suffix whenever synth/schema output changes —
     # it invalidates the cached oracle parquet.  v4: the tokens list
     # column is included (the token-frequency oracle unnests it)
     key = f"{os.path.abspath(sf_dir)}|seed={seed}|v4"
-    if os.path.exists(path) and os.path.exists(marker):
-        try:
-            with open(marker) as fh:
-                if fh.read().strip() == key:
-                    pq.ParquetFile(path)  # footer readable → complete
-                    return path
-        except Exception:
-            pass
+    if fixture_key_matches(path, key):
+        return path
     from ..stages.redact import Redactor
 
     tbl = events_tok_from_documents(sf_dir, seed=seed)
     tbl = Redactor(enabled=True)(tbl)
-    tmp = f"{path}.tmp-{os.getpid()}"
     # small row groups so ray.data.read_parquet splits the single file
     # into parallel blocks
-    pq.write_table(tbl, tmp, compression="zstd", row_group_size=16384)
-    os.replace(tmp, path)
-    with open(marker + ".tmp", "w") as fh:
-        fh.write(key)
-    os.replace(marker + ".tmp", marker)
-    return path
+    return write_fixture_atomic(path, tbl, key, compression="zstd",
+                                row_group_size=16384)

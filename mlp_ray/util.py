@@ -153,31 +153,53 @@ def fixture_path(prefix: str, sf_dir: str) -> str:
     return f"/tmp/mlp_{prefix}_{slug}.parquet"
 
 
-def ensure_fixture(path: str, key: str, build) -> str:
-    """Idempotently persist an oracle-replay fixture: ``build()``
-    returns a pyarrow Table, written atomically with a source-key
-    marker so a stale fixture from another input is rebuilt.  The
-    builders are scalar-path (pure pyarrow/numpy, no Ray) so the SQL
-    oracle side works regardless of whether it runs before or after
-    the Ray side.  Validation-scale only."""
+FIXTURE_KEY_META = b"mlp_fixture_key"
+
+
+def fixture_key_matches(path: str, key: str) -> bool:
+    """True iff ``path`` is a readable parquet whose embedded source
+    key equals ``key``.  The key rides the parquet schema metadata of
+    the data file itself, so key+data are ONE atomic artifact — the
+    r4 two-file scheme (data + ``.src`` marker as separate
+    ``os.replace`` steps) let two concurrent builders interleave into
+    a marker from key A guarding data from key B (ADVICE r4)."""
     import os
 
     import pyarrow.parquet as _pq
 
-    marker = path + ".src"
-    if os.path.exists(path) and os.path.exists(marker):
-        try:
-            with open(marker) as fh:
-                if fh.read().strip() == key:
-                    _pq.ParquetFile(path)
-                    return path
-        except Exception:
-            pass
-    tbl = build()
+    if not os.path.exists(path):
+        return False
+    try:
+        meta = _pq.ParquetFile(path).schema_arrow.metadata or {}
+        return meta.get(FIXTURE_KEY_META, b"").decode() == key
+    except Exception:
+        return False
+
+
+def write_fixture_atomic(path: str, tbl, key: str, **write_kwargs) -> str:
+    """Atomically persist ``tbl`` at ``path`` with ``key`` embedded in
+    the parquet metadata (see ``fixture_key_matches``)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    meta = dict(tbl.schema.metadata or {})
+    meta[FIXTURE_KEY_META] = key.encode()
+    tbl = tbl.replace_schema_metadata(meta)
     tmp = f"{path}.tmp-{os.getpid()}"
-    _pq.write_table(tbl, tmp)
+    _pq.write_table(tbl, tmp, **write_kwargs)
     os.replace(tmp, path)
-    with open(marker + ".tmp", "w") as fh:
-        fh.write(key)
-    os.replace(marker + ".tmp", marker)
     return path
+
+
+def ensure_fixture(path: str, key: str, build) -> str:
+    """Idempotently persist an oracle-replay fixture: ``build()``
+    returns a pyarrow Table, written atomically with the source key
+    embedded in the file's own metadata so a stale fixture from
+    another input (or a torn concurrent build) is rebuilt.  The
+    builders are scalar-path (pure pyarrow/numpy, no Ray) so the SQL
+    oracle side works regardless of whether it runs before or after
+    the Ray side.  Validation-scale only."""
+    if fixture_key_matches(path, key):
+        return path
+    return write_fixture_atomic(path, build(), key)

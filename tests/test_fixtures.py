@@ -29,14 +29,34 @@ def test_ensure_fixture_idempotent(tmp_path):
 
 
 def test_ensure_fixture_rebuilds_on_key_change(tmp_path):
+    from mlp_ray.util import FIXTURE_KEY_META
+
     path = str(tmp_path / "fx.parquet")
     c = {"n": 0}
     ensure_fixture(path, "k1", _build_counter(c, 1))
     ensure_fixture(path, "k2", _build_counter(c, 2))
     assert c["n"] == 2
     assert pq.read_table(path)["x"].to_pylist() == [2]
-    with open(path + ".src") as fh:
-        assert fh.read().strip() == "k2"
+    # key+data are ONE file: the key rides the parquet metadata
+    meta = pq.ParquetFile(path).schema_arrow.metadata
+    assert meta[FIXTURE_KEY_META] == b"k2"
+
+
+def test_ensure_fixture_key_and_data_atomic(tmp_path):
+    """A data file from key B can never be trusted under key A: the
+    key is embedded in the file itself, so the r4 torn-interleave
+    (marker A guarding data B via two separate os.replace steps)
+    is structurally impossible (ADVICE r4)."""
+    from mlp_ray.util import write_fixture_atomic
+
+    path = str(tmp_path / "fx.parquet")
+    c = {"n": 0}
+    # simulate the tail of a concurrent key-B build landing last
+    write_fixture_atomic(path, pa.table({"x": pa.array([9], pa.int64())}),
+                         "kB")
+    ensure_fixture(path, "kA", _build_counter(c, 1))
+    assert c["n"] == 1  # key mismatch detected → rebuilt under kA
+    assert pq.read_table(path)["x"].to_pylist() == [1]
 
 
 def test_ensure_fixture_rebuilds_on_corrupt_file(tmp_path):

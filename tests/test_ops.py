@@ -1007,3 +1007,32 @@ def test_intrinsic_dim_recovers_planted_subspace(ray_session, tmp_path):
     est = float(out["intrinsic_dim"].iloc[0])
     assert 3.5 < est < 7.0, est
     assert int(out["ambient_dim"].iloc[0]) == d
+
+
+def test_hard_cap_sample_guaranteed_bound():
+    """The intrinsic-dim sample bound is a GUARANTEE, not an
+    expectation: _hard_cap_sample truncates to exactly `cap` rows,
+    deterministically (smallest (md5, id) pairs), and the kept set is
+    a stable subset as the cap grows (ADVICE r4)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mlp_ray.pipelines.queries import _hard_cap_sample
+
+    n = 1000
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "x": pa.array(np.arange(n, dtype=np.float64))})
+    small = _hard_cap_sample(t, "vec_id", 100)
+    assert small.num_rows == 100
+    # deterministic: same call, same rows
+    again = _hard_cap_sample(t, "vec_id", 100)
+    assert small["vec_id"].to_pylist() == again["vec_id"].to_pylist()
+    # nested: cap-100 keep set ⊂ cap-300 keep set (same hash order)
+    big = _hard_cap_sample(t, "vec_id", 300)
+    assert set(small["vec_id"].to_pylist()) <= \
+        set(big["vec_id"].to_pylist())
+    # under the cap: untouched (identity, not a copy-with-reorder)
+    assert _hard_cap_sample(t, "vec_id", n) is t
+    # payload rows ride with their ids
+    ids = small["vec_id"].to_pylist()
+    assert small["x"].to_pylist() == [float(i) for i in ids]

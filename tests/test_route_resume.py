@@ -257,3 +257,70 @@ def test_analyze_resumable_distributed_merge(fixture_paths, tmp_path):
     assert set(a) == set(b)
     for k in a:
         pd.testing.assert_frame_equal(_norm(a[k]), _norm(b[k]))
+
+
+def test_analyze_resume_basename_collision_and_stale_prune(
+        fixture_paths, tmp_path):
+    """ADVICE r4 regressions, both manifest-keying bugs:
+
+    (a) two inputs with the SAME basename in different dirs must get
+        distinct partition ids (pid hashes the full path — the r4
+        basename key silently skipped the second input);
+    (b) reusing a work_dir with a SMALLER input set must merge ONLY
+        the current paths' partials (the r4 merge read every
+        *.parquet in partials/, inflating sinks with stale data)."""
+    import shutil
+
+    import pandas as pd
+
+    from mlp_ray.pipelines import analyze
+
+    # (a) same basename, different directories, DIFFERENT data
+    d1 = tmp_path / "shard-01-0"
+    d2 = tmp_path / "shard-02-0"
+    d1.mkdir(), d2.mkdir()
+    shutil.copy(fixture_paths[0], d1 / "events.parquet")
+    shutil.copy(fixture_paths[1], d2 / "events.parquet")
+    paths = [str(d1 / "events.parquet"), str(d2 / "events.parquet")]
+    assert analyze.analysis_partition_id(paths[0]) != \
+        analyze.analysis_partition_id(paths[1])
+
+    wd = str(tmp_path / "ck")
+    res = analyze.run_full_analysis_resumable(paths, wd)
+    man = analyze.completed_analysis_partitions(wd)
+    assert len(man) == 2  # both partitions processed, no collision
+    clean = analyze.run_full_analysis(paths, mode="driver",
+                                      p95_mode="exact")
+    for k in clean:
+        pd.testing.assert_frame_equal(
+            _norm(res[k]), _norm(clean[k]))
+
+    # (b) rerun the SAME work_dir with only the first input: stale
+    # partials from the dropped partition must not leak into the merge
+    res1 = analyze.run_full_analysis_resumable([paths[0]], wd)
+    clean1 = analyze.run_full_analysis([paths[0]], mode="driver",
+                                       p95_mode="exact")
+    for k in clean1:
+        pd.testing.assert_frame_equal(
+            _norm(res1[k]), _norm(clean1[k]))
+
+
+def test_analyze_invalidate_crash_window_recomputes(
+        fixture_paths, tmp_path):
+    """ADVICE r4: a partial that vanishes while its manifest entry
+    survives (the old invalidate's crash window, or any torn state)
+    must be RECOMPUTED, not silently dropped from the merge."""
+    import pandas as pd
+
+    from mlp_ray.pipelines import analyze
+
+    wd = str(tmp_path / "ck")
+    clean = analyze.run_full_analysis_resumable(fixture_paths, wd)
+    man = analyze.completed_analysis_partitions(wd)
+    victim = sorted(man)[0]
+    os.remove(os.path.join(wd, "partials", f"{victim}.parquet"))
+    # manifest still claims the victim is committed — the run must
+    # notice the missing partial and recompute it
+    res = analyze.run_full_analysis_resumable(fixture_paths, wd)
+    for k in clean:
+        pd.testing.assert_frame_equal(_norm(res[k]), _norm(clean[k]))
