@@ -221,69 +221,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_idle_rich": Q.customers_idle_rich,  # Q22 shape
     }
     # ORDER MATTERS: the driver's battery hash-checks exactly the
-    # first 50 dict entries each round.  Round-4 rotation (VERDICT r3
-    # item 5): 2 always-green sentinels (flagship + rawlog core), the
-    # 14 views that moved OUT of rows-only THIS round (5 of them had
-    # prior rows-only driver rows; their oracles have never seen a
-    # hash row), then 43 entries that never had ANY driver row.
-    # Arithmetic: r01-r03 recorded 98 distinct names, so 78 of the
-    # (pre-round) 176 entries were never checked; 43 sit in this
-    # window, 35 remain for the round-5 rotation (36 counting
-    # doc_dedup_eval, added past the window this round).  Entries
-    # past 50 are equally real — every oracle-backed one is
+    # first 50 dict entries each round.  Round-5 rotation (VERDICT r4
+    # next-round #1): 2 always-green sentinels (flagship + rawlog
+    # core), then ALL 37 entries that never had any driver row across
+    # r01-r04 (verified against the four CORRECTNESS_r0*.json key
+    # sets) — this completes the rotation: after this round every
+    # queries() entry has at least one driver row.  Four of the 37
+    # (media_spectrogram, media_sharpness, doc_lang_logreg, emb_pca)
+    # are the genuinely numeric kernels with no oracle_sql entry and
+    # draw rows-only rows by design.  The 11-slot refill: the three
+    # views ORACLED THIS ROUND after only ever drawing rows-only rows
+    # (events_trim_props, media_features, media_resize — r4 ask #3),
+    # orders_bloom_semi's r5 rewrite rides the never-checked block,
+    # and 8 heavy pipelines re-attested after this round's edits.
+    # Entries past 50 are equally real — every oracle-backed one is
     # re-attested per session by tests/test_driver_contract.py at
     # the driver's own sf0.01 scale.
     window = [
         "flagship_main_ops",
         "rawlog_main_ops",
-        "doc_simhash_dedup",
-        "doc_ngram_jaccard",
-        "emb_near_dup",
-        "ann_ivf_topk",
-        "ann_lsh_topk",
-        "emb_semantic_dedup",
-        "doc_word_topk_cms",
-        "doc_decontaminate_bloom",
-        "doc_compression_ratio",
-        "media_frame_plan",
-        "emb_mahalanobis_outliers",
-        "emb_intrinsic_dim",
-        "doc_curriculum",
-        "doc_mix_temperature",
-        "doc_minhash_candidates",
-        "media_phash_dedup",
-        "doc_vocab_growth",
-        "events_peak_concurrency",
-        "doc_dup_cluster_hist",
-        "events_window_distinct",
-        "suppliers_sole_return",
-        "users_halves_outer",
-        "events_value_corr",
-        "doc_normalize",
-        "nation_market_share",
-        "customers_returned_top",
-        "customer_order_dist",
-        "supplier_top_revenue",
-        "orders_big_qty",
-        "parts_filter_revenue",
-        "users_active_both",
-        "events_user_moving_avg",
-        "events_value_hist",
-        "events_pct_rank_top",
-        "users_type_profile",
-        "users_weekly_retention",
-        "daily_activity_union",
-        "events_asof_fwd",
-        "parts_promo_share",
-        "orders_unshipped_top",
-        "orders_late_priority",
-        "nation_revenue",
-        "parts_brand_revenue",
-        "events_user_gaps",
-        "events_hourly_top_type",
-        "events_value_quartiles",
-        "parts_small_qty_revenue",
-        "emb_label_centroid",
+        "events_user_ntile",
+        "events_anomaly_zscore",
+        "events_transitions",
+        "doc_dedup_stats",
+        "events_activity_heatmap",
+        "events_ab_welch",
+        "rawlog_error_rate",
+        "doc_ttr",
+        "events_error_burst",
+        "events_cusum_changepoint",
+        "media_spectrogram",
+        "media_sharpness",
+        "events_seasonal_decompose",
+        "doc_lang_logreg",
+        "orders_monthly_growth",
+        "flagship_pack_greedy",
+        "emb_pca",
+        "customers_abc",
+        "doc_gram_novelty",
+        "events_value_anova",
+        "source_js_divergence",
+        "doc_lang_confusion",
+        "customers_gini",
+        "orders_bloom_semi",
+        "parts_chi2_independence",
+        "flagship_db_summary",
+        "orders_cohort_ltv",
+        "events_autocorrelation",
+        "parts_price_size_regression",
+        "events_user_entropy",
+        "events_type_lift",
+        "events_user_zipf",
+        "source_simpson_diversity",
+        "orders_interpurchase",
+        "events_bounce_rate",
+        "doc_dedup_eval",
+        "customers_idle_rich",
+        "events_trim_props",
+        "media_features",
+        "media_resize",
+        "doc_minhash_dedup",
+        "doc_dup_clusters",
+        "doc_segment_dedup",
+        "ann_topk",
+        "doc_curate",
+        "events_asof_join",
+        "orders_lineitem_join",
+        "doc_unigram_logprob",
     ]
     ordered = {n: q[n] for n in window}
     ordered.update((n, f) for n, f in q.items() if n not in ordered)
@@ -314,6 +318,8 @@ def oracle_sql() -> dict[str, str]:
     _zlib_path = _fx("zlib", "/root/testdata/sf0.01")
     _frames_path = _fx("frames", "/root/testdata/sf0.01")
     _mahal_path = _fx("mahal", "/root/testdata/sf0.01")
+    _mediameta_path = _fx("mediameta", "/root/testdata/sf0.01")
+    _mediaraw_path = _fx("mediaraw", "/root/testdata/sf0.01")
     # shared candidate-replay CTE (through the best-pair argmax) for
     # doc_minhash_candidates and doc_ngram_jaccard
     _minhash_cand_cte = f"""
@@ -392,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
                                        ensure_semantic_fixture,
                                        ensure_simhash_fixture)
         from mlp_ray.ops.multimodal import (ensure_frames_fixture,
+                                            ensure_media_meta_fixture,
+                                            ensure_media_raw_fixture,
                                             ensure_phash_fixture)
         from mlp_ray.ops.scrub import ensure_bloom_fixture
         from mlp_ray.ops.sketch import ensure_cms_fixture
@@ -413,6 +421,8 @@ def oracle_sql() -> dict[str, str]:
         ensure_zlib_fixture("/root/testdata/sf0.01")
         ensure_frames_fixture("/root/testdata/sf0.01")
         ensure_mahal_fixture("/root/testdata/sf0.01")
+        ensure_media_meta_fixture("/root/testdata/sf0.01")
+        ensure_media_raw_fixture("/root/testdata/sf0.01")
     except Exception:
         pass  # fixture warm-up is best-effort; queries() rebuilds it
 
@@ -2563,6 +2573,189 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unnest(range(0, greatest(n_frames, 1), 10))
                         AS INTEGER) AS frame_index
             FROM '{_frames_path}'
+        """,
+        # Real resize replayed end-to-end from the decode-metadata
+        # fixture (ops/multimodal.ensure_media_meta_fixture): aspect
+        # scale in the engine's f64 expression order, PYTHON banker's
+        # rounding as a ties-to-even CASE (DuckDB round() is
+        # half-away), the max(1,·) floor, and the re-encoded PPM size
+        # as pure header arithmetic; non-images pass through at
+        # original size with the synth metadata dims.
+        "media_resize": f"""
+            WITH m AS (SELECT * FROM '{_mediameta_path}'),
+            s AS (
+              SELECT media_id, media_type, plen, w, h, meta_w, meta_h,
+                     kind = 'image' AS is_img,
+                     greatest(greatest(w, h), 1) AS mx
+              FROM m),
+            r AS (
+              SELECT *,
+                     CASE WHEN is_img THEN least(1.0, 32.0 / mx)
+                          ELSE 1.0 END AS scale,
+                     w * (32.0 / mx) AS rw,
+                     h * (32.0 / mx) AS rh
+              FROM s),
+            n AS (
+              SELECT media_id, media_type, scale, is_img, plen,
+                     CASE WHEN NOT is_img THEN meta_w
+                          WHEN scale >= 1.0 THEN w
+                          ELSE greatest(1,
+                            CASE WHEN rw - floor(rw) = 0.5
+                                 THEN CAST(floor(rw) AS BIGINT)
+                                      + CAST(floor(rw) AS BIGINT) % 2
+                                 WHEN rw - floor(rw) > 0.5
+                                 THEN CAST(floor(rw) AS BIGINT) + 1
+                                 ELSE CAST(floor(rw) AS BIGINT) END)
+                     END AS width,
+                     CASE WHEN NOT is_img THEN meta_h
+                          WHEN scale >= 1.0 THEN h
+                          ELSE greatest(1,
+                            CASE WHEN rh - floor(rh) = 0.5
+                                 THEN CAST(floor(rh) AS BIGINT)
+                                      + CAST(floor(rh) AS BIGINT) % 2
+                                 WHEN rh - floor(rh) > 0.5
+                                 THEN CAST(floor(rh) AS BIGINT) + 1
+                                 ELSE CAST(floor(rh) AS BIGINT) END)
+                     END AS height
+              FROM r)
+            SELECT media_id, media_type,
+                   CAST(width AS BIGINT) AS width,
+                   CAST(height AS BIGINT) AS height,
+                   round(scale, 6) AS scale,
+                   CAST(CASE WHEN is_img
+                        THEN 9 + length(CAST(width AS VARCHAR))
+                               + length(CAST(height AS VARCHAR))
+                               + 3 * width * height
+                        ELSE plen END AS BIGINT) AS payload_bytes
+            FROM n
+        """,
+        # Feature extraction recomputed from the DECODED pixel/sample
+        # rows (ops/multimodal.ensure_media_raw_fixture — the codec
+        # boundary is the only thing riding the fixture): channel
+        # means, E[x²]-form stds, explicit floor-binned histograms
+        # (zero-filled), rms and lag-window zero-crossing rate, all in
+        # the engine's f64 expression order, rounded half-away(6).
+        "media_features": f"""
+            WITH meta AS (SELECT * FROM '{_mediameta_path}'),
+            raw AS (SELECT r.*, m.kind FROM '{_mediaraw_path}' r
+                    JOIN meta m USING (media_id)),
+            img AS (
+              SELECT media_id, count(*) AS n_px,
+                     avg(CAST(v0 AS DOUBLE)) AS m0,
+                     avg(CAST(v1 AS DOUBLE)) AS m1,
+                     avg(CAST(v2 AS DOUBLE)) AS m2,
+                     avg(CAST(v0 AS DOUBLE) * v0) AS q0,
+                     avg(CAST(v1 AS DOUBLE) * v1) AS q1,
+                     avg(CAST(v2 AS DOUBLE) * v2) AS q2
+              FROM raw WHERE kind = 'image' GROUP BY 1),
+            img_hist AS (
+              SELECT media_id,
+                     CAST(least(floor(((v0 + v1 + v2) / 3.0) * 24.0
+                                      / 255.0), 23) AS BIGINT) AS bin,
+                     count(*) AS c
+              FROM raw WHERE kind = 'image' GROUP BY 1, 2),
+            aud AS (
+              SELECT media_id, count(*) AS n,
+                     avg((v0 / 32768.0) * (v0 / 32768.0)) AS mxx
+              FROM raw WHERE kind = 'audio' GROUP BY 1),
+            zc AS (
+              SELECT media_id,
+                     avg(CASE WHEN sign(v0) <> sign(prev)
+                              THEN 1.0 ELSE 0.0 END) AS zcr
+              FROM (SELECT media_id, v0,
+                           lag(v0) OVER (PARTITION BY media_id
+                                         ORDER BY idx) AS prev
+                    FROM raw WHERE kind = 'audio')
+              WHERE prev IS NOT NULL GROUP BY 1),
+            aud_hist AS (
+              SELECT media_id,
+                     CAST(least(floor(((v0 / 32768.0 + 1.0) * 28.0)
+                                      / 2.0), 27) AS BIGINT) AS bin,
+                     count(*) AS c
+              FROM raw WHERE kind = 'audio' GROUP BY 1, 2),
+            comps AS (
+              SELECT media_id, 0 AS comp, CAST(w AS DOUBLE) AS val
+              FROM meta WHERE kind = 'image'
+              UNION ALL
+              SELECT media_id, 1, CAST(h AS DOUBLE)
+              FROM meta WHERE kind = 'image'
+              UNION ALL SELECT media_id, 2, m0 / 255.0 FROM img
+              UNION ALL SELECT media_id, 3, m1 / 255.0 FROM img
+              UNION ALL SELECT media_id, 4, m2 / 255.0 FROM img
+              UNION ALL SELECT media_id, 5,
+                     sqrt(greatest(q0 - m0 * m0, 0.0)) / 255.0 FROM img
+              UNION ALL SELECT media_id, 6,
+                     sqrt(greatest(q1 - m1 * m1, 0.0)) / 255.0 FROM img
+              UNION ALL SELECT media_id, 7,
+                     sqrt(greatest(q2 - m2 * m2, 0.0)) / 255.0 FROM img
+              UNION ALL
+              SELECT i.media_id, CAST(8 + t.b AS INTEGER),
+                     coalesce(h.c, 0) / CAST(i.n_px AS DOUBLE)
+              FROM img i
+              CROSS JOIN (SELECT unnest(range(24)) AS b) t
+              LEFT JOIN img_hist h
+                ON h.media_id = i.media_id AND h.bin = t.b
+              UNION ALL
+              SELECT media_id, 0, CAST(sr AS DOUBLE)
+              FROM meta WHERE kind = 'audio'
+              UNION ALL
+              SELECT media_id, 1, CAST(n_samp AS DOUBLE)
+              FROM meta WHERE kind = 'audio'
+              UNION ALL SELECT media_id, 2, sqrt(mxx) FROM aud
+              UNION ALL
+              SELECT a.media_id, 3, coalesce(z.zcr, 0.0)
+              FROM aud a LEFT JOIN zc z USING (media_id)
+              UNION ALL
+              SELECT a.media_id, CAST(4 + t.b AS INTEGER),
+                     coalesce(h.c, 0) / CAST(a.n AS DOUBLE)
+              FROM aud a
+              CROSS JOIN (SELECT unnest(range(28)) AS b) t
+              LEFT JOIN aud_hist h
+                ON h.media_id = a.media_id AND h.bin = t.b
+              UNION ALL
+              SELECT m.media_id, CAST(t.b AS INTEGER), 0.0
+              FROM meta m
+              CROSS JOIN (SELECT unnest(range(32)) AS b) t
+              WHERE m.kind = 'opaque')
+            SELECT m.media_id, m.media_type,
+                   m.plen AS payload_size,
+                   m.kind <> 'opaque' AS decoded,
+                   CAST(c.comp AS BIGINT) AS comp,
+                   round(c.val, 6) AS val
+            FROM comps c JOIN meta m USING (media_id)
+        """,
+        # Row-preserving JSON trim (K7/R7, ops/trim.py): the enriched
+        # document both sides construct from event_id has fixed depth,
+        # so every trim rule linearizes to closed-form string assembly
+        # — lsid/sub dropped (ignored key / trims-to-empty), keep:{}
+        # kept (was already empty), note truncated at 35 chars + '...',
+        # arr truncated above 3 elements to [first,"<truncated N
+        # elements>"], ns and the 4-stage pipeline preserved; keys in
+        # json.dumps(sort_keys=True) order, compact separators.
+        "events_trim_props": """
+            WITH p AS (
+              SELECT event_id, event_id % 6 AS alen,
+                     event_id % 60 AS nlen
+              FROM events)
+            SELECT event_id,
+              '{"arr":' ||
+              CASE WHEN alen = 0 THEN '[]'
+                   WHEN alen = 1 THEN '[' || event_id || ']'
+                   WHEN alen = 2 THEN '[' || event_id || ','
+                        || (event_id + 1) || ']'
+                   WHEN alen = 3 THEN '[' || event_id || ','
+                        || (event_id + 1) || ',' || (event_id + 2) || ']'
+                   ELSE '[' || event_id || ',"<truncated '
+                        || (alen - 1) || ' elements>"]'
+              END ||
+              ',"keep":{},"note":"' || repeat('x', least(nlen, 35)) ||
+              CASE WHEN nlen > 35 THEN '..."' ELSE '"' END ||
+              ',"ns":"events.collection_'
+              || lpad(CAST(event_id % 10 AS VARCHAR), 4, '0') ||
+              '_padded_beyond_35_chars","pipeline":[{"$match":{"k":' ||
+              (event_id % 7) || '}},"stage-2","stage-3","stage-4"]}'
+              AS trimmed
+            FROM p
         """,
         # Mahalanobis outliers: mean + regularized precision from the
         # scalar-path fixture (ops/ann.ensure_mahal_fixture — both

@@ -214,9 +214,11 @@ class MediaDecoder:
 
     FEATURE_DIM = 32
 
-    def __init__(self, real: bool = False, skip_undecodable: bool = True):
+    def __init__(self, real: bool = False, skip_undecodable: bool = True,
+                 precision: str = "f32"):
         self.real = real
         self.skip = skip_undecodable
+        self.precision = precision  # "f64": oracle-facing exact path
 
     def _fake_features(self, payload: bytes) -> np.ndarray:
         # deterministic pure function of bytes: blake2 → unit floats
@@ -224,42 +226,62 @@ class MediaDecoder:
         raw = np.frombuffer(h, dtype=np.uint16).astype(np.float32)
         return raw / 65535.0
 
-    def _real_features(self, payload: bytes) -> np.ndarray:
+    def _real_features64(self, payload: bytes) -> np.ndarray:
+        """Canonical float64 feature arithmetic — every formula is
+        written in the exact expression order the SQL replay oracle
+        uses (explicit floor-binning instead of np.histogram, std as
+        sqrt(E[x²]−E[x]²)), so the two sides compute bit-identical
+        values before the shared round-half-away quantization."""
         kind, data = decode_payload(payload)
-        out = np.zeros(self.FEATURE_DIM, dtype=np.float32)
+        out = np.zeros(self.FEATURE_DIM, dtype=np.float64)
         if kind == "image":
-            img = data.astype(np.float32)
+            img = data.astype(np.float64)
             h, w, _ = img.shape
             out[0], out[1] = w, h
-            out[2:5] = img.mean(axis=(0, 1)) / 255.0
-            out[5:8] = img.std(axis=(0, 1)) / 255.0
+            m = img.mean(axis=(0, 1))
+            m2 = (img * img).mean(axis=(0, 1))
+            out[2:5] = m / 255.0
+            out[5:8] = np.sqrt(np.maximum(m2 - m * m, 0.0)) / 255.0
             luma = img.mean(axis=2).ravel()
-            hist, _ = np.histogram(luma, bins=24, range=(0, 255))
+            bins = np.minimum(np.floor((luma * 24.0) / 255.0),
+                              23).astype(np.int64)
+            hist = np.bincount(bins, minlength=24)
             out[8:32] = hist / max(luma.size, 1)
         else:
             samples, sr = data
-            x = samples.astype(np.float32) / 32768.0
+            x = samples.astype(np.float64) / 32768.0
             out[0], out[1] = sr, len(x)
             out[2] = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
             out[3] = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) \
                 if len(x) > 1 else 0.0
-            hist, _ = np.histogram(x, bins=28, range=(-1, 1))
+            bins = np.minimum(np.floor(((x + 1.0) * 28.0) / 2.0),
+                              27).astype(np.int64)
+            hist = np.bincount(bins, minlength=28)
             out[4:32] = hist / max(len(x), 1)
         return out
 
+    def _real_features(self, payload: bytes) -> np.ndarray:
+        return self._real_features64(payload).astype(np.float32)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        f64 = self.precision == "f64"
+        zero = np.zeros(self.FEATURE_DIM,
+                        dtype=np.float64 if f64 else np.float32)
         ids, types, feats, sizes, ok = [], [], [], [], []
         for mid, mt, p in zip(batch["media_id"].to_pylist(),
                               batch["media_type"].to_pylist(),
                               batch["payload"].to_pylist()):
             try:
-                f = (self._real_features(p) if self.real
-                     else self._fake_features(p))
+                if self.real:
+                    f = (self._real_features64(p) if f64
+                         else self._real_features(p))
+                else:
+                    f = self._fake_features(p)
                 decoded = True
             except UNDECODABLE:
                 if not self.skip:
                     raise
-                f = np.zeros(self.FEATURE_DIM, dtype=np.float32)
+                f = zero
                 decoded = False
             ids.append(mid)
             types.append(mt)
@@ -269,7 +291,8 @@ class MediaDecoder:
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "media_type": pa.array(types, pa.string()),
-            "features": pa.array(feats, pa.list_(pa.float32())),
+            "features": pa.array(
+                feats, pa.list_(pa.float64() if f64 else pa.float32())),
             "payload_size": pa.array(sizes, pa.int64()),
             "decoded": pa.array(ok, pa.bool_()),
         })
@@ -742,5 +765,114 @@ def ensure_frames_fixture(sf_dir: str) -> str:
               for p in tbl["payload"].to_pylist()]
         return pa.table({"media_id": pa.array(ids, pa.int64()),
                          "n_frames": pa.array(nf, pa.int64())})
+
+    return ensure_fixture(path, "synth256|v1", build)
+
+
+def ensure_media_meta_fixture(sf_dir: str) -> str:
+    """Idempotently persist per-media DECODE METADATA for the
+    deterministic ``synth_media_table(256, real_payloads=True)``
+    corpus: decoded kind ('image'/'audio'/'opaque'), payload length,
+    sample rate and decoded dims — computed scalar-path on the driver
+    via the codecs.  The ``media_resize`` SQL oracle replays the
+    whole resize arithmetic (aspect scale, Python banker's rounding,
+    PPM re-encode size) from these columns; only the codec decode
+    itself rides the fixture (the ``media_frame_plan`` pattern)."""
+    from ..util import ensure_fixture, fixture_path
+
+    path = fixture_path("mediameta", sf_dir)
+
+    def build() -> pa.Table:
+        tbl = synth_media_table(256, real_payloads=True)
+        rows = {k: [] for k in ("media_id", "media_type", "kind",
+                                "plen", "sr", "w", "h", "n_samp",
+                                "meta_w", "meta_h")}
+        for mid, mt, p, mw, mh in zip(tbl["media_id"].to_pylist(),
+                                      tbl["media_type"].to_pylist(),
+                                      tbl["payload"].to_pylist(),
+                                      tbl["width"].to_pylist(),
+                                      tbl["height"].to_pylist()):
+            kind, sr, w, h, n_samp = "opaque", 0, 0, 0, 0
+            try:
+                kind, data = decode_payload(p)
+                if kind == "image":
+                    h, w = data.shape[0], data.shape[1]
+                else:
+                    samples, sr = data
+                    n_samp = len(samples)
+            except UNDECODABLE:
+                pass
+            rows["media_id"].append(mid)
+            rows["media_type"].append(mt)
+            rows["kind"].append(kind)
+            rows["plen"].append(len(p))
+            rows["sr"].append(sr)
+            rows["w"].append(w)
+            rows["h"].append(h)
+            rows["n_samp"].append(n_samp)
+            rows["meta_w"].append(mw)   # synth metadata dims: the
+            rows["meta_h"].append(mh)   # non-image passthrough output
+        return pa.table({
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "media_type": pa.array(rows["media_type"], pa.string()),
+            "kind": pa.array(rows["kind"], pa.string()),
+            "plen": pa.array(rows["plen"], pa.int64()),
+            "sr": pa.array(rows["sr"], pa.int64()),
+            "w": pa.array(rows["w"], pa.int64()),
+            "h": pa.array(rows["h"], pa.int64()),
+            "n_samp": pa.array(rows["n_samp"], pa.int64()),
+            "meta_w": pa.array(rows["meta_w"], pa.int64()),
+            "meta_h": pa.array(rows["meta_h"], pa.int64()),
+        })
+
+    return ensure_fixture(path, "synth256|v1", build)
+
+
+def ensure_media_raw_fixture(sf_dir: str) -> str:
+    """Idempotently persist the DECODED raw data (pixel / sample
+    rows) for the deterministic synth corpus: one row per pixel
+    (row-major idx, v0/v1/v2 = r/g/b) or per audio sample (v0 =
+    int16 value) — the codec boundary, computed scalar-path.  The
+    ``media_features`` SQL oracle recomputes ALL feature arithmetic
+    (means, stds, histograms, rms, zero-crossing rate) from these
+    rows in plain SQL, so only the decode rides the fixture."""
+    from ..util import ensure_fixture, fixture_path
+
+    path = fixture_path("mediaraw", sf_dir)
+
+    def build() -> pa.Table:
+        tbl = synth_media_table(256, real_payloads=True)
+        mids, idxs, v0s, v1s, v2s = [], [], [], [], []
+        for mid, p in zip(tbl["media_id"].to_pylist(),
+                          tbl["payload"].to_pylist()):
+            try:
+                kind, data = decode_payload(p)
+            except UNDECODABLE:
+                continue
+            if kind == "image":
+                px = data.reshape(-1, 3).astype(np.int64)
+                n = px.shape[0]
+                mids.append(np.full(n, mid, dtype=np.int64))
+                idxs.append(np.arange(n, dtype=np.int64))
+                v0s.append(px[:, 0])
+                v1s.append(px[:, 1])
+                v2s.append(px[:, 2])
+            else:
+                samples, _ = data
+                n = len(samples)
+                mids.append(np.full(n, mid, dtype=np.int64))
+                idxs.append(np.arange(n, dtype=np.int64))
+                v0s.append(samples.astype(np.int64))
+                v1s.append(np.zeros(n, dtype=np.int64))
+                v2s.append(np.zeros(n, dtype=np.int64))
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.zeros(0, dtype=np.int64))
+        return pa.table({
+            "media_id": pa.array(cat(mids)),
+            "idx": pa.array(cat(idxs)),
+            "v0": pa.array(cat(v0s)),
+            "v1": pa.array(cat(v1s)),
+            "v2": pa.array(cat(v2s)),
+        })
 
     return ensure_fixture(path, "synth256|v1", build)
