@@ -190,7 +190,7 @@ def settled_best(run_fn, *, min_runs: int = 3, max_runs: int = 6,
     return best
 
 
-def run_queries() -> dict[str, float]:
+def run_queries() -> tuple[dict[str, float], dict[str, float]]:
     from mlp_ray.pipelines import queries as Q
 
     names = ["events_main_agg", "events_topk", "events_distinct_users",
@@ -199,12 +199,26 @@ def run_queries() -> dict[str, float]:
              "events_asof_join", "orders_lineitem_join",
              "events_sliding_window", "doc_unigram_logprob",
              "doc_tfidf", "events_sessionize"]
-    out = {}
+    # the most expensive non-flagship analytics (r4 verdict #5): timed
+    # with a settled best-of-2 so a one-run disk hiccup can't hide (or
+    # fake) a regression; spreads ride the bench artifact
+    heavy = ["doc_segment_dedup", "source_gram_overlap",
+             "doc_gram_novelty", "events_window_distinct",
+             "doc_ngram_topk"]
+    out, spread = {}, {}
     for n in names:
         t0 = time.perf_counter()
         getattr(Q, n)(SF_DIR)
         out[n] = round(time.perf_counter() - t0, 3)
-    return out
+    for n in heavy:
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            getattr(Q, n)(SF_DIR)
+            ts.append(time.perf_counter() - t0)
+        out[n] = round(min(ts), 3)
+        spread[n] = round((max(ts) - min(ts)) / max(ts), 4)
+    return out, spread
 
 
 def run_report(paths: list[str]) -> float:
@@ -232,7 +246,7 @@ def main_bench() -> dict:
                                  f"/tmp/mlp_bench_routed_{NUM_CPUS}"))
         report_sec = run_report(paths)
         flag["report_sec"] = report_sec
-        q = run_queries()
+        q, heavy_spread = run_queries()
         total = flag["route_sec"] + flag["agg_sec"] + report_sec \
             + sum(q.values())
         return {
@@ -245,6 +259,7 @@ def main_bench() -> dict:
                         "flagship_agg": flag["agg_sec"],
                         "flagship_report": report_sec},
             "flagship": flag,
+            "heavy_settle_spread": heavy_spread,
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
         }
@@ -310,6 +325,14 @@ def main_scaling() -> dict:
     thr_lo = results[lo]["seq_per_sec"]
     thr_hi = results[hi]["seq_per_sec"]
     eff = thr_hi / ((hi / lo) * thr_lo)
+    # the hardware ceiling rides the SAME artifact (r4 verdict #7):
+    # effective CPU units at each level, measured on this box state,
+    # so the pair efficiency can be read against its SMT/quota bound
+    # without cross-referencing a BASELINE.md footnote
+    probe = cpu_probe(levels=(lo, hi))
+    eff_units = probe["workers"]
+    ceiling = (eff_units[str(hi)] / eff_units[str(lo)]) / (hi / lo) \
+        if eff_units.get(str(lo)) else None
     return {
         "metric": "flagship throughput scaling, fresh processes "
                   f"num_cpus={lo} vs {hi} (N vs 4N stand-in), "
@@ -319,18 +342,22 @@ def main_scaling() -> dict:
         "queries": {f"seq_per_sec_cpus{lo}": thr_lo,
                     f"seq_per_sec_cpus{hi}": thr_hi},
         "detail": results,
+        "cpu_probe": probe,
+        "hardware_ceiling_efficiency": (round(ceiling, 3)
+                                        if ceiling else None),
         "num_cpus": [lo, hi],
         "rows": SCALING_ROWS,
     }
 
 
-def cpu_probe() -> dict:
+def cpu_probe(levels: tuple[int, ...] = (8, 32)) -> dict:
     """Effective-core measurement behind BASELINE.md's SMT-ceiling
-    analysis: a fixed pure-Python loop run under 1 / 8 / 32 worker
+    analysis: a fixed pure-Python loop run under 1 / N worker
     processes; effective parallelism at N workers =
     (N / wall_N) / (1 / wall_1).  No Ray involved — this measures the
     HOST, so pair-efficiency ceilings like (eff32/8)/4 for the 8v32
-    pair are reproducible from the same box state as the bench."""
+    pair are reproducible from the same box state as the bench.
+    Embedded in every --scaling artifact (r4 verdict #7)."""
     import time as _t
     from concurrent.futures import ProcessPoolExecutor
 
@@ -343,7 +370,7 @@ def cpu_probe() -> dict:
     wall(2)  # warm the pool-fork path
     w1 = min(wall(1) for _ in range(3))
     out = {"workers": {}, "metric": "effective parallel CPU units"}
-    for n in (8, 32):
+    for n in levels:
         wn = min(wall(n) for _ in range(3))
         out["workers"][str(n)] = round((n / wn) / (1.0 / w1), 2)
     return out
