@@ -320,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
     _mahal_path = _fx("mahal", "/root/testdata/sf0.01")
     _mediameta_path = _fx("mediameta", "/root/testdata/sf0.01")
     _mediaraw_path = _fx("mediaraw", "/root/testdata/sf0.01")
+    _pca_path = _fx("pca", "/root/testdata/sf0.01")
     # shared candidate-replay CTE (through the best-pair argmax) for
     # doc_minhash_candidates and doc_ngram_jaccard
     _minhash_cand_cte = f"""
@@ -423,6 +424,8 @@ def oracle_sql() -> dict[str, str]:
         ensure_mahal_fixture("/root/testdata/sf0.01")
         ensure_media_meta_fixture("/root/testdata/sf0.01")
         ensure_media_raw_fixture("/root/testdata/sf0.01")
+        from mlp_ray.ops.ann import ensure_pca_fixture
+        ensure_pca_fixture("/root/testdata/sf0.01")
     except Exception:
         pass  # fixture warm-up is best-effort; queries() rebuilds it
 
@@ -2723,6 +2726,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.comp AS BIGINT) AS comp,
                    round(c.val, 6) AS val
             FROM comps c JOIN meta m USING (media_id)
+        """,
+        # Blur gate replayed from the decoded pixel rows
+        # (ops/multimodal.ensure_media_raw_fixture): 4-neighbour
+        # Laplacian as idx±1 / idx±w self-joins with the interior mask
+        # in integer arithmetic, var = E[l²]−E[l]² in the engine's
+        # expression form; 3-decimal rounding absorbs summation-order
+        # f64 drift on the ~1e10-magnitude Σl².
+        "media_sharpness": f"""
+            WITH meta AS (SELECT * FROM '{_mediameta_path}'),
+            px AS (
+              SELECT r.media_id, r.idx,
+                     (r.v0 + r.v1 + r.v2) / 3.0 AS luma, m.w, m.h
+              FROM '{_mediaraw_path}' r
+              JOIN meta m USING (media_id)
+              WHERE m.kind = 'image' AND m.media_type = 'image'),
+            lap AS (
+              SELECT c.media_id,
+                     -4.0 * c.luma + up.luma + dn.luma
+                     + lf.luma + rt.luma AS l
+              FROM px c
+              JOIN px up ON up.media_id = c.media_id
+                        AND up.idx = c.idx - c.w
+              JOIN px dn ON dn.media_id = c.media_id
+                        AND dn.idx = c.idx + c.w
+              JOIN px lf ON lf.media_id = c.media_id
+                        AND lf.idx = c.idx - 1
+              JOIN px rt ON rt.media_id = c.media_id
+                        AND rt.idx = c.idx + 1
+              WHERE (c.idx % c.w) BETWEEN 1 AND c.w - 2
+                AND (c.idx // c.w) BETWEEN 1 AND c.h - 2),
+            v AS (SELECT media_id, avg(l * l) - avg(l) * avg(l) AS lv
+                  FROM lap GROUP BY 1)
+            SELECT m.media_id,
+                   round(coalesce(v.lv, 0.0), 3) AS laplacian_var,
+                   coalesce(v.lv >= 50.0, FALSE) AS is_sharp,
+                   (m.media_type = 'image' AND m.kind = 'image')
+                       AS decoded
+            FROM meta m LEFT JOIN v USING (media_id)
+        """,
+        # PCA: only the eigendecomposition rides the fixture
+        # (ops/ann.ensure_pca_fixture, 9-decimal-quantized on BOTH
+        # paths); the covariance is re-derived INDEPENDENTLY from the
+        # embeddings table, each eigenvalue recomputed as the Rayleigh
+        # quotient vᵀCv and explained_ratio as vᵀCv / trace(C) — a
+        # wrong moment exchange or an eigval/vector mismatch breaks
+        # equality.
+        "emb_pca": f"""
+            WITH f AS (SELECT component, dim, val FROM '{_pca_path}'),
+            u AS (SELECT vec_id, i - 1 AS dim,
+                         CAST(embedding[i] AS DOUBLE) AS v
+                  FROM embeddings,
+                       UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+            c AS (SELECT a.dim AS i, b.dim AS j,
+                         covar_samp(a.v, b.v) AS cov
+                  FROM u a JOIN u b ON a.vec_id = b.vec_id
+                  GROUP BY 1, 2),
+            tr AS (SELECT sum(cov) AS trace FROM c WHERE i = j),
+            ev AS (SELECT fa.component,
+                          sum(fa.val * c.cov * fb.val) AS eigval
+                   FROM f fa
+                   JOIN c ON c.i = fa.dim
+                   JOIN f fb ON fb.component = fa.component
+                            AND fb.dim = c.j
+                   GROUP BY 1)
+            SELECT f.component, f.dim, round(f.val, 6) AS loading,
+                   round(ev.eigval, 6) AS eigval,
+                   round(ev.eigval / tr.trace, 6) AS explained_ratio
+            FROM f JOIN ev USING (component) CROSS JOIN tr
         """,
         # Row-preserving JSON trim (K7/R7, ops/trim.py): the enriched
         # document both sides construct from event_id has fixed depth,

@@ -436,3 +436,54 @@ def ensure_mahal_fixture(sf_dir: str) -> str:
             "val": pa.array(np.concatenate([mean, prec.reshape(-1)]))})
 
     return ensure_fixture(path, f"{os.path.abspath(sf_dir)}|v1", build)
+
+
+def ensure_pca_fixture(sf_dir: str, n_components: int = 4) -> str:
+    """Idempotently persist the top-``n_components`` eigenvectors of
+    the embeddings' sample covariance as ``(component, dim, val)``
+    rows, sign-fixed (largest-|loading| entry positive) and rounded
+    half-away to 9 decimals — the same quantization ``emb_pca``
+    applies to its distributed-moment loadings, so the two paths
+    agree bit-for-bit (the ~1e-13 moment-association differences
+    collapse under the 9-decimal quantization).  Computed scalar-path
+    (direct numpy Gram + eigh).  The SQL oracle re-derives the
+    covariance INDEPENDENTLY from the embeddings table (covar_samp),
+    then recomputes each eigenvalue as the Rayleigh quotient vᵀCv and
+    explained_ratio as vᵀCv / trace(C) — so a wrong distributed
+    moment exchange, a fake eigenvector, or an eigval/vector mismatch
+    all break equality; only the eigendecomposition itself rides the
+    fixture.  Validation-scale only."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from ..util import ensure_fixture, fixture_path, round_half_away
+
+    path = fixture_path("pca", sf_dir)
+
+    def build() -> pa.Table:
+        tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"])
+        X = np.stack([np.asarray(e, dtype=np.float64)
+                      for e in tbl["embedding"].to_pylist()])
+        n = float(len(X))
+        d = X.shape[1]
+        sx = X.sum(axis=0)
+        cov = (X.T @ X - np.outer(sx, sx) / n) / (n - 1.0)
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1][:n_components]
+        comps, dims, vals = [], [], []
+        for rank, k in enumerate(order):
+            vec = v[:, k]
+            if vec[np.argmax(np.abs(vec))] < 0:
+                vec = -vec
+            comps.append(np.full(d, rank, dtype=np.int64))
+            dims.append(np.arange(d, dtype=np.int64))
+            vals.append(round_half_away(vec, 9))
+        return pa.table({
+            "component": pa.array(np.concatenate(comps)),
+            "dim": pa.array(np.concatenate(dims)),
+            "val": pa.array(np.concatenate(vals))})
+
+    return ensure_fixture(
+        path, f"{os.path.abspath(sf_dir)}|k={n_components}|v1", build)

@@ -463,11 +463,17 @@ class SpectrogramExtractor:
 def laplacian_variance(img: np.ndarray) -> float:
     """Variance of the 4-neighbour Laplacian over the luma plane — the
     classic single-number blur detector (sharp image → high-frequency
-    edges → high variance; blurred image → low).  Pure numpy."""
+    edges → high variance; blurred image → low).  Pure numpy.
+    Variance is computed as E[l²]−E[l]² (not np.var's
+    mean-of-squared-deviations) so the SQL replay oracle shares the
+    expression form; the two agree to ~1e-12 relative."""
     luma = img.astype(np.float64).mean(axis=2)
     lap = (-4.0 * luma[1:-1, 1:-1] + luma[:-2, 1:-1] + luma[2:, 1:-1]
            + luma[1:-1, :-2] + luma[1:-1, 2:])
-    return float(lap.var()) if lap.size else 0.0
+    if not lap.size:
+        return 0.0
+    m = float(np.mean(lap))
+    return float(np.mean(lap * lap)) - m * m
 
 
 def box_blur(img: np.ndarray, radius: int = 2) -> np.ndarray:

@@ -3219,10 +3219,19 @@ def emb_pca(sf_dir: str, n_components: int = 4) -> pd.DataFrame:
     driver where the d×d matrix is trivially small.  (When d² itself
     outgrows the driver, the scale path is iterated `Xᵀ(Xv)` passes —
     one corpus scan per power-iteration step — with this same
-    per-block BLAS reduction.)  Rows-only in the driver battery; the
-    loadings are pinned against a direct numpy eigendecomposition in
+    per-block BLAS reduction.)  Oracle-backed (round 5): loadings are
+    quantized half-away to 9 decimals, matching the scalar-path
+    eigenvector fixture (``ops.ann.ensure_pca_fixture``) bit-for-bit;
+    the SQL side re-derives the covariance INDEPENDENTLY from the
+    embeddings table (covar_samp) and recomputes eigval as the
+    Rayleigh quotient vᵀCv and explained_ratio as vᵀCv / trace(C) —
+    only the eigendecomposition rides the fixture.  The loadings are
+    also pinned against a direct numpy eigendecomposition in
     tests/test_ops.py.  Sign convention: each component's
     largest-|loading| entry is positive."""
+    from ..ops.ann import ensure_pca_fixture
+
+    ensure_pca_fixture(sf_dir, n_components)
     m = _emb_moment_stats(sf_dir)
     n = float(m.loc[(m["i"] == -1) & (m["j"] == -1), "val"].iloc[0])
     sx = (m.loc[(m["j"] == -1) & (m["i"] >= 0)]
@@ -3246,7 +3255,10 @@ def emb_pca(sf_dir: str, n_components: int = 4) -> pd.DataFrame:
         frames.append(pd.DataFrame({
             "component": np.full(d, rank, dtype=np.int64),
             "dim": np.arange(d, dtype=np.int64),
-            "loading": vec,
+            # 9-decimal quantization first: bit-identical to the
+            # scalar fixture the oracle reads (the mahalanobis
+            # convention) before the shared 6-decimal rounding
+            "loading": round_half_away(vec, 9),
             "eigval": np.full(d, float(w[k])),
             "explained_ratio": np.full(d, float(w[k]) / total_var)}))
     out = pd.concat(frames, ignore_index=True)
@@ -3627,15 +3639,29 @@ def media_spectrogram(sf_dir: str) -> pd.DataFrame:
 
 def media_sharpness(sf_dir: str) -> pd.DataFrame:
     """Blur-gate curation pass (variance-of-Laplacian) over the
-    synthetic media table's real PPM/BMP payloads.  Rows-only: the
-    sharp-vs-blurred ordering contract is pinned in
-    tests/test_multimodal_trim.py."""
-    from ..ops.multimodal import SharpnessScorer, synth_media_table
+    synthetic media table's real PPM/BMP payloads.  Oracle-backed
+    (round 5): the SQL side recomputes the 4-neighbour Laplacian as
+    idx±1 / idx±w self-joins over the decoded pixel fixture
+    (``ensure_media_raw_fixture``) with the interior mask in integer
+    arithmetic, then var = E[l²]−E[l]² — the engine's exact
+    expression form (see ``laplacian_variance``); only the codec
+    decode rides the fixture.  laplacian_var rounds to 3 decimals:
+    Σl² is ~1e10-magnitude, so pairwise-vs-sequential f64 summation
+    leaves ~1e-9 absolute differences that 6-decimal rounding would
+    surface as boundary flips.  The sharp-vs-blurred ordering
+    contract is additionally pinned in tests/test_multimodal_trim.py."""
+    from ..ops.multimodal import (SharpnessScorer,
+                                  ensure_media_meta_fixture,
+                                  ensure_media_raw_fixture,
+                                  synth_media_table)
+    ensure_media_meta_fixture(sf_dir)
+    ensure_media_raw_fixture(sf_dir)
     tbl = synth_media_table(256, real_payloads=True)
-    return (rd.from_arrow(tbl)
-            .map_batches(SharpnessScorer, batch_format="pyarrow",
-                         batch_size=64, concurrency=(1, 4))
-            .to_pandas())
+    out = (rd.from_arrow(tbl)
+           .map_batches(SharpnessScorer, batch_format="pyarrow",
+                        batch_size=64, concurrency=(1, 4))
+           .to_pandas())
+    return round_cols(out, ["laplacian_var"], ndigits=3)
 
 
 def media_phash_dedup(sf_dir: str) -> pd.DataFrame:

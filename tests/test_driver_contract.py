@@ -88,13 +88,14 @@ def test_entry_smoke():
 def test_top50_battery_all_oracled():
     """Battery-curation guard: the driver hash-checks the FIRST 50
     queries() entries, so every one of them must carry an oracle —
-    EXCEPT the four genuinely numeric kernels (BPE/IRLS/PCA/DSP tail)
-    deliberately rotated in this round so they draw their first
-    driver rows-only row (r4 verdict next-round #1: every entry gets
-    at least one driver row across r01-r05; the driver records a
-    weaker rows-only check for entries without oracle_sql)."""
-    rows_only_by_design = {"media_spectrogram", "media_sharpness",
-                           "doc_lang_logreg", "emb_pca"}
+    EXCEPT the genuinely numeric kernels (IRLS logistic regression,
+    STFT spectrogram) deliberately rotated in this round so they draw
+    their first driver rows-only row (r4 verdict next-round #1: every
+    entry gets at least one driver row across r01-r05; the driver
+    records a weaker rows-only check for entries without oracle_sql).
+    emb_pca and media_sharpness gained fixture-replay oracles in
+    round 5 and are hash-checked like everything else."""
+    rows_only_by_design = {"media_spectrogram", "doc_lang_logreg"}
     names = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
     missing = [n for n in names[:50]
