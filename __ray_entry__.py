@@ -226,10 +226,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # core), then ALL 37 entries that never had any driver row across
     # r01-r04 (verified against the four CORRECTNESS_r0*.json key
     # sets) — this completes the rotation: after this round every
-    # queries() entry has at least one driver row.  Four of the 37
-    # (media_spectrogram, media_sharpness, doc_lang_logreg, emb_pca)
-    # are the genuinely numeric kernels with no oracle_sql entry and
-    # draw rows-only rows by design.  The 11-slot refill: the three
+    # queries() entry has at least one driver row.  ALL 178 entries
+    # now carry an oracle_sql entry (the last three numeric kernels —
+    # IRLS logreg, BPE, STFT spectrogram — gained fixture-replay
+    # oracles late in round 5), so every window row is a full
+    # rows+schema+hash check.  The 11-slot refill: the three
     # views ORACLED THIS ROUND after only ever drawing rows-only rows
     # (events_trim_props, media_features, media_resize — r4 ask #3),
     # orders_bloom_semi's r5 rewrite rides the never-checked block,
@@ -321,6 +322,38 @@ def oracle_sql() -> dict[str, str]:
     _mediameta_path = _fx("mediameta", "/root/testdata/sf0.01")
     _mediaraw_path = _fx("mediaraw", "/root/testdata/sf0.01")
     _pca_path = _fx("pca", "/root/testdata/sf0.01")
+    _logreg_path = _fx("logreg", "/root/testdata/sf0.01")
+    _bpestate_path = _fx("bpestate", "/root/testdata/sf0.01")
+
+    # --- Cramer's-rule SQL generator for the logreg oracle's 4×4
+    # Newton solve (delta = H⁻¹g expressed as determinant ratios; the
+    # expansion strings are generated, not hand-typed, so the 24-term
+    # algebra can't harbor a transcription error) -------------------
+    def _det3(m):
+        return (f"({m[0][0]})*(({m[1][1]})*({m[2][2]})"
+                f"-({m[1][2]})*({m[2][1]}))"
+                f"-({m[0][1]})*(({m[1][0]})*({m[2][2]})"
+                f"-({m[1][2]})*({m[2][0]}))"
+                f"+({m[0][2]})*(({m[1][0]})*({m[2][1]})"
+                f"-({m[1][1]})*({m[2][0]}))")
+
+    def _det4(m):
+        terms = []
+        for j in range(4):
+            minor = [[m[r][c] for c in range(4) if c != j]
+                     for r in range(1, 4)]
+            sign = "+" if j % 2 == 0 else "-"
+            terms.append(f"{sign}({m[0][j]})*({_det3(minor)})")
+        return "".join(terms)
+
+    def _hname(j, k):  # symmetric Hessian: only j<=k materialized
+        return f"h{min(j, k)}{max(j, k)}"
+
+    _H = [[_hname(j, k) for k in range(4)] for j in range(4)]
+    _det_h = _det4(_H)
+    _newton_terms = ", ".join(
+        f"w.w{k} - ({_det4([[('g' + str(j)) if c == k else _H[j][c] for c in range(4)]for j in range(4)])}) / ({_det_h}) AS t{k}"
+        for k in range(4))
     # shared candidate-replay CTE (through the best-pair argmax) for
     # doc_minhash_candidates and doc_ngram_jaccard
     _minhash_cand_cte = f"""
@@ -426,6 +459,10 @@ def oracle_sql() -> dict[str, str]:
         ensure_media_raw_fixture("/root/testdata/sf0.01")
         from mlp_ray.ops.ann import ensure_pca_fixture
         ensure_pca_fixture("/root/testdata/sf0.01")
+        from mlp_ray.ops.learn import ensure_logreg_fixture
+        ensure_logreg_fixture("/root/testdata/sf0.01")
+        from mlp_ray.ops.bpe import ensure_bpe_state_fixture
+        ensure_bpe_state_fixture("/root/testdata/sf0.01", num_merges=16)
     except Exception:
         pass  # fixture warm-up is best-effort; queries() rebuilds it
 
@@ -2765,6 +2802,84 @@ def oracle_sql() -> dict[str, str]:
                        AS decoded
             FROM meta m LEFT JOIN v USING (media_id)
         """,
+        # STFT spectrogram recomputed END-TO-END from the decoded
+        # sample rows (ops/multimodal.ensure_media_raw_fixture — the
+        # codec boundary is the only fixture): Hann window
+        # (0.5−0.5·cos(2πn/511)), 512/256 framing, the rfft power
+        # spectrum as an explicit DFT (re²+im² per bin, 67M-term
+        # aggregate), mean over frames, geomspace band edges with
+        # numpy's exact endpoints + searchsorted-right semantics + the
+        # Nyquist clip, log10(·+1e-12) band energies, dominant-bin
+        # argmax (ties → lowest bin).  6-decimal rounding absorbs the
+        # ~1e-12 FFT-vs-direct-DFT and libm-ulp differences.
+        "media_spectrogram": f"""
+            WITH meta AS (SELECT * FROM '{_mediameta_path}'),
+            aud AS (SELECT media_id, sr FROM meta
+                    WHERE media_type = 'audio' AND kind = 'audio'),
+            xs AS (SELECT r.media_id, r.idx,
+                          r.v0 / 32768.0 AS x, a.sr
+                   FROM '{_mediaraw_path}' r JOIN aud a USING (media_id)),
+            nf AS (SELECT media_id, sr, count(*) AS n,
+                          1 + (count(*) - 512) // 256 AS n_frames
+                   FROM xs GROUP BY 1, 2),
+            wn AS (SELECT x.media_id, t.f AS frame, u.n AS n,
+                          x.x * (0.5 - 0.5 * cos((2 * pi()) * u.n
+                                                 / 511.0)) AS w
+                   FROM nf
+                   CROSS JOIN UNNEST(range(nf.n_frames)) AS t(f)
+                   CROSS JOIN UNNEST(range(512)) AS u(n)
+                   JOIN xs x ON x.media_id = nf.media_id
+                            AND x.idx = t.f * 256 + u.n),
+            dft AS (SELECT w.media_id, w.frame, k.k,
+                           sum(w.w * cos((2 * pi()) * k.k * w.n
+                                         / 512.0)) AS re,
+                           sum(w.w * sin((2 * pi()) * k.k * w.n
+                                         / 512.0)) AS im
+                    FROM wn w CROSS JOIN UNNEST(range(257)) AS k(k)
+                    GROUP BY 1, 2, 3),
+            spec AS (SELECT d.media_id, d.k,
+                            avg(d.re * d.re + d.im * d.im) AS p,
+                            any_value(a.sr) AS sr
+                     FROM dft d JOIN aud a USING (media_id)
+                     GROUP BY 1, 2),
+            dom AS (SELECT media_id,
+                           (k * sr / 512.0) AS hz
+                    FROM (SELECT media_id, k, sr,
+                                 row_number() OVER (
+                                     PARTITION BY media_id
+                                     ORDER BY p DESC, k ASC) AS rn
+                          FROM spec WHERE k >= 1)
+                    WHERE rn = 1),
+            ed AS (SELECT a.media_id, i.i AS i,
+                          CASE WHEN i.i = 0 THEN 50.0
+                               WHEN i.i = 16 THEN a.sr / 2.0
+                               ELSE pow(10.0, log10(50.0)
+                                    + i.i * ((log10(a.sr / 2.0)
+                                              - log10(50.0)) / 16.0))
+                          END AS v
+                   FROM aud a CROSS JOIN UNNEST(range(17)) AS i(i)),
+            bm AS (SELECT s.media_id, s.k, s.p,
+                          least(count(e.i), 16) - 1 AS band
+                   FROM spec s
+                   LEFT JOIN ed e ON e.media_id = s.media_id
+                                 AND e.v <= s.k * s.sr / 512.0
+                   GROUP BY s.media_id, s.k, s.p),
+            bsum AS (SELECT media_id, band, sum(p) AS e
+                     FROM bm WHERE band >= 0 GROUP BY 1, 2),
+            grid AS (SELECT a.media_id, t.b AS band
+                     FROM aud a CROSS JOIN UNNEST(range(16)) AS t(b))
+            SELECT g.media_id, g.band,
+                   round(log10(coalesce(s.e, 0.0) + 1e-12), 6)
+                       AS log_energy,
+                   round(d.hz, 6) AS dominant_hz, TRUE AS decoded
+            FROM grid g
+            LEFT JOIN bsum s USING (media_id, band)
+            JOIN dom d USING (media_id)
+            UNION ALL
+            SELECT m.media_id, t.b, 0.0, 0.0, FALSE
+            FROM meta m CROSS JOIN UNNEST(range(16)) AS t(b)
+            WHERE NOT (m.media_type = 'audio' AND m.kind = 'audio')
+        """,
         # PCA: only the eigendecomposition rides the fixture
         # (ops/ann.ensure_pca_fixture, 9-decimal-quantized on BOTH
         # paths); the covariance is re-derived INDEPENDENTLY from the
@@ -2794,6 +2909,125 @@ def oracle_sql() -> dict[str, str]:
                    round(ev.eigval, 6) AS eigval,
                    round(ev.eigval / tr.trace, 6) AS explained_ratio
             FROM f JOIN ev USING (component) CROSS JOIN tr
+        """,
+        # IRLS logistic regression: only iterations 1..T-1 of the
+        # trajectory ride the scalar-path fixture
+        # (ops/learn.ensure_logreg_fixture).  The SQL recomputes the
+        # features (token_stats_batch expression-for-expression), the
+        # standardization moments, iteration T's gradient/Hessian sums
+        # at theta_{T-1} (stable-sigmoid CASE, r = max(p(1-p), 1e-9),
+        # L2 1e-3 on weights only), solves the 4x4 Newton system by
+        # generated Cramer's rule, and recomputes training accuracy at
+        # the recomputed final theta — a wrong feature kernel, moment
+        # exchange, grad/Hessian partial or solver all break equality.
+        "doc_lang_logreg": rf"""
+            WITH th AS (SELECT iter, dim, val FROM '{_logreg_path}'),
+            tmax AS (SELECT max(iter) AS T FROM th),
+            w AS (SELECT
+                    max(CASE WHEN dim = 0 THEN val END) AS w0,
+                    max(CASE WHEN dim = 1 THEN val END) AS w1,
+                    max(CASE WHEN dim = 2 THEN val END) AS w2,
+                    max(CASE WHEN dim = 3 THEN val END) AS w3
+                  FROM th, tmax WHERE iter = tmax.T - 1),
+            f AS (SELECT
+                    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                         AS DOUBLE) AS f0,
+                    round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
+                          / len(regexp_split_to_array(trim(text), '\s+')),
+                          6) AS f1,
+                    round(len(list_filter(
+                              regexp_split_to_array(trim(text), '\s+'),
+                              t -> t IN ('the', 'a'))) * 1.0
+                          / len(regexp_split_to_array(trim(text), '\s+')),
+                          6) AS f2,
+                    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                  FROM documents),
+            m AS (SELECT count(*) AS n,
+                    avg(f0) AS m0, avg(f1) AS m1, avg(f2) AS m2,
+                    sqrt(greatest(avg(f0*f0) - avg(f0)*avg(f0), 1e-12))
+                        AS s0,
+                    sqrt(greatest(avg(f1*f1) - avg(f1)*avg(f1), 1e-12))
+                        AS s1,
+                    sqrt(greatest(avg(f2*f2) - avg(f2)*avg(f2), 1e-12))
+                        AS s2
+                  FROM f),
+            x AS (SELECT (f0 - m.m0) / m.s0 AS x0,
+                         (f1 - m.m1) / m.s1 AS x1,
+                         (f2 - m.m2) / m.s2 AS x2, 1.0 AS x3, y
+                  FROM f, m),
+            pr AS (SELECT x0, x1, x2, x3, y,
+                     CASE WHEN z >= 0 THEN 1.0 / (1.0 + exp(-z))
+                          ELSE exp(z) / (1.0 + exp(z)) END AS p
+                   FROM (SELECT x.*,
+                                x0*w.w0 + x1*w.w1 + x2*w.w2 + x3*w.w3 AS z
+                         FROM x, w)),
+            s AS (SELECT
+                    sum(x0 * (p - y)) AS sg0, sum(x1 * (p - y)) AS sg1,
+                    sum(x2 * (p - y)) AS sg2, sum(x3 * (p - y)) AS sg3,
+                    sum(x0*x0*r) AS sh00, sum(x0*x1*r) AS sh01,
+                    sum(x0*x2*r) AS sh02, sum(x0*x3*r) AS sh03,
+                    sum(x1*x1*r) AS sh11, sum(x1*x2*r) AS sh12,
+                    sum(x1*x3*r) AS sh13, sum(x2*x2*r) AS sh22,
+                    sum(x2*x3*r) AS sh23, sum(x3*x3*r) AS sh33
+                  FROM (SELECT pr.*,
+                               greatest(p * (1.0 - p), 1e-9) AS r
+                        FROM pr)),
+            hg AS (SELECT
+                     sg0 + 0.001 * w.w0 AS g0, sg1 + 0.001 * w.w1 AS g1,
+                     sg2 + 0.001 * w.w2 AS g2, sg3 AS g3,
+                     sh00 + 0.001 AS h00, sh01 AS h01, sh02 AS h02,
+                     sh03 AS h03, sh11 + 0.001 AS h11, sh12 AS h12,
+                     sh13 AS h13, sh22 + 0.001 AS h22, sh23 AS h23,
+                     sh33 AS h33
+                   FROM s, w),
+            nt AS (SELECT {_newton_terms} FROM hg, w),
+            acc AS (SELECT count(*) AS n,
+                      avg(CASE WHEN ((x0*nt.t0 + x1*nt.t1 + x2*nt.t2
+                                      + x3*nt.t3) > 0) = (y > 0.5)
+                               THEN 1.0 ELSE 0.0 END) AS a
+                    FROM x, nt)
+            SELECT u.term, round(u.wt, 6) AS weight,
+                   round(acc.a, 6) AS accuracy,
+                   acc.n AS n, CAST(tmax.T AS BIGINT) AS iters
+            FROM (SELECT 'n_ws_tokens' AS term, nt.t0 AS wt FROM nt
+                  UNION ALL SELECT 'avg_tok_len', nt.t1 FROM nt
+                  UNION ALL SELECT 'stopword_ratio', nt.t2 FROM nt
+                  UNION ALL SELECT 'bias', nt.t3 FROM nt) u,
+                 acc, tmax
+        """,
+        # BPE training: only the merge application between steps rides
+        # the scalar-path state fixture (ops/bpe.ensure_bpe_state_fixture
+        # — (step, word, pos, sym) = each word's symbols BEFORE merge
+        # `step`).  The SQL recomputes the word histogram from the
+        # documents table (inner join: a missing/extra word breaks the
+        # counts), every step's weighted adjacent-pair counts and every
+        # argmax + (count DESC, pair ASC) tie-break.
+        "doc_bpe_train": f"""
+            WITH wc AS (
+              SELECT w AS word, count(*) AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              WHERE w <> '' GROUP BY 1),
+            st AS (SELECT step, word, pos, sym FROM '{_bpestate_path}'),
+            pairs AS (
+              SELECT step, word, sym AS l,
+                     lead(sym) OVER (PARTITION BY step, word
+                                     ORDER BY pos) AS r
+              FROM st),
+            pcounts AS (
+              SELECT p.step, p.l, p.r, sum(w.cnt) AS pair_count
+              FROM pairs p JOIN wc w USING (word)
+              WHERE p.r IS NOT NULL
+              GROUP BY 1, 2, 3),
+            best AS (
+              SELECT step, l, r, pair_count,
+                     row_number() OVER (PARTITION BY step
+                                        ORDER BY pair_count DESC,
+                                                 l ASC, r ASC) AS rn
+              FROM pcounts)
+            SELECT step AS rank, l AS "left", r AS "right",
+                   CAST(pair_count AS BIGINT) AS pair_count
+            FROM best WHERE rn = 1 AND pair_count >= 2
         """,
         # Row-preserving JSON trim (K7/R7, ops/trim.py): the enriched
         # document both sides construct from event_id has fixed depth,

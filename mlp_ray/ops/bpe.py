@@ -158,6 +158,79 @@ def train_bpe(docs_ds: rd.Dataset, *, num_merges: int = 32,
     return out
 
 
+def ensure_bpe_state_fixture(sf_dir: str, num_merges: int = 16) -> str:
+    """Idempotently persist the scalar-path BPE word-state trajectory
+    over the documents table as ``(step, word, pos, sym)`` rows — the
+    symbol sequence of every distinct word BEFORE merge step ``step``
+    (step 1 = the initial character split).  The SQL oracle recomputes
+    EVERYTHING else independently: the word histogram from the
+    documents table (so a missing/extra word breaks the join), every
+    step's weighted adjacent-pair counts (lead() over pos), and every
+    step's argmax with the (count DESC, pair ASC) tie-break — so only
+    the merge APPLICATION (deterministic string surgery between
+    steps) rides the fixture.  Validation-scale only."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from ..util import ensure_fixture, fixture_path
+
+    path = fixture_path("bpestate", sf_dir)
+
+    def build() -> pa.Table:
+        from collections import Counter
+
+        tbl = _pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["text"])
+        texts = [t if t is not None else ""
+                 for t in tbl["text"].to_pylist()]
+        wc = Counter(w for t in texts for w in t.split(" ") if w)
+        words = {w: list(w) + [END] for w in wc}
+        steps, wds, poss, syms = [], [], [], []
+
+        def snapshot(step: int) -> None:
+            for w, sy in words.items():
+                for i, s in enumerate(sy):
+                    steps.append(step)
+                    wds.append(w)
+                    poss.append(i)
+                    syms.append(s)
+
+        for rank in range(1, num_merges + 1):
+            pc_: Counter = Counter()
+            for w, sy in words.items():
+                for a, b in zip(sy[:-1], sy[1:]):
+                    pc_[(a, b)] += wc[w]
+            if not pc_:
+                break
+            (left, right), cnt = min(
+                pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+            if cnt < 2:
+                break
+            snapshot(rank)  # the state merge `rank` was chosen FROM
+            for w, sy in words.items():
+                if left not in sy:
+                    continue
+                new, i = [], 0
+                while i < len(sy):
+                    if (i + 1 < len(sy) and sy[i] == left
+                            and sy[i + 1] == right):
+                        new.append(left + right)
+                        i += 2
+                    else:
+                        new.append(sy[i])
+                        i += 1
+                words[w] = new
+        return pa.table({
+            "step": pa.array(steps, pa.int64()),
+            "word": pa.array(wds, pa.string()),
+            "pos": pa.array(poss, pa.int64()),
+            "sym": pa.array(syms, pa.string())})
+
+    return ensure_fixture(
+        path, f"{os.path.abspath(sf_dir)}|m={num_merges}|v1", build)
+
+
 def train_bpe_reference(texts: list[str], num_merges: int = 32
                         ) -> pd.DataFrame:
     """Single-process reference trainer (golden for the distributed

@@ -429,9 +429,15 @@ class SpectrogramExtractor:
     dominant frequency (the audio analogue of the image feature
     extractor).  Non-audio rows and undecodable payloads route out
     with ``decoded=False`` null-ish features — the stage never throws
-    on a dirty corpus."""
+    on a dirty corpus.  ``precision="f64"`` keeps the band energies in
+    the native f64 the STFT computes (the oracle-facing exact path,
+    the ``MediaDecoder`` convention); the f32 production default is
+    the same arithmetic cast down."""
 
     N_BANDS = 16
+
+    def __init__(self, precision: str = "f32"):
+        self.precision = precision
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, feats, doms, ok = [], [], [], []
@@ -444,7 +450,9 @@ class SpectrogramExtractor:
                 samples, sr = decode_wav_pcm16(p)
                 e, hz = stft_band_energies(samples, sr,
                                            n_bands=self.N_BANDS)
-                feats.append(e.astype(np.float32).tolist())
+                if self.precision == "f32":
+                    e = e.astype(np.float32)
+                feats.append(e.tolist())
                 doms.append(hz)
                 ok.append(True)
             except Exception:
@@ -452,9 +460,11 @@ class SpectrogramExtractor:
                 doms.append(0.0)
                 ok.append(False)
             ids.append(mid)
+        ftype = (pa.list_(pa.float32()) if self.precision == "f32"
+                 else pa.list_(pa.float64()))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
-            "band_energies": pa.array(feats, pa.list_(pa.float32())),
+            "band_energies": pa.array(feats, ftype),
             "dominant_hz": pa.array(doms, pa.float64()),
             "decoded": pa.array(ok, pa.bool_()),
         })

@@ -387,10 +387,16 @@ def doc_stratified_sample(sf_dir: str) -> pd.DataFrame:
 
 def doc_bpe_train(sf_dir: str) -> pd.DataFrame:
     """Distributed BPE tokenizer training (16 merges over the word
-    histogram; rows-only — iterative argmax isn't SQL-expressible;
-    golden-attested against the single-process reference trainer)."""
+    histogram).  Oracle-backed (round 5): the SQL side recomputes the
+    word histogram from the documents table, every step's weighted
+    adjacent-pair counts and every argmax + (count DESC, pair ASC)
+    tie-break from the scalar-path state fixture
+    (``bpe.ensure_bpe_state_fixture``) — only the merge application
+    between steps rides the fixture.  Also golden-attested against
+    the single-process reference trainer in tests/test_ops.py."""
     from ..ops import bpe
 
+    bpe.ensure_bpe_state_fixture(sf_dir, num_merges=16)
     return bpe.train_bpe(_docs(sf_dir, ["doc_id", "text"]),
                          num_merges=16)
 
@@ -3626,15 +3632,40 @@ def events_ab_welch(sf_dir: str) -> pd.DataFrame:
 def media_spectrogram(sf_dir: str) -> pd.DataFrame:
     """Real audio spectral features (numpy STFT → log-band energies +
     dominant frequency) over the synthetic media table's genuine WAV
-    payloads — actor-pool stage, small batches (binary payloads).
-    Rows-only: the sine-tone frequency recovery contract is pinned in
-    tests/test_multimodal_trim.py."""
-    from ..ops.multimodal import SpectrogramExtractor, synth_media_table
+    payloads — actor-pool stage, small batches (binary payloads),
+    exploded to (media_id, band, log_energy) in the f64 oracle
+    precision.  Oracle-backed (round 5): the SQL side recomputes the
+    ENTIRE pipeline from the decoded sample rows
+    (``ensure_media_raw_fixture`` — the codec boundary is the only
+    thing riding a fixture): Hann window, 512/256 framing, the rfft
+    power spectrum as an explicit DFT (re²+im² per bin), the mean
+    over frames, the geomspace band edges with searchsorted-right
+    semantics + the Nyquist clip, the log10(·+1e-12) energies and
+    the dominant-bin argmax.  The sine-tone frequency recovery
+    contract stays pinned in tests/test_multimodal_trim.py."""
+    from ..ops.multimodal import (SpectrogramExtractor,
+                                  ensure_media_meta_fixture,
+                                  ensure_media_raw_fixture,
+                                  synth_media_table)
+    ensure_media_meta_fixture(sf_dir)
+    ensure_media_raw_fixture(sf_dir)
     tbl = synth_media_table(256, real_payloads=True)
-    return (rd.from_arrow(tbl)
-            .map_batches(SpectrogramExtractor, batch_format="pyarrow",
-                         batch_size=64, concurrency=(1, 4))
-            .to_pandas())
+    out = (rd.from_arrow(tbl)
+           .map_batches(SpectrogramExtractor, batch_format="pyarrow",
+                        fn_constructor_kwargs={"precision": "f64"},
+                        batch_size=64, concurrency=(1, 4))
+           .to_pandas())
+    nb = SpectrogramExtractor.N_BANDS
+    exp = pd.DataFrame({
+        "media_id": np.repeat(out["media_id"].to_numpy(), nb),
+        "band": np.tile(np.arange(nb, dtype=np.int64), len(out)),
+        "log_energy": np.concatenate(
+            [np.asarray(e, dtype=np.float64)
+             for e in out["band_energies"]]),
+        "dominant_hz": np.repeat(out["dominant_hz"].to_numpy(), nb),
+        "decoded": np.repeat(out["decoded"].to_numpy(), nb),
+    })
+    return round_cols(exp, ["log_energy", "dominant_hz"])
 
 
 def media_sharpness(sf_dir: str) -> pd.DataFrame:
@@ -3750,24 +3781,21 @@ def doc_lang_logreg(sf_dir: str) -> pd.DataFrame:
     predict ``lang == 'en'`` from the corpus's own text statistics.
     Each Newton pass ships one (grad, Hessian, loss) sufficient-stat
     row per block — O(blocks · d²) exchange, ≤ ~8 corpus passes to
-    quadratic convergence.  Rows-only: the planted-separator recovery
-    and partition-invariance contracts are pinned in tests/test_ops.py.
-    Returns the fitted standardized weights + bias + training accuracy."""
-    from ..ops import text
-    from ..ops.learn import logreg_train
+    quadratic convergence.  Oracle-backed (round 5): the SQL side
+    takes theta_{T-1} from the scalar-path trajectory fixture
+    (``learn.ensure_logreg_fixture``) and recomputes the features, the
+    standardization moments, the final Newton step (grad/Hessian sums
+    at theta_{T-1} + a Cramer 4×4 solve) and the training accuracy
+    independently from the documents table.  The planted-separator
+    recovery and partition-invariance contracts stay pinned in
+    tests/test_ops.py.  Returns the fitted standardized weights + bias
+    + training accuracy."""
+    from ..ops.learn import (ensure_logreg_fixture, lang_en_features,
+                             logreg_train)
 
+    ensure_logreg_fixture(sf_dir)
     ds = _docs(sf_dir, ["doc_id", "lang", "text"])
-
-    def features(t: pa.Table) -> pa.Table:
-        stats = text.token_stats_batch(t)
-        return pa.table({
-            "n_ws_tokens": pc.cast(stats["n_ws_tokens"], pa.float64()),
-            "avg_tok_len": stats["avg_tok_len"],
-            "stopword_ratio": stats["stopword_ratio"],
-            "y": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
-        })
-
-    feats = ds.map_batches(features, batch_format="pyarrow",
+    feats = ds.map_batches(lang_en_features, batch_format="pyarrow",
                            zero_copy_batch=True)
     fit = logreg_train(feats, ["n_ws_tokens", "avg_tok_len",
                                "stopword_ratio"], "y")

@@ -87,17 +87,20 @@ def test_entry_smoke():
 
 def test_top50_battery_all_oracled():
     """Battery-curation guard: the driver hash-checks the FIRST 50
-    queries() entries, so every one of them must carry an oracle —
-    EXCEPT the genuinely numeric kernels (IRLS logistic regression,
-    STFT spectrogram) deliberately rotated in this round so they draw
-    their first driver rows-only row (r4 verdict next-round #1: every
-    entry gets at least one driver row across r01-r05; the driver
-    records a weaker rows-only check for entries without oracle_sql).
-    emb_pca and media_sharpness gained fixture-replay oracles in
-    round 5 and are hash-checked like everything else."""
-    rows_only_by_design = {"media_spectrogram", "doc_lang_logreg"}
+    queries() entries, so every one of them must carry an oracle.
+    As of round 5 the rows-only set is EMPTY — the last three numeric
+    kernels gained oracles (IRLS logreg: Cramer-solved final Newton
+    step; BPE: per-step argmax replay over the state fixture; STFT
+    spectrogram: full DFT recomputed in SQL from the decoded
+    samples) — so every queries() entry everywhere is oracle-backed."""
     names = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
-    missing = [n for n in names[:50]
-               if n not in oracles and n not in rows_only_by_design]
+    missing = [n for n in names[:50] if n not in oracles]
     assert not missing, missing
+
+
+def test_every_query_oracled():
+    """Round-5 end state: oracle_sql() covers EVERY queries() entry —
+    the driver's strongest (hash) check applies to the whole surface;
+    the ROWS_ONLY parametrization above is intentionally empty."""
+    assert not ROWS_ONLY, ROWS_ONLY
