@@ -158,3 +158,38 @@ def test_auth_before_metadata_matches():
     acc.run(_mk_conn(rows))
     out = acc.finalize()
     assert out["usernames"].tolist() == ["alice"]
+
+
+# --- real-corpus self-golden (same rationale as the two-pass one:
+# the reference's golden report has no driverStats section, so the
+# legacy path can only be pinned by its own attested output) ----------
+import glob
+import json
+import os
+
+_RES = "/root/reference/src/test/resources"
+_LOGS = sorted(glob.glob(os.path.join(_RES, "cluster0-shard-00-0*.log.gz")))
+
+
+@pytest.mark.skipif(not _LOGS, reason="reference corpus not present")
+def test_single_pass_real_corpus_self_golden(ray_session):
+    """The legacy single-pass over the 4 REAL Atlas mongod logs,
+    pinned field-by-field (14 driver groups, incl. the
+    distinct_hosts=0 constructor-quirk row and the __system lifetime
+    salvages)."""
+    from mlp_ray.sources import rawlog
+
+    parsed = rawlog.read_raw_logs(_LOGS).map_batches(
+        rawlog.parse_batch, batch_format="pyarrow")
+    out = driver_stats_single_pass(analyze.classify(parsed),
+                                   num_buckets=16)
+    key = ["driver_name", "driver_version", "os_type", "platform"]
+    out = out.sort_values(key).reset_index(drop=True)
+    with open(os.path.join(os.path.dirname(__file__), "data",
+                           "driver_legacy_real_golden.json")) as fh:
+        golden = pd.DataFrame(json.load(fh))
+    assert len(out) == len(golden)
+    for c in out.columns:
+        got = out[c].fillna("").astype(str).tolist()
+        exp = golden[c].fillna("").astype(str).tolist()
+        assert got == exp, c
