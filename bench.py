@@ -195,14 +195,18 @@ def run_queries() -> tuple[dict[str, float], dict[str, float]]:
 
     names = ["events_main_agg", "events_topk", "events_distinct_users",
              "orders_by_nation", "lineitem_pricing", "doc_token_stats",
-             "doc_exact_dedup", "doc_minhash_dedup", "ann_topk",
+             "ann_topk",
              "events_asof_join", "orders_lineitem_join",
              "events_sliding_window", "doc_unigram_logprob",
              "doc_tfidf", "events_sessionize"]
-    # the most expensive non-flagship analytics (r4 verdict #5): timed
-    # with a settled best-of-2 so a one-run disk hiccup can't hide (or
-    # fake) a regression; spreads ride the bench artifact
-    heavy = ["doc_segment_dedup", "source_gram_overlap",
+    # the most expensive non-flagship analytics (r4 verdict #5) plus
+    # the two dedup legs (measured round 5 as the jitteriest
+    # single-shot entries: 1.4-6.6 s across runs of identical code on
+    # a warm session steady at 1.4/2.8 s): timed with a settled
+    # best-of-2 so a one-run disk hiccup can't hide (or fake) a
+    # regression; spreads ride the bench artifact
+    heavy = ["doc_exact_dedup", "doc_minhash_dedup",
+             "doc_segment_dedup", "source_gram_overlap",
              "doc_gram_novelty", "events_window_distinct",
              "doc_ngram_topk"]
     out, spread = {}, {}

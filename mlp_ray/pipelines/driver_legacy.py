@@ -49,7 +49,6 @@ bounded-heap deployments where a second pass is impossible.
 """
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

@@ -3,7 +3,6 @@ reference's bounded-memory streaming variant): the distributed
 ctx-bucketed pipeline vs the scalar port, partition invariance,
 bounded-state purges, and the reference's entry quirks."""
 
-import numpy as np
 import pandas as pd
 import pytest
 
