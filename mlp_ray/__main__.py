@@ -77,6 +77,15 @@ def cmd_analyze(args):
     os.makedirs(args.out, exist_ok=True)
     for name, df in results.items():
         df.to_csv(os.path.join(args.out, f"{name}.csv"), index=False)
+    if getattr(args, "drivers_single_pass", False):
+        # the legacy bounded-memory streaming accumulator, emitted as
+        # its own sink CSV (kept out of `results` so the JSON/HTML
+        # report sections stay reference-shaped)
+        from .pipelines.driver_legacy import driver_stats_single_pass
+
+        driver_stats_single_pass(analyze.classify(_load(args))).to_csv(
+            os.path.join(args.out, "driver_stats_single_pass.csv"),
+            index=False)
     # K3 structured JSON report + K4 static HTML + K5 console tables
     report_mod.write_json_report(
         results, os.path.join(args.out, "report.json"),
@@ -299,6 +308,13 @@ def main(argv=None):
     sp.add_argument("--no-drivers", action="store_true",
                     help="skip the two-pass driver-stats subsystem "
                          "(reference gates it behind --drivers)")
+    sp.add_argument("--drivers-single-pass", action="store_true",
+                    help="ALSO emit driver_stats_single_pass.csv: the "
+                         "legacy bounded-memory streaming accumulator "
+                         "(capped pending maps + purge salvage, "
+                         "DriverStatsAccumulator.java) for "
+                         "endless-stream deployments; the exact "
+                         "two-pass join stays the default")
     sp.add_argument("--no-app-stats", action="store_true",
                     help="skip appName connection stats (reference "
                          "--appNameStats gate)")

@@ -126,7 +126,8 @@ class LegacyDriverStatsAccumulator:
                 "hosts_all": set(), "hosts_rest": set(),
                 "conn_count": 1, "usernames": set(),
                 "rec_sum": 0, "rec_cnt": 0, "rec_max": 0,
-                "avg_ms": 0, "salv_sum": 0, "salv_cnt": 0,
+                "avg_ms": 0, "blend": False,
+                "salv_sum": 0, "salv_cnt": 0,
             }
             if host is not None:
                 e["hosts_all"].add(host)
@@ -207,6 +208,7 @@ class LegacyDriverStatsAccumulator:
         e["rec_cnt"] += 1
         e["rec_max"] = max(e["rec_max"], lifetime)
         e["avg_ms"] = e["rec_sum"] // e["rec_cnt"]
+        e["blend"] = False  # the full-list recompute wipes any blend
 
     # --- bounded-state purge (performPeriodicCleanup, :355-399) ---------
     def periodic_cleanup(self) -> None:
@@ -224,6 +226,7 @@ class LegacyDriverStatsAccumulator:
                 # 50/50 weighted average with whatever average stands
                 e["avg_ms"] = ((e["avg_ms"] + salvage_avg) // 2
                                if e["avg_ms"] > 0 else salvage_avg)
+                e["blend"] = True
             self.trackers.clear()
         if len(self.pending_meta) > self.max_pending:
             self.counters["purges"] += 1
@@ -292,13 +295,14 @@ class LegacyDriverStatsAccumulator:
                 "usernames": sorted(e["usernames"]),
                 "rec_sum": e["rec_sum"], "rec_cnt": e["rec_cnt"],
                 "rec_max": e["rec_max"], "avg_ms": e["avg_ms"],
+                "blend": e["blend"],
                 "salv_sum": e["salv_sum"], "salv_cnt": e["salv_cnt"],
             })
         cols = ["driver_name", "driver_version", "os_type", "platform",
                 "first_ts", "first_doc", "first_host", "compressors",
                 "server_version", "hosts_all", "hosts_rest", "conn_count",
                 "usernames", "rec_sum", "rec_cnt", "rec_max", "avg_ms",
-                "salv_sum", "salv_cnt"]
+                "blend", "salv_sum", "salv_cnt"]
         return pd.DataFrame(recs, columns=cols)
 
 
@@ -341,13 +345,17 @@ def _merge_partials(parts: pd.DataFrame) -> pd.DataFrame:
         if salv_cnt > 0:
             # end-of-run salvage override (:291-303)
             avg = salv_sum // salv_cnt
+        elif bool(g["blend"].any()):
+            # a purge blend stands in >=1 bucket (P=1: exactly the
+            # reference's standing average; P>1: recorded-count-
+            # weighted mean of bucket averages — the same lossy
+            # flavor as the reference's own 50/50 purge blend)
+            w = g["rec_cnt"].clip(lower=1)
+            avg = int((g["avg_ms"] * w).sum() // w.sum())
         elif rec_cnt > 0:
             avg = rec_sum // rec_cnt
         else:
-            # only purge-salvaged averages exist: recorded-count-free
-            # buckets all carry blended avg_ms values; take their max
-            # (any nonzero one is a purge artifact by construction)
-            avg = int(g["avg_ms"].max())
+            avg = 0
         out.append({
             "driver_name": key[0], "driver_version": key[1],
             "os_type": key[2], "platform": key[3],

@@ -158,3 +158,22 @@ def test_analyze_debug_flag(fixture_paths, tmp_path):
     # --debug prints wall/RSS + per-table cardinalities to stderr
     assert "[debug] wall=" in p.stderr and "driver_rss=" in p.stderr
     assert "[debug]   main_ops:" in p.stderr
+
+
+def test_analyze_drivers_single_pass(fixture_paths, tmp_path):
+    """--drivers-single-pass emits the legacy bounded-memory streaming
+    accumulator as its own sink CSV (driver_legacy.py), alongside the
+    reference-shaped report."""
+    import pandas as pd
+
+    out = str(tmp_path / "rep")
+    p = _run("analyze", fixture_paths[0], "--limit", "2000", "--out", out,
+             "--drivers-single-pass")
+    assert p.returncode == 0, p.stderr[-2000:]
+    df = pd.read_csv(os.path.join(out, "driver_stats_single_pass.csv"))
+    assert {"driver_name", "conn_count", "distinct_hosts",
+            "lifetime_avg_ms"} <= set(df.columns)
+    assert len(df) > 0 and (df["conn_count"] > 0).all()
+    # the default two-pass sink still rides the report
+    rep = json.load(open(os.path.join(out, "report.json")))
+    assert "driverStats" in rep

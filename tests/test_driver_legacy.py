@@ -192,3 +192,35 @@ def test_single_pass_real_corpus_self_golden(ray_session):
         got = out[c].fillna("").astype(str).tolist()
         exp = golden[c].fillna("").astype(str).tolist()
         assert got == exp, c
+
+
+def test_periodic_purge_blend():
+    """performPeriodicCleanup (:360-388): salvaged tracker lifetimes
+    blend 50/50 with the standing average (Java integer division), and
+    the trackers clear so the end-of-run salvage no longer sees them."""
+    m = ["d", "v", "os", "p", "z", None]
+    acc = LegacyDriverStatsAccumulator(max_pending=1)
+    # conn1 completes: recorded lifetime 3000 -> avg 3000
+    acc.run(_mk_conn([
+        ["a", "conn1", "Connection accepted", 0, *([None] * 6),
+         None, None],
+        ["b", "conn1", "client metadata", 1000, *m, "h:1", None],
+        ["c", "conn1", "Connection ended", 3000, *([None] * 6),
+         None, None],
+    ]))
+    # conn2 open with lifetime 1000; conn3 unknown-keyed -> 2 trackers
+    acc.run(_mk_conn([
+        ["d", "conn2", "Connection accepted", 4000, *([None] * 6),
+         None, None],
+        ["e", "conn2", "client metadata", 5000, *m, "h:1", None],
+        ["f", "conn3", "Connection accepted", 6000, *([None] * 6),
+         None, None],
+    ]))
+    assert len(acc.trackers) == 2
+    acc.periodic_cleanup()
+    assert acc.counters["purges"] >= 1
+    assert not acc.trackers
+    out = acc.finalize()
+    # (3000 + 1000) // 2; no end-salvage override (trackers purged)
+    assert out["lifetime_avg_ms"].tolist() == [2000]
+    assert out["lifetime_max_ms"].tolist() == [3000]
