@@ -187,11 +187,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_logreg": Q.doc_lang_logreg,  # IRLS training
         "emb_semantic_dedup": Q.emb_semantic_dedup,  # SemDeDup
         "orders_monthly_growth": Q.orders_monthly_growth,  # MoM lag ratio
-        "events_trim_props": Q.events_trim_props,  # rows-only
-        "flagship_pack_greedy": Q.flagship_pack_greedy,  # rows-only
+        "events_trim_props": Q.events_trim_props,  # trim-walk replay oracle
+        "flagship_pack_greedy": Q.flagship_pack_greedy,  # recursive-CTE oracle
         "doc_decontaminate_bloom":
             Q.doc_decontaminate_bloom,  # fixture-replay oracle
-        "emb_pca": Q.emb_pca,  # rows-only (eigh)
+        "emb_pca": Q.emb_pca,  # eigh fixture + Rayleigh-quotient oracle
         "doc_compression_ratio": Q.doc_compression_ratio,  # zlib junk signal
         "customers_abc": Q.customers_abc,  # Pareto classes
         "doc_gram_novelty": Q.doc_gram_novelty,  # memorization curve

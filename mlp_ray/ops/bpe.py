@@ -20,9 +20,12 @@ iterates over the corpus — it iterates over the WORD HISTOGRAM
 
 Per-word Python in the round map is bounded by the VOCABULARY, never
 the corpus — the 10^12-token corpus is touched exactly once.
-Iterative argmax training is not SQL-expressible: attested rows-only,
-with a pure-Python reference-equality golden + partitioning-invariance
-test (repo convention for sequential ops).
+Attested three ways: a pure-Python reference-equality golden, a
+partitioning-invariance test, and (round 5) a per-step SQL replay
+oracle — the DuckDB side recomputes the word histogram, every step's
+weighted pair counts and every argmax from the state fixture
+(``ensure_bpe_state_fixture``); only the merge application between
+steps rides the fixture.
 """
 
 from __future__ import annotations

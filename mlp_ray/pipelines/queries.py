@@ -1915,10 +1915,10 @@ def flagship_pack_materialize(sf_dir: str, cap: int = 2048) -> pd.DataFrame:
 
 
 def flagship_pack_greedy(sf_dir: str, cap: int = 2048) -> pd.DataFrame:
-    """First-fit sequential no-split packing per source (rows-only:
-    the break recursion is not window-SQL-expressible; pack_plan is
-    the exact oracle-attested sibling), as a per-(source, bin)
-    rollup."""
+    """First-fit sequential no-split packing per source, as a
+    per-(source, bin) rollup.  Oracle-backed: the break recursion is
+    replayed by a recursive CTE (pack_plan is the windowed exact
+    sibling)."""
     from ..ops.pack import pack_bin_rollup, pack_greedy
     from ..sources.tokenized import ensure_flagship_parquet
 
@@ -1929,7 +1929,7 @@ def flagship_pack_greedy(sf_dir: str, cap: int = 2048) -> pd.DataFrame:
 
 
 # --- raw JSONL-log ingestion (S2/S3/P1-P3/J2): gzipped mongod logs →
-# parse → classify → main-ops fold, rows-only ---------------------------
+# parse → classify → main-ops fold (line-fixture-replay oracled) --------
 def rawlog_main_ops(sf_dir: str) -> pd.DataFrame:
     import os
     from ..sources import rawlog
