@@ -135,9 +135,21 @@ def merge_payload_ds(payload, jobs: dict[str, SinkJob]
     return out
 
 
+# In distributed mode the partials are bounded (the input-size gate
+# that selects it also flips p95 to the sketch), so the merge can
+# route on the MEASURED payload size: below this, the (sink, bucket)
+# exchange is pure shuffle latency (~1.5-2 s on this box for the
+# report's ~8k payload rows at sf0.1) and a driver merge of the same
+# rows is both cheaper and contract-equal (bucket_merge distributes
+# over bucket partitions — module docstring).
+PAYLOAD_DRIVER_MAX_BYTES = 64 << 20
+
+
 def run_multi_fold(cds, jobs: dict[str, SinkJob], *,
                    mode: str = "driver", batch_size: int = 32768,
-                   num_buckets: int = 16) -> dict[str, pd.DataFrame]:
+                   num_buckets: int = 16,
+                   payload_driver_max_bytes: int = PAYLOAD_DRIVER_MAX_BYTES
+                   ) -> dict[str, pd.DataFrame]:
     """One streaming pass over ``cds`` → one final pandas table per
     sink.  ``mode="driver"`` collects partial payloads and merges
     in-process; ``mode="distributed"`` shuffles payloads once, keyed on
@@ -157,4 +169,11 @@ def run_multi_fold(cds, jobs: dict[str, SinkJob], *,
                               batch_size=batch_size, zero_copy_batch=True)
     if mode == "driver":
         return merge_payload_rows(payload.to_pandas(), jobs)
-    return merge_payload_ds(payload, jobs)
+    # materialize ONLY the partials (bounded; object store spills) so
+    # the merge route can key on their real size instead of the
+    # input-size proxy — the input gate decides the p95 estimator,
+    # the payload gate decides where the merge runs
+    pm = payload.materialize()
+    if pm.size_bytes() <= payload_driver_max_bytes:
+        return merge_payload_rows(pm.to_pandas(), jobs)
+    return merge_payload_ds(pm, jobs)

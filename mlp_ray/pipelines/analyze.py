@@ -668,7 +668,8 @@ def run_full_analysis(paths, *, redact: bool = True,
                       mode: str = "auto", shards: bool = False,
                       exclude: set[str] | frozenset = frozenset(),
                       driver_merge_max_bytes: int = 256 << 20,
-                      p95_mode: str = "auto", raw: bool = False
+                      p95_mode: str = "auto", raw: bool = False,
+                      payload_driver_max_bytes: int | None = None
                       ) -> dict[str, pd.DataFrame]:
     """Everything the reference's JSON report contains (K3), as small
     pandas tables.
@@ -704,9 +705,11 @@ def run_full_analysis(paths, *, redact: bool = True,
         ds = load_events(paths)
     cds = classify(ds, redact=redact, filter_config=filter_config,
                    ns_filter=ns_filter)
+    kw = ({} if payload_driver_max_bytes is None
+          else {"payload_driver_max_bytes": payload_driver_max_bytes})
     return run_multi_fold(
         cds, _analysis_jobs(by_shard=shards, exclude=exclude,
-                            p95_mode=p95_mode, raw=raw), mode=mode)
+                            p95_mode=p95_mode, raw=raw), mode=mode, **kw)
 
 
 def analysis_partition_id(path: str) -> str:

@@ -79,16 +79,21 @@ def test_timestamp_range(fixture_paths, oracle_cdf):
     assert pd.Timestamp(r["max(ts)"]) == oracle_cdf["ts"].max()
 
 
-def test_distributed_merge_equals_driver_merge(fixture_paths, results):
-    """The large-input path (single shuffled merge keyed on
-    (sink, key-bucket)) must produce byte-identical tables to the
-    report-scale driver merge — the mode gate can never change
-    results."""
+@pytest.mark.parametrize("payload_gate", [0, None])
+def test_distributed_merge_equals_driver_merge(fixture_paths, results,
+                                               payload_gate):
+    """The large-input path must produce byte-identical tables to the
+    report-scale driver merge — neither the mode gate nor the
+    payload-size merge route can ever change results.  payload_gate=0
+    pins the (sink, key-bucket) shuffled merge; None takes the
+    payload-size gate's driver merge of DISTRIBUTED-format (per-bucket
+    split) payload rows — all three routes must agree."""
     # p95 pinned exact: this test isolates the MERGE engine; the
     # p95_mode="auto" coupling (sketch on the distributed path) is a
     # deliberate estimator change, tested in test_fold_property
     dist = analyze.run_full_analysis(fixture_paths, mode="distributed",
-                                     p95_mode="exact")
+                                     p95_mode="exact",
+                                     payload_driver_max_bytes=payload_gate)
     for name, exp in results.items():
         act = dist[name]
         keys = [c for c in exp.columns

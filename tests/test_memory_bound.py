@@ -55,9 +55,15 @@ def test_report_driver_rss_bounded(ray_session, membound_paths):
     th = threading.Thread(target=sampler, daemon=True)
     th.start()
     try:
+        # payload_driver_max_bytes=0 pins the (sink, bucket) exchange:
+        # the payload-size gate (multifold.PAYLOAD_DRIVER_MAX_BYTES)
+        # would otherwise route this corpus's small partials to the
+        # driver merge and the test would stop exercising the
+        # distributed path it guards
         res = analyze.run_full_analysis(membound_paths,
                                         mode="distributed",
-                                        p95_mode="sketch")
+                                        p95_mode="sketch",
+                                        payload_driver_max_bytes=0)
     finally:
         stop[0] = True
         th.join()
