@@ -141,3 +141,29 @@ def test_pandas_masks_match_arrow_filters(fixture_paths):
         arrow_ids = set(filter_fn(batch)["doc_id"].to_pylist())
         pd_ids = set(df.loc[sink_defs.MASKS_PD[name](df), "doc_id"])
         assert arrow_ids == pd_ids, name
+
+
+def test_payload_gate_routes_merge(fixture_paths, monkeypatch):
+    """The payload-size gate picks the merge LOCATION (multifold
+    run_multi_fold): a small measured payload driver-merges even in
+    distributed mode; gate=0 forces the (sink, bucket) exchange —
+    pinned by spying which merge ran (results-equality is covered by
+    the parametrized golden above)."""
+    import mlp_ray.aggs.multifold as mf
+
+    calls = []
+    orig_rows, orig_ds = mf.merge_payload_rows, mf.merge_payload_ds
+    monkeypatch.setattr(mf, "merge_payload_rows",
+                        lambda rows, jobs: (calls.append("driver"),
+                                            orig_rows(rows, jobs))[1])
+    monkeypatch.setattr(mf, "merge_payload_ds",
+                        lambda p, jobs: (calls.append("ds"),
+                                         orig_ds(p, jobs))[1])
+    analyze.run_full_analysis(fixture_paths, mode="distributed",
+                              p95_mode="sketch")
+    assert calls == ["driver"]  # fixture payload is far below 64 MB
+    calls.clear()
+    analyze.run_full_analysis(fixture_paths, mode="distributed",
+                              p95_mode="sketch",
+                              payload_driver_max_bytes=0)
+    assert calls == ["ds"]
