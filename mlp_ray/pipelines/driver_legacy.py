@@ -386,7 +386,13 @@ def driver_stats_single_pass(cds: rd.Dataset, *, num_buckets: int = 64,
     exchange (whole connections co-locate), a stateful capped-pending
     fold per bucket, and a bounded driver-key merge on the driver
     (num_buckets × |driver keys| partial rows — key cardinality is
-    driver-identity-bounded, not corpus-bounded)."""
+    driver-identity-bounded, not corpus-bounded).
+
+    Sizing: each bucket's conn-event frame (≈ corpus conn events /
+    num_buckets) materializes in one map_groups task, so raise
+    num_buckets with corpus size until a bucket fits a worker heap;
+    the accumulator's own state stays ≤ 3 × max_pending entries per
+    bucket regardless."""
     from ..util import bucketed_groups
 
     conn = cds.map_batches(_legacy_conn_events, batch_format="pyarrow",
